@@ -1,0 +1,82 @@
+"""Table registry over a directory of parquet tables.
+
+The reference keeps its catalog in Postgres DDL
+(``src/scripts/setup-db.ts:55-78``: one table + five secondary B-tree
+indexes).  Spark has no secondary indexes; the equivalents are hive-style
+partitioning (partition pruning), parquet row-group min/max + dictionary
+data-skipping, and sorted layout — see ``sources/writers.py`` for the
+write-side of that story.  Read-side, this registry simply maps table name
+-> lazily-loaded DataFrame and registers temp views so both the DataFrame
+and SQL APIs see the same catalog.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+class Catalog:
+    """Lazy name->DataFrame registry for one scale-factor directory."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+        # Spark 4 rejects parquet TIMESTAMP(NANOS) outright
+        # (PARQUET_TYPE_ILLEGAL); read nanos as long and down-convert to
+        # microsecond timestamps ourselves (floor division — identical to
+        # how DuckDB truncates ns to its native us precision, so the
+        # oracle comparison stays bit-exact).
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            # timestamps must render as UTC-naive to match the DuckDB
+            # oracle no matter what session the driver hands us
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        except Exception:
+            pass
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.sf_dir, f"{name}.parquet")
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            df = self.spark.read.parquet(self.path(name))
+            if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+                # integer `div`, not `/` — ns epochs (~1.7e18) exceed
+                # double-precision mantissa and float division drifts by 1us.
+                # Land on TIMESTAMP_NTZ (UTC wall-clock): LTZ would render in
+                # the host TZ at collect() and diverge from the naive-UTC
+                # oracle; other tables' parquet ms timestamps already infer
+                # as NTZ.
+                df = df.withColumn(
+                    "ts",
+                    F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+                )
+            self._cache[name] = df
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def register_views(self, tables: tuple[str, ...] = TABLES) -> None:
+        """Expose every table as a temp view for the SQL API."""
+        for name in tables:
+            if os.path.exists(self.path(name)):
+                self.table(name).createOrReplaceTempView(name)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> Catalog:
+    return Catalog(spark, sf_dir)

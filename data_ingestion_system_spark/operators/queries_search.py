@@ -1,0 +1,133 @@
+"""Declared queries: the reference's search + stats surface on `events`.
+
+Mapping (FIXTURES.md §C): the `events` table plays the `api_audit` role —
+event_id≈transaction_id, user_id≈app_id, event_type≈action, value≈status,
+ts≈timestamp, props≈payload body.  The six filter combinations mirror the
+reference's own smoke matrix (``src/scripts/test-search.ts:4-11``) plus the
+no-filter full scan and the JSON-payload predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.catalog import Catalog
+from data_ingestion_system_spark.operators.search import search
+from data_ingestion_system_spark.registry import register
+
+_PROJ = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+# Shared oracle skeleton for the search family (O-10/11/19/20,
+# audit.services.ts:148-163): project, ORDER BY ts DESC, deterministic
+# event_id DESC tiebreak, LIMIT 100.
+_SEARCH_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value, props
+FROM events
+{where}
+ORDER BY ts DESC NULLS LAST, event_id DESC
+LIMIT 100
+"""
+
+
+def _search(spark: SparkSession, sf_dir: str, filters: dict) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return search(cat.events, filters, project=_PROJ,
+                  order_col="ts", tiebreak_col="event_id", limit=100)
+
+
+@register("search_scan", _SEARCH_ORACLE.format(where=""))
+def search_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-10 (zero filters) + O-11 + O-19 + O-20: full-scan top-100."""
+    return _search(spark, sf_dir, {})
+
+
+@register("search_app", _SEARCH_ORACLE.format(where="WHERE user_id = 7"))
+def search_app(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single equality filter (appId case, test-search.ts:5)."""
+    return _search(spark, sf_dir, {"user_id": 7})
+
+
+@register("search_action", _SEARCH_ORACLE.format(where="WHERE event_type = 'purchase'"))
+def search_action(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single equality filter (action/workflow case, test-search.ts:7)."""
+    return _search(spark, sf_dir, {"event_type": "purchase"})
+
+
+@register("search_app_action",
+          _SEARCH_ORACLE.format(where="WHERE user_id = 7 AND event_type = 'click'"))
+def search_app_action(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-filter conjunction (appId+workflowId case, test-search.ts:9)."""
+    return _search(spark, sf_dir, {"user_id": 7, "event_type": "click"})
+
+
+@register("search_txn", _SEARCH_ORACLE.format(where="WHERE event_id = 42"))
+def search_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup by transaction id (test-search.ts:10)."""
+    return _search(spark, sf_dir, {"event_id": 42})
+
+
+@register("search_json_payload", """
+SELECT event_id, ts, user_id, event_type, value,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS payload_k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) = 7
+ORDER BY ts DESC NULLS LAST, event_id DESC
+LIMIT 100
+""")
+def search_json_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-41 schema-on-read JSON predicate over the payload column — the
+    Spark analogue of the Lambda's field-pluck from untyped JSON
+    (``src/lambda/processQueue.ts:114-129``)."""
+    cat = Catalog(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        cat.events
+        .withColumn("payload_k", k)
+        .filter(F.col("payload_k") == 7)
+        .select("event_id", "ts", "user_id", "event_type", "value", "payload_k")
+        .orderBy(F.col("ts").desc_nulls_last(), F.col("event_id").desc())
+        .limit(100)
+    )
+
+
+@register("search_count", """
+SELECT user_id, count(*) AS n
+FROM events
+WHERE event_type = 'error'
+GROUP BY user_id
+""")
+def search_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-21 count: the `{count: results.length}` / per-batch metric counts
+    (``audit.routes.ts:47``, ``processQueue.ts:260-269``) as a grouped count."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.events.filter(F.col("event_type") == "error")
+        .groupBy("user_id").agg(F.count("*").alias("n"))
+    )
+
+
+@register("bench_stats", """
+SELECT count(*) AS n,
+       round(avg(value), 4) AS avg_value,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value,
+       round(quantile_cont(value, 0.95), 4) AS p95_value,
+       round(quantile_cont(value, 0.99), 4) AS p99_value
+FROM events
+""")
+def bench_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-22/O-23: avg/min/max + p95/p99 summary — the reference benchmark's
+    latency statistics (``src/scripts/benchmark.ts:39-54``) over `value`.
+
+    Exact `percentile` (linear interpolation) matches DuckDB's
+    quantile_cont; both sides round to 4 decimals for hash stability."""
+    cat = Catalog(spark, sf_dir)
+    return cat.events.agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95_value"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99_value"),
+    )

@@ -1,0 +1,72 @@
+"""SparkSession bootstrap.
+
+Local-mode testing runs on ``local[N]`` (one JVM); production posture is a
+multi-executor cluster reading ~100 TB, so every knob here is chosen to be
+correct at both scales:
+
+* AQE on (runtime partition coalescing + skew-join splitting) so plans
+  re-shape themselves at real data volumes.
+* ``spark.sql.shuffle.partitions`` defaults to ~cores locally; on a real
+  cluster AQE's coalescing makes the initial number mostly moot.
+* UTC session timezone — the DuckDB oracle compares timestamps as
+  UTC-naive values.
+* Arrow enabled for every pandas interchange (Pandas UDFs are the only
+  sanctioned Python hot path).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "data_ingestion_system_spark",
+              cpus: str | int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Driver-provided sessions (``__spark_entry__.entry``) bypass this; the
+    tuning below is also applied lazily per-query where it matters
+    (broadcast hints, repartition) so the engine behaves on any session.
+    """
+    cpus = str(cpus or DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable subset of our tuning to a session we did
+    not create (e.g. the driver's).  Static configs (driver memory) can't
+    change post-start and are left alone."""
+    for k, v in {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+    }.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf may be static on this session; keep going
+    return spark
