@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Benchmark harness: timed runs of the engine's headline queries.
+
+Runs every declared query at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ...}
+
+Per-query time = wall-clock of executing the DataFrame plan to completion
+(count of materialized rows via collect), after one untimed warm-up of the
+session (JVM + parquet footer reads), mirroring the reference benchmark's
+posture of measuring steady-state latency (src/scripts/benchmark.ts:39-54).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main() -> None:
+    from data_ingestion_system_spark.session import get_spark
+    from data_ingestion_system_spark import registry
+
+    spark = get_spark(app_name="bench", cpus=CPUS)
+    qs = registry.queries()
+
+    # warm-up: JVM codegen + file listing, untimed (not part of any query's cost)
+    next(iter(sorted(qs.items())))[1](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in sorted(qs.items()):
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        pass
+    print(json.dumps({
+        "metric": "declared_query_wall_clock_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

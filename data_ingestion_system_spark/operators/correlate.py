@@ -1,0 +1,54 @@
+"""Correlation merge — the reference system's core join (O-16).
+
+Reference semantics (``src/lambda/processQueue.ts:199-244``): responses
+arrive separately from requests; a temp table of response rows drives
+``UPDATE api_audit SET status_code, response_s3_key FROM temp WHERE
+api_audit.transaction_id = temp.transaction_id``.  Notable edge cases the
+Spark version reproduces deliberately:
+
+* a response whose request never landed matches zero rows -> silently
+  dropped (left join from the request side);
+* duplicate transaction_ids on the request side all receive the update;
+* when multiple responses exist for one transaction the reference's
+  outcome is order-dependent; we pin **latest-wins** (by response
+  timestamp, key tiebreak) — the deterministic version of the same
+  intent, expressed with a window function.
+
+Spark-first: no in-place UPDATE on immutable storage.  The merge is a
+window-deduplicated response set LEFT-joined onto the request set —
+one shuffle on the join key for each side; at 100 TB both sides hash-
+partition on transaction_id and AQE handles skewed hot keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_key(df: DataFrame, key: str, order: str,
+                   tiebreaks: list[str]) -> DataFrame:
+    """Keep one row per `key`: greatest `order`, then each tiebreak
+    descending.  The tiebreak list must form a total order within a key —
+    a partial order makes row_number() pick an engine-dependent row and
+    the result non-deterministic (bites on real data: duplicate ids are
+    exactly what the reference's correlation path tolerates)."""
+    cols = [F.col(order).desc()] + [F.col(t).desc() for t in tiebreaks]
+    w = Window.partitionBy(key).orderBy(*cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def correlate(
+    requests: DataFrame,
+    responses: DataFrame,
+    key: str,
+    response_order: str,
+    response_tiebreaks: list[str],
+) -> DataFrame:
+    """Left-join requests with their latest response (O-16 batch form)."""
+    latest = latest_per_key(responses, key, response_order, response_tiebreaks)
+    return requests.join(latest, on=key, how="left")

@@ -1,0 +1,358 @@
+"""Declared queries: joins, aggregation, windows, set ops — the reference's
+join/agg surface (O-16/17/21/22) plus the §2.12 gap-closers (window
+functions, rollup, distinct agg, set operations, semi/anti/as-of/range
+joins) that the latest-wins merge and the north-star ops need anyway.
+
+Scale notes are given per query; the general posture: dimensions are
+broadcast, fact-fact joins hash-partition on the join key, top-k never
+global-sorts (TakeOrderedAndProject), and windows partition on high-
+cardinality keys so no single partition exceeds executor memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.catalog import Catalog
+from data_ingestion_system_spark.operators.correlate import correlate
+from data_ingestion_system_spark.registry import register
+
+
+# --------------------------------------------------------------------------
+# aggregation (O-21/22 writ large)
+
+@register("agg_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped grouped aggregation: partial (map-side) aggregation
+    then one shuffle on the 2-col group key — the canonical scale-safe agg."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register("agg_revenue_by_nation", """
+SELECT n.n_name AS nation, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""")
+def agg_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped star join: fact-fact (lineitem⋈orders) shuffles on
+    orderkey; customer/nation/region are broadcast — zero shuffle for the
+    dimension legs at any scale."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.lineitem
+        .join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cat.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(cat.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
+@register("agg_distinct", """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (§2.12 gap): Spark expands to a two-phase
+    partial-distinct plan; no driver-side dedup."""
+    cat = Catalog(spark, sf_dir)
+    return cat.lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register("agg_rollup", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""")
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (§2.12 gap)."""
+    cat = Catalog(spark, sf_dir)
+    return cat.lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# joins
+
+@register("join_correlate_latest", """
+WITH latest AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY l_orderkey
+      ORDER BY l_shipdate DESC, l_linenumber DESC, l_extendedprice DESC) AS rn
+  FROM lineitem)
+SELECT o.o_orderkey AS transaction_id,
+       o.o_orderdate AS request_ts,
+       o.o_totalprice AS request_value,
+       l.l_shipdate AS response_ts,
+       l.l_linenumber AS response_line,
+       l.l_extendedprice AS response_value
+FROM orders o
+LEFT JOIN latest l ON o.o_orderkey = l.l_orderkey AND l.rn = 1
+""")
+def join_correlate_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-16 Q-correlate-update in batch form: orders play the request
+    (api_audit) side, lineitem the response stream; latest-wins response
+    attaches status fields (processQueue.ts:199-244 semantics: unmatched
+    responses silently dropped, all duplicate request rows updated)."""
+    cat = Catalog(spark, sf_dir)
+    responses = cat.lineitem.select(
+        F.col("l_orderkey"),
+        F.col("l_shipdate").alias("response_ts"),
+        F.col("l_linenumber").alias("response_line"),
+        F.col("l_extendedprice").alias("response_value"),
+    )
+    requests = cat.orders.select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_orderdate").alias("request_ts"),
+        F.col("o_totalprice").alias("request_value"),
+    )
+    # (l_orderkey, l_linenumber) is NOT unique in the fixture; price joins
+    # the tiebreak chain to keep the winner engine-independent
+    merged = correlate(requests, responses, key="l_orderkey",
+                       response_order="response_ts",
+                       response_tiebreaks=["response_line", "response_value"])
+    return merged.select(
+        F.col("l_orderkey").alias("transaction_id"),
+        "request_ts", "request_value", "response_ts", "response_line", "response_value",
+    )
+
+
+@register("join_enrich", """
+WITH top100 AS (
+  SELECT event_id, ts, user_id, event_type, value
+  FROM events
+  ORDER BY ts DESC NULLS LAST, event_id DESC
+  LIMIT 100)
+SELECT t.event_id, t.ts, t.user_id, t.event_type, t.value,
+       d.text AS doc_text, d.lang AS doc_lang
+FROM top100 t LEFT JOIN documents d ON t.event_id = d.doc_id
+""")
+def join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-17 Q-enrich: attach payload objects to the <=100 search results —
+    a broadcast left join (the 100-row side broadcasts; the payload store
+    is scanned once with pushdown, never collected)."""
+    cat = Catalog(spark, sf_dir)
+    top = (
+        cat.events.select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy(F.col("ts").desc_nulls_last(), F.col("event_id").desc())
+        .limit(100)
+    )
+    docs = cat.documents.select(
+        F.col("doc_id"),
+        F.col("text").alias("doc_text"),
+        F.col("lang").alias("doc_lang"),
+    )
+    return (
+        F.broadcast(top)
+        .join(docs, top.event_id == docs.doc_id, "left")
+        .drop("doc_id")
+    )
+
+
+@register("join_semi", """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+""")
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (§2.12 gap): customers with a big order."""
+    cat = Catalog(spark, sf_dir)
+    big = cat.orders.filter(F.col("o_totalprice") > 100000)
+    return (
+        cat.customer.join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@register("join_anti", """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+""")
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (§2.12 gap): customers with no order above 400k."""
+    cat = Catalog(spark, sf_dir)
+    big = cat.orders.filter(F.col("o_totalprice") > 400000)
+    return (
+        cat.customer.join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register("join_asof", """
+WITH cand AS (
+  SELECT e.event_id, e.ts, e.user_id, o.o_orderkey, o.o_orderdate,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e
+  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+SELECT event_id, ts, user_id,
+       o_orderkey AS asof_orderkey, o_orderdate AS asof_orderdate
+FROM cand WHERE rn = 1
+""")
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (§2.12 gap): each event picks the most recent order of
+    the same user at-or-before its timestamp.  Composition: equi-join on
+    the user key (shuffle once) + inequality residual + per-event
+    row_number.  At 100 TB the equi leg keeps this a hash join, never a
+    cross product; pandas merge_asof per group is the fallback when no
+    equi key exists."""
+    cat = Catalog(spark, sf_dir)
+    e = cat.events.select("event_id", "ts", "user_id")
+    o = cat.orders.select("o_custkey", "o_orderkey", "o_orderdate")
+    cand = e.join(o, (F.col("o_custkey") == F.col("user_id"))
+                  & (F.col("o_orderdate") <= F.col("ts")))
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "ts", "user_id",
+                F.col("o_orderkey").alias("asof_orderkey"),
+                F.col("o_orderdate").alias("asof_orderdate"))
+    )
+
+
+@register("join_range", """
+SELECT a.user_id, count(*) AS n_pairs
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 1 HOUR
+GROUP BY a.user_id
+""")
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) self-join (§2.12 gap): pairs of events by the same
+    user within one hour.  The user_id equality keeps it an equi-join with
+    an interval residual — partition count scales with users, not rows²."""
+    cat = Catalog(spark, sf_dir)
+    a = cat.events.select(F.col("user_id"), F.col("ts").alias("a_ts"))
+    b = cat.events.select(F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"))
+    pairs = a.join(
+        b,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return pairs.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
+
+
+# --------------------------------------------------------------------------
+# window functions (§2.12 gap)
+
+@register("window_topk_per_group", """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rnk
+  FROM orders)
+SELECT o_custkey, o_orderkey, o_totalprice, rnk
+FROM ranked WHERE rnk <= 3
+""")
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: the distributed top-k-per-group pattern
+    (one shuffle on the partition key; heap-free rank within partition)."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").desc())
+    return (
+        cat.orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@register("window_running", """
+SELECT event_id, user_id, ts,
+       round(sum(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS running_value,
+       lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_event_type
+FROM events
+""")
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + lag per user over event time (analytic frame +
+    offset window in one pass)."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return cat.events.select(
+        "event_id", "user_id", "ts",
+        F.round(F.sum("value").over(frame), 2).alias("running_value"),
+        F.lag("event_type").over(w).alias("prev_event_type"),
+    )
+
+
+# --------------------------------------------------------------------------
+# set operations (§2.12 gap)
+
+@register("set_ops", """
+SELECT user_id, 'both' AS bucket FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+  INTERSECT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error') t
+UNION ALL
+SELECT user_id, 'purchase_only' AS bucket FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+  EXCEPT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error') t
+""")
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL in one result: purchase-users split
+    by whether they also errored."""
+    cat = Catalog(spark, sf_dir)
+    purchase = cat.events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    error = cat.events.filter(F.col("event_type") == "error").select("user_id").distinct()
+    both = purchase.intersect(error).withColumn("bucket", F.lit("both"))
+    only = purchase.exceptAll(error).withColumn("bucket", F.lit("purchase_only"))
+    return both.unionAll(only)

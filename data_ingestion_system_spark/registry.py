@@ -56,6 +56,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from data_ingestion_system_spark.operators import (  # noqa: F401
+        queries_relational,
         queries_search,
     )
     _LOADED = True
