@@ -1,0 +1,121 @@
+"""Declared queries: deduplication over `documents` / `embeddings`.
+
+Oracle-checked where the arithmetic is engine-portable (exact dedup,
+n-gram Jaccard, embedding cosine — md5/int/double are bit-identical
+across Spark and DuckDB).  MinHash-LSH and SimHash signatures hash with
+Spark's xxhash64, which DuckDB can't reproduce — those two ship with the
+driver's rows-only check plus planted-duplicate recall tests in
+tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.catalog import Catalog
+from data_ingestion_system_spark.functions.vectors import cosine
+from data_ingestion_system_spark.operators import dedup as D
+from data_ingestion_system_spark.registry import register
+
+JACCARD_THRESHOLD = 0.5
+COSINE_NEAR_DUP = 0.35  # fixture embeddings are near-orthogonal; 0.35 marks the tail
+
+
+@register("dedup_exact", """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       min(doc_id) AS doc_id
+FROM documents
+GROUP BY 1
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one survivor (lowest id) per normalized-text group."""
+    cat = Catalog(spark, sf_dir)
+    return D.exact_dedup_survivors(cat.documents, "doc_id", "text")
+
+
+@register("dedup_ngram_jaccard", f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+  FROM toks, UNNEST(range(len(w) - 2)) AS t(i)),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, round(c * 1.0 / (ca.n + cb.n - c), 6) AS jaccard
+FROM common
+JOIN cnt ca ON ca.doc_id = id_a
+JOIN cnt cb ON cb.doc_id = id_b
+WHERE c * 1.0 / (ca.n + cb.n - c) >= {JACCARD_THRESHOLD}
+""")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (>= 0.5).
+
+    The common-shingle equi-join is the verifier-stage primitive; at
+    corpus scale candidate generation goes through MinHash-LSH instead
+    (dedup_minhash_lsh) so this join never sees unrelated pairs."""
+    cat = Catalog(spark, sf_dir)
+    sh = D.word_shingles(cat.documents, "doc_id", "text", n=3)
+    pairs = D.jaccard_pairs(sh)
+    return pairs.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@register("dedup_minhash_lsh")  # xxhash64 signatures: driver rows-only check
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH(8 bands x 4 rows) candidates, exact-Jaccard
+    verified (>= 0.5).  The scale path: signatures are one shuffle,
+    banding is linear, and only colliding pairs reach the verify join.
+    Recall vs the exact pipeline is asserted in tests/test_dedup.py."""
+    cat = Catalog(spark, sf_dir)
+    sh = D.word_shingles(cat.documents, "doc_id", "text", n=3)
+    sig = D.minhash_signatures(sh, num_perm=32)
+    cand = D.lsh_candidate_pairs(sig, num_perm=32, bands=8)
+    verified = D.verify_candidates(sh, cand)
+    return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@register("dedup_simhash")  # xxhash64 signatures: driver rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) near-dup pairs with Hamming distance <= 3, banded
+    16-bit chunks for candidate generation (pigeonhole-complete)."""
+    cat = Catalog(spark, sf_dir)
+    sig = D.simhash64(cat.documents, "doc_id", "text")
+    return D.simhash_near_pairs(sig, max_hamming=3)
+
+
+@register("dedup_embedding_cosine", f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+           AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      >= {COSINE_NEAR_DUP}
+""")
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (the coarse
+    quantizer): pairwise work is per-block, not corpus²; double-precision
+    fold matches DuckDB bit-for-bit."""
+    cat = Catalog(spark, sf_dir)
+    e = cat.embeddings
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("label"),
+                 F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("label"),
+                 F.col("embedding").alias("vb"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= COSINE_NEAR_DUP)
+        .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
+    )

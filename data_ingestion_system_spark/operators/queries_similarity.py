@@ -1,0 +1,53 @@
+"""Declared queries: similarity search over `embeddings`."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.catalog import Catalog
+from data_ingestion_system_spark.operators.similarity import topk_bruteforce, topk_lsh
+from data_ingestion_system_spark.registry import register
+
+K = 10
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+
+
+def _corpus_queries(spark: SparkSession, sf_dir: str):
+    cat = Catalog(spark, sf_dir)
+    corpus = cat.embeddings.select("vec_id", "embedding")
+    queries = cat.embeddings.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return corpus, queries
+
+
+@register("sim_topk_bruteforce", f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT q.qid, c.vec_id,
+         list_dot_product(qv, cv) /
+           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+  FROM q CROSS JOIN c
+  WHERE c.vec_id != q.qid),
+ranked AS (
+  SELECT qid, vec_id, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+  FROM scored)
+SELECT qid, vec_id, round(cos, 6) AS cosine, rnk
+FROM ranked WHERE rnk <= {K}
+""")
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors (the ANN ground truth)."""
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    return topk_bruteforce(corpus, queries, k=K)
+
+
+@register("sim_topk_lsh")  # bucket assignment uses engine RNG-derived planes: rows-only
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via sign-random-projection buckets (Pandas-UDF matmul);
+    recall vs brute force asserted in tests/test_similarity.py."""
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    return topk_lsh(corpus, queries, k=K)

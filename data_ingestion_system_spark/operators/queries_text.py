@@ -1,0 +1,119 @@
+"""Declared queries: text analysis over `documents` (north-star ops).
+
+Every query here stays in whole-stage codegen (regexp/string built-ins);
+the oracle SQL mirrors each formula term for term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.catalog import Catalog
+from data_ingestion_system_spark.operators import text as X
+from data_ingestion_system_spark.registry import register
+
+_STOP = "the|a|of|and|to|in|is|it"
+
+
+@register("text_token_stats", f"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tokens_ws,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,
+       len(regexp_extract_all(lower(text), '\\b({_STOP})\\b')) AS n_stop,
+       length(text) AS n_chars_measured
+FROM documents
+""")
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex tokenizations per doc."""
+    cat = Catalog(spark, sf_dir)
+    t = F.col("text")
+    return cat.documents.select(
+        "doc_id",
+        X.n_tokens_ws(t).alias("n_tokens_ws"),
+        X.n_tokens_bpe(t).alias("n_tokens_bpe"),
+        X.n_stopwords(t).alias("n_stop"),
+        F.length(t).alias("n_chars_measured"),
+    )
+
+
+@register("text_quality", f"""
+WITH m AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS nt,
+         CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS np,
+         CAST(len(regexp_extract_all(lower(text), '\\b({_STOP})\\b')) AS DOUBLE) AS ns,
+         CAST(length(text) AS DOUBLE) AS nc
+  FROM documents)
+SELECT doc_id, lang,
+       round(0.3 * least(1.0, nt / 100.0)
+           + 0.3 * (1.0 - np / greatest(nc, 1.0))
+           + 0.4 * least(1.0, (ns / greatest(nt, 1.0)) * 4.0), 4) AS quality
+FROM m
+""")
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punctuation/stopword composite in [0,1]."""
+    cat = Catalog(spark, sf_dir)
+    return cat.documents.select(
+        "doc_id", "lang", X.quality_score(F.col("text")).alias("quality")
+    )
+
+
+def _marker_sql(lang: str) -> str:
+    pat = r"\b(" + "|".join(X.LANG_MARKERS[lang]) + r")\b"
+    return f"len(regexp_extract_all(lower(text), '{pat}'))"
+
+
+@register("text_langid", f"""
+WITH scores AS (
+  SELECT doc_id, lang AS lang_true,
+         {_marker_sql('en')} AS c_en,
+         {_marker_sql('de')} AS c_de,
+         {_marker_sql('es')} AS c_es,
+         {_marker_sql('fr')} AS c_fr,
+         {_marker_sql('zh')} AS c_zh
+  FROM documents)
+SELECT doc_id, lang_true, c_en, c_de, c_es, c_fr, c_zh,
+       CASE WHEN c_en >= greatest(c_de, c_es, c_fr, c_zh) THEN 'en'
+            WHEN c_de >= greatest(c_es, c_fr, c_zh) THEN 'de'
+            WHEN c_es >= greatest(c_fr, c_zh) THEN 'es'
+            WHEN c_fr >= c_zh THEN 'fr'
+            ELSE 'zh' END AS lang_pred
+FROM scores
+""")
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-word votes with a fixed priority order
+    on ties (en > de > es > fr > zh) so the argmax is deterministic."""
+    cat = Catalog(spark, sf_dir)
+    t = F.col("text")
+    scores = cat.documents.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        X.lang_marker_count(t, "en").alias("c_en"),
+        X.lang_marker_count(t, "de").alias("c_de"),
+        X.lang_marker_count(t, "es").alias("c_es"),
+        X.lang_marker_count(t, "fr").alias("c_fr"),
+        X.lang_marker_count(t, "zh").alias("c_zh"),
+    )
+    pred = (
+        F.when(F.col("c_en") >= F.greatest("c_de", "c_es", "c_fr", "c_zh"), "en")
+        .when(F.col("c_de") >= F.greatest("c_es", "c_fr", "c_zh"), "de")
+        .when(F.col("c_es") >= F.greatest("c_fr", "c_zh"), "es")
+        .when(F.col("c_fr") >= F.col("c_zh"), "fr")
+        .otherwise("zh")
+    )
+    return scores.withColumn("lang_pred", pred)
+
+
+@register("text_fingerprint", """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+""")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over normalized text (O-41-adjacent;
+    also the key for exact dedup)."""
+    cat = Catalog(spark, sf_dir)
+    return cat.documents.select(
+        "doc_id", X.fingerprint_md5(F.col("text")).alias("fingerprint")
+    )

@@ -1,0 +1,124 @@
+"""Similarity search over an embedding column (north-star ops).
+
+Two strategies:
+
+* **brute force** — broadcast the (small) query set against every
+  vector: one scan, cosine in codegen, per-query top-k via window.
+  Exact; cost linear in corpus x queries.  The right answer when the
+  query set is small, even at 100 TB (the scan is embarrassingly
+  parallel and never shuffles the corpus).
+* **multi-table SRP-LSH ANN** — L independent sign-random-projection
+  hash tables of b bits each, computed in ONE vectorized Pandas UDF
+  (a single numpy matmul per Arrow batch against the stacked
+  ``L*b x dim`` plane matrix).  Candidates = union over tables of the
+  query's bucket, deduped, then exact cosine + rank on the survivors.
+  This is the 100 TB path when the query set is large: bucket
+  assignment is a map-only pass over the corpus, and the (table,
+  bucket) equi-join with the broadcast query side replaces the cross
+  product.  Recall/cost is tuned by (L, b): more tables -> higher
+  recall, more candidates; more bits -> smaller buckets.  A per-vector
+  collision with a true neighbor at angle theta happens with
+  probability 1-(1-(1-theta/pi)^b)^L.
+
+The hyperplanes are derived deterministically (seeded RNG) so results
+are reproducible run to run.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.functions.vectors import cosine
+
+DIM = 64
+N_BITS = 8
+N_TABLES = 8
+SEED = 42
+
+
+def _hyperplanes(dim: int = DIM, n_bits: int = N_BITS, n_tables: int = N_TABLES) -> np.ndarray:
+    """(n_tables * n_bits, dim) stacked plane matrix, deterministic."""
+    return np.random.default_rng(SEED).standard_normal((n_tables * n_bits, dim))
+
+
+def srp_buckets_udf(dim: int = DIM, n_bits: int = N_BITS, n_tables: int = N_TABLES):
+    """Pandas UDF: array of L bucket ids (one per hash table) per embedding.
+
+    One numpy matmul over each Arrow batch covers ALL tables — the
+    vectorized (not per-row) Python path; planes ship in the closure
+    once per executor."""
+    planes = _hyperplanes(dim, n_bits, n_tables)
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def buckets(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy())                    # (batch, dim)
+        bits = (mat @ planes.T) > 0                        # (batch, L*b)
+        bits = bits.reshape(len(mat), n_tables, n_bits)    # (batch, L, b)
+        ids = bits @ weights                               # (batch, L)
+        return pd.Series(list(ids))
+
+    return buckets
+
+
+def srp_bucket_udf(dim: int = DIM, n_bits: int = N_BITS):
+    """Single-table variant (bucket id per embedding), kept for tests/demos."""
+    planes = _hyperplanes(dim, n_bits, 1)
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    @F.pandas_udf("long")
+    def bucket(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy())
+        bits = (mat @ planes.T) > 0
+        return pd.Series(bits @ weights)
+
+    return bucket
+
+
+def topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
+    """Exact cosine top-k: broadcast queries x full corpus, window rank.
+
+    corpus: (vec_id, embedding); queries: (qid, qv).
+    """
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("cos_raw", cosine(F.col("qv"), F.col("embedding")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "vec_id", F.round("cos_raw", 6).alias("cosine"), "rnk")
+    )
+
+
+def topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
+    """ANN top-k: candidates = union of the query's bucket across L tables.
+
+    Plan shape: map-only bucket pass on the corpus -> posexplode to
+    (tbl, bucket) -> equi-join with the broadcast query side -> dedup
+    (qid, vec_id) -> exact cosine + window rank on candidates only.
+    """
+    buckets = srp_buckets_udf()
+    cb = corpus.withColumn("b", buckets(F.col("embedding"))).select(
+        "vec_id", "embedding", F.posexplode("b").alias("tbl", "bucket")
+    )
+    qb = queries.withColumn("b", buckets(F.col("qv"))).select(
+        "qid", "qv", F.posexplode("b").alias("tbl", "bucket")
+    )
+    cand = (
+        cb.join(F.broadcast(qb), ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .dropDuplicates(["qid", "vec_id"])
+    )
+    scored = cand.withColumn("cos_raw", cosine(F.col("qv"), F.col("embedding")))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "vec_id", F.round("cos_raw", 6).alias("cosine"), "rnk")
+    )

@@ -1,0 +1,87 @@
+"""Text-analysis column expressions for large-scale training-data pipelines.
+
+North-star extensions (BASELINE.json) beyond the reference surface: token
+counting, quality scoring, language identification, and document
+fingerprinting over a `text` column.  Everything here is built from
+JVM-side `pyspark.sql.functions` (regexp/string/hash expressions inside
+whole-stage codegen) — no Python UDFs in the hot path, so the same
+expressions run unchanged over 100 TB of documents.
+
+The regex subset used (\\b, \\s, \\w, alternation) behaves identically in
+Java regex (Spark) and RE2 (DuckDB oracle), which is what makes these ops
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish tokenizer: letter runs, digit runs, single non-space symbols —
+# a deterministic stand-in for subword tokenization that needs no vocab.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+STOPWORD_PATTERN = r"\b(" + "|".join(STOPWORDS) + r")\b"
+PUNCT_PATTERN = r"[^\w\s]"
+
+# marker vocabularies for the n-gram/stopword language-ID heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "und", "das", "ist"),
+    "es": ("el", "los", "que", "es"),
+    "fr": ("le", "les", "des", "est"),
+    "zh": ("de", "shi", "le", "bu"),
+}
+
+
+def whitespace_tokens(col: Column) -> Column:
+    """Whitespace tokenization (trimmed so edge spaces don't make empties)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def n_tokens_ws(col: Column) -> Column:
+    return F.size(whitespace_tokens(col))
+
+
+def n_tokens_bpe(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def n_punct(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(PUNCT_PATTERN), F.lit(0)))
+
+
+def n_stopwords(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(STOPWORD_PATTERN), F.lit(0)))
+
+
+def lang_marker_count(col: Column, lang: str) -> Column:
+    pat = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pat), F.lit(0)))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality in [0,1]: length saturation + low punctuation +
+    stopword presence — the standard cheap pre-filters for LLM corpora.
+    Formula mirrored verbatim in the oracle SQL; rounded for hash parity."""
+    nt = n_tokens_ws(col).cast("double")
+    punct_ratio = n_punct(col).cast("double") / F.greatest(F.length(col).cast("double"), F.lit(1.0))
+    stop_ratio = n_stopwords(col).cast("double") / F.greatest(nt, F.lit(1.0))
+    score = (
+        F.lit(0.3) * F.least(F.lit(1.0), nt / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.4) * F.least(F.lit(1.0), stop_ratio * F.lit(4.0))
+    )
+    return F.round(score, 4)
+
+
+def normalized_text(col: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text (md5 is identical
+    across engines, unlike xxhash64, so this one is oracle-checkable)."""
+    return F.md5(normalized_text(col))

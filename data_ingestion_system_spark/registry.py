@@ -56,7 +56,10 @@ def _load_all() -> None:
     if _LOADED:
         return
     from data_ingestion_system_spark.operators import (  # noqa: F401
+        queries_dedup,
         queries_relational,
         queries_search,
+        queries_similarity,
+        queries_text,
     )
     _LOADED = True

@@ -1,0 +1,73 @@
+"""Dedup operator tests, including planted-duplicate recall for the
+hash-based pipelines the DuckDB oracle can't replicate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.operators import dedup as D
+
+
+def _corpus(spark):
+    """60 unique docs + 6 near-duplicates (one word changed) + 2 exact dups."""
+    base = [
+        (i, " ".join(f"w{i}x{j}" for j in range(40)))
+        for i in range(60)
+    ]
+    near = []
+    for n, i in enumerate([3, 11, 19, 27, 35, 43]):
+        words = base[i][1].split()
+        words[5] = "CHANGED"
+        near.append((100 + n, " ".join(words)))
+    exact = [(200, base[0][1]), (201, base[1][1].upper())]
+    return spark.createDataFrame(base + near + exact, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark):
+    df = _corpus(spark)
+    survivors = D.exact_dedup_survivors(df, "doc_id", "text")
+    ids = {r.doc_id for r in survivors.collect()}
+    assert survivors.count() == 66  # 60 unique + 6 near (not exact)
+    assert 0 in ids and 200 not in ids          # lowest id wins
+    assert 1 in ids and 201 not in ids          # case-insensitive normalization
+
+
+def test_jaccard_exact_pairs(spark):
+    df = _corpus(spark)
+    sh = D.word_shingles(df, "doc_id", "text", n=3)
+    pairs = D.jaccard_pairs(sh).filter(F.col("jaccard") >= 0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # every planted near-dup pair found, plus the exact dups at jaccard 1.0
+    for n, i in enumerate([3, 11, 19, 27, 35, 43]):
+        assert (i, 100 + n) in got
+    assert (0, 200) in got and (1, 201) in got
+
+
+def test_minhash_lsh_recall(spark):
+    df = _corpus(spark)
+    sh = D.word_shingles(df, "doc_id", "text", n=3)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.jaccard_pairs(sh).filter(F.col("jaccard") >= 0.5).collect()
+    }
+    sig = D.minhash_signatures(sh, num_perm=32)
+    cand = D.lsh_candidate_pairs(sig, num_perm=32, bands=8)
+    verified = D.verify_candidates(sh, cand).filter(F.col("jaccard") >= 0.5)
+    got = {(r.id_a, r.id_b) for r in verified.collect()}
+    assert got <= exact  # verify stage guarantees no false positives
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall} (got {len(got)}/{len(exact)})"
+
+
+def test_simhash_finds_near_dups(spark):
+    df = _corpus(spark)
+    sig = D.simhash64(df, "doc_id", "text")
+    # exact dups must collide at hamming 0
+    pairs = D.simhash_near_pairs(sig, max_hamming=3)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got.get((0, 200)) == 0
+    assert got.get((1, 201)) == 0
+    # near-dups (1 word of 40 changed) should land within hamming 3
+    found_near = sum(1 for n, i in enumerate([3, 11, 19, 27, 35, 43])
+                     if (i, 100 + n) in got)
+    assert found_near >= 4, f"simhash found only {found_near}/6 near-dups"

@@ -1,0 +1,62 @@
+"""Similarity-search tests: LSH recall against the exact top-k."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.operators.similarity import (
+    srp_bucket_udf,
+    topk_bruteforce,
+    topk_lsh,
+)
+
+
+def _load(spark, sf_dir):
+    from data_ingestion_system_spark.catalog import Catalog
+
+    cat = Catalog(spark, sf_dir)
+    corpus = cat.embeddings.select("vec_id", "embedding")
+    queries = cat.embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return corpus, queries
+
+
+def test_bruteforce_topk_shape(spark, sf_dir):
+    corpus, queries = _load(spark, sf_dir)
+    got = topk_bruteforce(corpus, queries, k=10).collect()
+    assert len(got) == 50  # 5 queries x 10
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append(r)
+    for q, rows in by_q.items():
+        ranks = sorted(r.rnk for r in rows)
+        assert ranks == list(range(1, 11))
+        cosines = [r.cosine for r in sorted(rows, key=lambda r: r.rnk)]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r.vec_id != q for r in rows)
+
+
+def test_lsh_bucket_determinism(spark, sf_dir):
+    corpus, _ = _load(spark, sf_dir)
+    b = srp_bucket_udf()
+    one = corpus.withColumn("bucket", b(F.col("embedding"))).collect()
+    two = corpus.withColumn("bucket", b(F.col("embedding"))).collect()
+    assert {r.vec_id: r.bucket for r in one} == {r.vec_id: r.bucket for r in two}
+
+
+def test_lsh_results_subset_and_overlap(spark, sf_dir):
+    corpus, queries = _load(spark, sf_dir)
+    exact = topk_bruteforce(corpus, queries, k=10).collect()
+    ann = topk_lsh(corpus, queries, k=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.qid, set()).add(r.vec_id)
+    # ANN returns valid neighbors (never the query itself), ranked correctly
+    for r in ann:
+        assert r.vec_id != r.qid
+    # same-bucket-as-query top-1 should usually be in the exact top-10;
+    # random near-orthogonal fixture => assert weak overlap, not equality
+    top1 = {r.qid: r.vec_id for r in ann if r.rnk == 1}
+    hits = sum(1 for q, v in top1.items() if v in exact_sets.get(q, set()))
+    assert hits >= 1, f"ANN top-1 never overlapped exact top-10 ({top1})"
