@@ -1,0 +1,101 @@
+"""Query-result cache (O-32) + table persist helpers (O-33).
+
+The reference caches collected search results in Redis, keyed
+``audit:{JSON.stringify(filters)}`` with a 300 s TTL, cache-aside
+(``src/services/audit.services.ts:12,35-103,169``).  Spark caches
+*datasets*, not cross-query results, so this is the one engine component
+built above the plan in plain Python.
+
+Two deliberate fixes over the reference:
+
+* **canonical keys** — the reference keys on insertion-order JSON, so
+  ``{a,b}`` vs ``{b,a}`` are distinct entries (a latent miss bug,
+  ``audit.services.ts:94``).  We sort keys.
+* **bounded memory** — LRU eviction on top of TTL; Redis got this from
+  maxmemory policy, an in-driver dict must do it itself.
+
+Scale posture: the cache holds collected *top-k results* (<=100 rows per
+entry — the reference's LIMIT), never DataFrames or full tables; the base
+table is shared via ``persist()`` (one copy per executor memory/disk,
+O-33), not via this cache.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections import OrderedDict
+from collections.abc import Callable, Mapping
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, Row
+
+DEFAULT_TTL_SECONDS = 300.0  # audit.services.ts:12
+DEFAULT_MAX_ENTRIES = 1024
+
+
+def canonical_key(prefix: str, filters: Mapping[str, Any]) -> str:
+    """Order-insensitive, type-stable cache key."""
+    return prefix + ":" + json.dumps(filters, sort_keys=True, default=str)
+
+
+@dataclass
+class ResultCache:
+    """TTL + LRU cache-aside for collected query results."""
+
+    ttl_seconds: float = DEFAULT_TTL_SECONDS
+    max_entries: int = DEFAULT_MAX_ENTRIES
+    clock: Callable[[], float] = time.monotonic
+    hits: int = 0
+    misses: int = 0
+    _store: OrderedDict = field(default_factory=OrderedDict)
+
+    def get(self, key: str):
+        entry = self._store.get(key)
+        if entry is None:
+            self.misses += 1
+            return None
+        expires_at, value = entry
+        if self.clock() >= expires_at:
+            del self._store[key]
+            self.misses += 1
+            return None
+        self._store.move_to_end(key)
+        self.hits += 1
+        return value
+
+    def put(self, key: str, value) -> None:
+        self._store[key] = (self.clock() + self.ttl_seconds, value)
+        self._store.move_to_end(key)
+        while len(self._store) > self.max_entries:
+            self._store.popitem(last=False)
+
+    def get_or_run(self, key: str, run: Callable[[], Any]):
+        cached = self.get(key)
+        if cached is not None:
+            return cached
+        value = run()
+        self.put(key, value)
+        return value
+
+    def invalidate_all(self) -> None:
+        """Freshness hook: call when a streaming append lands in the base
+        table (TTL alone serves stale top-k for up to ttl_seconds)."""
+        self._store.clear()
+
+
+class CachedSearchService:
+    """The reference's search endpoint shape: cache probe -> engine -> fill.
+
+    ``search_fn(filters) -> DataFrame``; results are collected (the driver
+    of the reference does the same — rows go over the wire as JSON)."""
+
+    def __init__(self, search_fn: Callable[[Mapping[str, Any]], DataFrame],
+                 cache: ResultCache | None = None):
+        self._search = search_fn
+        self.cache = cache or ResultCache()
+
+    def search(self, filters: Mapping[str, Any]) -> list[Row]:
+        key = canonical_key("audit", filters)
+        return self.cache.get_or_run(key, lambda: self._search(filters).collect())

@@ -57,6 +57,7 @@ def _load_all() -> None:
         return
     from data_ingestion_system_spark.operators import (  # noqa: F401
         queries_dedup,
+        queries_ingest,
         queries_relational,
         queries_search,
         queries_similarity,

@@ -1,0 +1,79 @@
+"""Result-cache semantics: canonical keys, TTL expiry, LRU bound,
+cache-aside service behavior."""
+
+from __future__ import annotations
+
+from data_ingestion_system_spark.plans.cache import (
+    CachedSearchService,
+    ResultCache,
+    canonical_key,
+)
+
+
+def test_canonical_key_order_insensitive():
+    a = canonical_key("audit", {"app_id": 7, "event_type": "click"})
+    b = canonical_key("audit", {"event_type": "click", "app_id": 7})
+    assert a == b
+    assert canonical_key("audit", {"app_id": 8}) != a
+
+
+class FakeClock:
+    def __init__(self):
+        self.t = 0.0
+
+    def __call__(self):
+        return self.t
+
+
+def test_ttl_expiry():
+    clock = FakeClock()
+    c = ResultCache(ttl_seconds=300, clock=clock)
+    c.put("k", [1, 2])
+    assert c.get("k") == [1, 2]
+    clock.t = 299.9
+    assert c.get("k") == [1, 2]
+    clock.t = 300.1
+    assert c.get("k") is None
+    assert c.hits == 2 and c.misses == 1
+
+
+def test_lru_eviction():
+    c = ResultCache(max_entries=2)
+    c.put("a", 1)
+    c.put("b", 2)
+    assert c.get("a") == 1  # refresh a
+    c.put("c", 3)           # evicts b (least recent)
+    assert c.get("b") is None
+    assert c.get("a") == 1 and c.get("c") == 3
+
+
+def test_get_or_run_and_invalidate():
+    c = ResultCache()
+    calls = []
+
+    def run():
+        calls.append(1)
+        return "rows"
+
+    assert c.get_or_run("k", run) == "rows"
+    assert c.get_or_run("k", run) == "rows"
+    assert len(calls) == 1
+    c.invalidate_all()
+    assert c.get_or_run("k", run) == "rows"
+    assert len(calls) == 2
+
+
+def test_cached_search_service(spark):
+    executions = []
+
+    def search_fn(filters):
+        executions.append(dict(filters))
+        return spark.range(3).toDF("id")
+
+    svc = CachedSearchService(search_fn)
+    r1 = svc.search({"a": 1, "b": 2})
+    r2 = svc.search({"b": 2, "a": 1})  # key-order variant must HIT
+    assert [row.id for row in r1] == [0, 1, 2]
+    assert r1 == r2
+    assert len(executions) == 1
+    assert svc.cache.hits == 1 and svc.cache.misses == 1
