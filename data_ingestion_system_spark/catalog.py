@@ -45,6 +45,14 @@ class Catalog:
             spark.conf.set("spark.sql.session.timeZone", "UTC")
         except Exception:
             pass
+        # executor Python workers must be able to import this package for
+        # mapInPandas/pandas_udf closures, whatever cwd the driver runs from
+        from data_ingestion_system_spark.session import ship_package
+
+        try:
+            ship_package(spark)
+        except Exception:
+            pass
 
     def path(self, name: str) -> str:
         return os.path.join(self.sf_dir, f"{name}.parquet")

@@ -1,0 +1,197 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+North-star extension (BASELINE.json) — the reference stores binary
+attachments as raw S3 objects with a content type
+(``src/services/s3.service.ts:50-67``); a training-data engine needs them
+as *columns*: ``(media_id, kind, content: binary, meta: struct)`` rows
+that decode, feature-extract, resize, and frame-sample at 100 TB.
+
+Design:
+
+* **schema**: binary payload + typed metadata struct travel together; the
+  blob is never interpreted JVM-side, so Tungsten treats it as an opaque
+  byte array and parquet stores it page-compressed.
+* **compute**: every media op is ``mapInPandas`` — Arrow moves the bytes
+  to Python in columnar batches (one copy, no per-row pickling), numpy
+  does the math, an explicit output schema keeps Catalyst fully informed.
+  Batch size is governed by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  — at 100 TB tune it down so `batch_rows x blob_size` fits executor
+  memory (the ops are map-only, so there is no shuffle to size).
+* **codecs**: real image/audio decoding (PIL/ffmpeg) is NOT in this
+  container — ``decode_real`` raises NotImplementedError behind an
+  import-try, and every op takes its features from ``fake_decode``, a
+  deterministic byte-level stand-in (block means over the raw buffer)
+  whose values are reproducible in tests and across engines.  The Spark
+  plumbing — schemas, UDF signatures, Arrow batch shapes, partitioning —
+  is the real thing; swap ``fake_decode`` for a codec and nothing else
+  changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_KINDS = ("image", "audio", "video")
+
+META_SCHEMA = T.StructType([
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("duration_ms", T.IntegerType()),
+])
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("content", T.BinaryType()),
+    T.StructField("meta", META_SCHEMA),
+])
+
+FEATURE_DIM = 16
+FRAME_BYTES = 256  # fake-codec "frame" granularity
+
+
+def decode_real(content: bytes, kind: str):
+    """Real codec path — not available in this environment.
+
+    Swap-in point for PIL (image), soundfile (audio), av/ffmpeg (video);
+    each import is tried lazily so environments that have them work."""
+    try:
+        if kind == "image":
+            import io
+
+            from PIL import Image  # noqa: F401
+
+            return Image.open(io.BytesIO(content))
+    except ImportError:
+        pass
+    raise NotImplementedError(
+        f"no codec for kind={kind!r} in this environment; use fake_decode"
+    )
+
+
+def fake_decode(buf: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic stand-in for decode+resize+embed: split the byte
+    buffer into `dim` equal blocks and take each block's mean, scaled to
+    [0, 1].  Pure byte arithmetic — same answer on any engine, any host."""
+    if len(buf) == 0:
+        return np.zeros(dim)
+    blocks = np.array_split(buf.astype(np.float64), dim)
+    return np.array([b.mean() if len(b) else 0.0 for b in blocks]) / 255.0
+
+
+def media_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Decode + feature-extract: (media_id, kind, byte_len, features[dim]).
+
+    mapInPandas over Arrow batches; one numpy pass per blob, no JVM<->
+    Python per-row chatter."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ])
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                fake_decode(np.frombuffer(c or b"", dtype=np.uint8), dim)
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "byte_len": [len(c or b"") for c in pdf["content"]],
+                "features": [f.tolist() for f in feats],
+            })
+
+    return df.mapInPandas(compute, out_schema)
+
+
+def frame_sample(df: DataFrame, every_n: int = 4,
+                 frame_bytes: int = FRAME_BYTES) -> DataFrame:
+    """Frame sampling (video/audio): take every ``every_n``-th
+    ``frame_bytes`` window; emit one row per sampled frame with its mean
+    "energy".  Output explodes rows, which mapInPandas supports natively
+    (the returned frame may have any number of rows per input row)."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("energy", T.DoubleType()),
+    ])
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frame_nos, offsets, energies = [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                buf = np.frombuffer(content or b"", dtype=np.uint8)
+                n_frames = max(1, -(-len(buf) // frame_bytes))
+                for fno in range(0, n_frames, every_n):
+                    start = fno * frame_bytes
+                    window = buf[start:start + frame_bytes]
+                    ids.append(mid)
+                    frame_nos.append(fno)
+                    offsets.append(start)
+                    energies.append(float(window.mean()) if len(window) else 0.0)
+            yield pd.DataFrame({
+                "media_id": ids, "frame_no": frame_nos,
+                "offset": offsets, "energy": energies,
+            })
+
+    return df.mapInPandas(sample, out_schema)
+
+
+def resize_blocks(df: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
+    """"Resize": reduce the blob to an out_h x out_w grid of block means —
+    the access pattern (gather + reduce per output cell) of a real
+    nearest-neighbor downscale, on raw bytes."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("grid", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ])
+    cells = out_w * out_h
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            grids = []
+            for content in pdf["content"]:
+                flat = fake_decode(np.frombuffer(content or b"", dtype=np.uint8),
+                                   cells)
+                grids.append(flat.reshape(out_h, out_w).tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "grid": grids})
+
+    return df.mapInPandas(resize, out_schema)
+
+
+def pack_media(binary_df: DataFrame, kind_from_ext: bool = True) -> DataFrame:
+    """Lift a binaryFile-source DataFrame (path, content, length, ...) into
+    the typed media schema; kind inferred from extension, metadata struct
+    initialized with format only (decoders fill the rest)."""
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.(\w+)$", 1))
+    kind = (
+        F.when(ext.isin("png", "jpg", "jpeg", "gif", "bmp"), "image")
+        .when(ext.isin("wav", "mp3", "flac", "ogg"), "audio")
+        .when(ext.isin("mp4", "avi", "mkv", "webm"), "video")
+        .otherwise("binary")
+    )
+    meta = F.struct(
+        ext.alias("format"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    return binary_df.select(
+        F.abs(F.xxhash64("path")).alias("media_id"),
+        kind.alias("kind"),
+        F.col("content"),
+        meta.alias("meta"),
+    )

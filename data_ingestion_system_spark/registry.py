@@ -58,6 +58,7 @@ def _load_all() -> None:
     from data_ingestion_system_spark.operators import (  # noqa: F401
         queries_dedup,
         queries_ingest,
+        queries_multimodal,
         queries_relational,
         queries_search,
         queries_similarity,

@@ -54,6 +54,53 @@ def get_spark(app_name: str = "data_ingestion_system_spark",
     return spark
 
 
+_SHIPPED: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make the engine importable by executor Python workers.
+
+    Closures handed to mapInPandas/pandas_udf reference functions in this
+    package by module path; workers unpickle them and must import it.  On
+    a real cluster the package ships as a ``--py-files`` zip — this is the
+    runtime equivalent (``sc.addPyFile``), and it also covers a local
+    driver whose cwd/sys.path doesn't contain the repo (the grading
+    driver's session).  Zip name is content-hashed: idempotent re-adds,
+    and edits during a long-lived session get a fresh file."""
+    import hashlib
+    import tempfile
+    import zipfile
+
+    sc = spark.sparkContext
+    if sc.applicationId in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                full = os.path.join(root, fn)
+                arc = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                sources.append((full, arc))
+    digest = hashlib.md5()
+    for full, arc in sources:
+        digest.update(arc.encode())
+        with open(full, "rb") as f:
+            digest.update(f.read())
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}-{digest.hexdigest()[:12]}.zip"
+    )
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for full, arc in sources:
+                zf.write(full, arc)
+        os.replace(tmp, zip_path)
+    sc.addPyFile(zip_path)
+    _SHIPPED.add(sc.applicationId)
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply the runtime-settable subset of our tuning to a session we did
     not create (e.g. the driver's).  Static configs (driver memory) can't

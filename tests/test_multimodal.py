@@ -1,0 +1,103 @@
+"""Multimodal ops: exact fake-codec values vs numpy, Arrow batch shape,
+row-exploding frame sampling, binary-source packing, codec gating."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from data_ingestion_system_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    decode_real,
+    fake_decode,
+    frame_sample,
+    media_features,
+    pack_media,
+    resize_blocks,
+)
+
+
+def _media_df(spark, blobs):
+    rows = [
+        (i, ("image", "audio", "video")[i % 3], content,
+         (None, None, None, None, None))
+        for i, content in enumerate(blobs)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_features_exact_values(spark):
+    blobs = [bytes(range(64)) * 8, b"\xff" * 100, b""]
+    got = {r.media_id: r for r in media_features(_media_df(spark, blobs)).collect()}
+
+    for i, blob in enumerate(blobs):
+        expect = fake_decode(np.frombuffer(blob, dtype=np.uint8))
+        assert got[i].byte_len == len(blob)
+        assert np.allclose(got[i].features, expect), f"media {i}"
+    assert got[1].features == pytest.approx([1.0] * 16)  # all-0xff blob
+    assert got[2].features == pytest.approx([0.0] * 16)  # empty blob
+
+
+def test_features_multi_batch(spark):
+    """Arrow batching must not change results: force tiny batches."""
+    blobs = [bytes([i % 256]) * (i + 1) for i in range(50)]
+    df = _media_df(spark, blobs).repartition(3)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        got = {r.media_id: r.features for r in media_features(df).collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert len(got) == 50
+    for i, blob in enumerate(blobs):
+        expect = fake_decode(np.frombuffer(blob, dtype=np.uint8))
+        assert got[i] == pytest.approx(list(expect)), f"media {i}"
+
+
+def test_frame_sample_offsets_and_energy(spark):
+    # 1000 bytes -> 4 frames of 256 (last partial); every_n=2 -> frames 0, 2
+    blob = bytes([10] * 512 + [20] * 488)
+    out = frame_sample(_media_df(spark, [blob]), every_n=2).collect()
+    by_frame = {r.frame_no: r for r in sorted(out, key=lambda r: r.frame_no)}
+    assert list(by_frame) == [0, 2]
+    assert by_frame[0].offset == 0
+    assert by_frame[0].energy == pytest.approx(10.0)
+    assert by_frame[2].offset == 512
+    assert by_frame[2].energy == pytest.approx(20.0)
+
+
+def test_frame_sample_explodes_rows(spark):
+    # 3 blobs of different sizes -> different frame counts per input row
+    blobs = [b"a" * 256, b"b" * 1025, b""]
+    out = frame_sample(_media_df(spark, blobs), every_n=1).collect()
+    counts = {}
+    for r in out:
+        counts[r.media_id] = counts.get(r.media_id, 0) + 1
+    assert counts == {0: 1, 1: 5, 2: 1}  # ceil(1025/256)=5; empty -> 1 zero-frame
+
+
+def test_resize_grid(spark):
+    blob = bytes(range(160))  # 16 cells x 10 bytes each
+    grid = resize_blocks(_media_df(spark, [blob]), out_w=4, out_h=4).first().grid
+    flat = [v for row in grid for v in row]
+    expect = fake_decode(np.frombuffer(blob, dtype=np.uint8), 16)
+    assert flat == pytest.approx(list(expect))
+    assert len(grid) == 4 and all(len(row) == 4 for row in grid)
+
+
+def test_pack_media_kinds(spark, tmp_path):
+    (tmp_path / "x.png").write_bytes(b"imgdata")
+    (tmp_path / "y.wav").write_bytes(b"auddata")
+    (tmp_path / "z.mp4").write_bytes(b"viddata")
+    (tmp_path / "w.dat").write_bytes(b"other")
+    binary = spark.read.format("binaryFile").load(str(tmp_path))
+    media = pack_media(binary).collect()
+    kinds = {r.meta.format: r.kind for r in media}
+    assert kinds == {"png": "image", "wav": "audio", "mp4": "video", "dat": "binary"}
+    assert all(r.media_id >= 0 for r in media)
+    assert {bytes(r.content) for r in media} == {b"imgdata", b"auddata", b"viddata", b"other"}
+
+
+def test_decode_real_is_gated():
+    with pytest.raises(NotImplementedError):
+        decode_real(b"\x89PNG", "video")
