@@ -22,7 +22,7 @@ partition on transaction_id and AQE handles skewed hot keys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -30,15 +30,25 @@ def latest_per_key(df: DataFrame, key: str, order: str,
                    tiebreaks: list[str]) -> DataFrame:
     """Keep one row per `key`: greatest `order`, then each tiebreak
     descending.  The tiebreak list must form a total order within a key —
-    a partial order makes row_number() pick an engine-dependent row and
-    the result non-deterministic (bites on real data: duplicate ids are
-    exactly what the reference's correlation path tolerates)."""
-    cols = [F.col(order).desc()] + [F.col(t).desc() for t in tiebreaks]
-    w = Window.partitionBy(key).orderBy(*cols)
+    a partial order picks an engine-dependent row and makes the result
+    non-deterministic (bites on real data: duplicate ids are exactly what
+    the reference's correlation path tolerates).
+
+    Implemented as ``max(struct(order, *tiebreaks, *payload))`` — a hash
+    aggregation with map-side partial max, NOT a row_number window: no
+    per-key sort, one shuffle that moves one struct per key per map task
+    instead of every duplicate row.  At 100 TB of responses with hot
+    transaction_ids this is the difference between a skew-safe agg and a
+    single executor sorting the hottest key's millions of rows.  (Struct
+    comparison is lexicographic with NULL smallest — same winner as a
+    DESC NULLS LAST window.)"""
+    ordering = [order] + [t for t in tiebreaks if t != order]
+    payload = [c for c in df.columns if c != key and c not in ordering]
+    packed = F.struct(*[F.col(c) for c in ordering + payload])
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.groupBy(key)
+        .agg(F.max(packed).alias("__w"))
+        .select(F.col(key), *[F.col(f"__w.{c}").alias(c) for c in ordering + payload])
     )
 
 

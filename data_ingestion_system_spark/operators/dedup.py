@@ -77,15 +77,28 @@ def jaccard_pairs(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _hashed_shingles(sh: DataFrame, id_col: str) -> DataFrame:
+    """Collapse string shingles to 64-bit hashes: every downstream pass
+    (permutations, verify joins) then works on fixed 8-byte longs instead
+    of re-hashing / comparing variable-length strings.  Collision odds at
+    64 bits are ~n²/2⁶⁵ per doc — immaterial to Jaccard estimates."""
+    if "shingle" in sh.columns:
+        return sh.select(id_col, F.xxhash64("shingle").alias("sh"))
+    return sh
+
+
 def minhash_signatures(sh: DataFrame, id_col: str = "doc_id",
                        num_perm: int = 32) -> DataFrame:
     """k minhash values per doc in ONE shuffle: groupBy(doc) with k
-    min(xxhash64(perm_index, shingle)) aggregates."""
+    min(xxhash64(perm_index, shingle_hash)) aggregates.  Each permutation
+    hashes 12 fixed bytes (int seed + long), not the raw shingle string —
+    k x cheaper on long shingles."""
+    h = _hashed_shingles(sh, id_col)
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
         for i in range(num_perm)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return h.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
@@ -117,17 +130,19 @@ def verify_candidates(sh: DataFrame, candidates: DataFrame,
     """Exact Jaccard restricted to candidate pairs (the LSH verify stage).
 
     Joins the shingle sets only for candidate ids — cost is linear in
-    candidates, never all-pairs.
+    candidates, never all-pairs.  Set intersection runs on 64-bit shingle
+    hashes (8-byte equality, not string compare).
     """
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingle").alias("sh_a"))
-    sb = sh.select(F.col(id_col).alias("_idb"), F.col("shingle").alias("sh_b"))
+    h = _hashed_shingles(sh, id_col)
+    sa = h.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = h.select(F.col(id_col).alias("_idb"), F.col("sh").alias("sh_b"))
     common = (
         candidates.join(sa, "id_a")
         .join(sb, (F.col("id_b") == F.col("_idb")) & (F.col("sh_a") == F.col("sh_b")))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sizes = h.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     return (
         common
         .join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")

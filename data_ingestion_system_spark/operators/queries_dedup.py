@@ -72,7 +72,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding is linear, and only colliding pairs reach the verify join.
     Recall vs the exact pipeline is asserted in tests/test_dedup.py."""
     cat = Catalog(spark, sf_dir)
-    sh = D.word_shingles(cat.documents, "doc_id", "text", n=3)
+    # the shingle set feeds BOTH the signature and the verify stage;
+    # persist it (already hash-collapsed to longs) so the explode+distinct
+    # shuffle runs once, not twice, and what's cached is 16 bytes/row
+    # (at 100 TB: MEMORY_AND_DISK spills instead of recomputing the scan)
+    sh = D._hashed_shingles(
+        D.word_shingles(cat.documents, "doc_id", "text", n=3), "doc_id"
+    ).persist()
     sig = D.minhash_signatures(sh, num_perm=32)
     cand = D.lsh_candidate_pairs(sig, num_perm=32, bands=8)
     verified = D.verify_candidates(sh, cand)

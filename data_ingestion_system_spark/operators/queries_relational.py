@@ -174,8 +174,14 @@ FROM top100 t LEFT JOIN documents d ON t.event_id = d.doc_id
 """)
 def join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-17 Q-enrich: attach payload objects to the <=100 search results —
-    a broadcast left join (the 100-row side broadcasts; the payload store
-    is scanned once with pushdown, never collected)."""
+    the 100-row side broadcasts and the payload store streams past it,
+    scanned once with pushdown, never collected.
+
+    Spark can only build the broadcast hash table from the side NOT
+    preserved by the outer join, so the left-outer is phrased as
+    ``payloads RIGHT JOIN broadcast(top100)`` — same semantics, and the
+    plan is a map-only BroadcastHashJoin (no shuffle of the payload
+    table at any scale)."""
     cat = Catalog(spark, sf_dir)
     top = (
         cat.events.select("event_id", "ts", "user_id", "event_type", "value")
@@ -188,9 +194,9 @@ def join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("doc_lang"),
     )
     return (
-        F.broadcast(top)
-        .join(docs, top.event_id == docs.doc_id, "left")
-        .drop("doc_id")
+        docs.join(F.broadcast(top), top.event_id == docs.doc_id, "right")
+        .select("event_id", "ts", "user_id", "event_type", "value",
+                "doc_text", "doc_lang")
     )
 
 
@@ -239,24 +245,46 @@ FROM cand WHERE rn = 1
 """)
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (§2.12 gap): each event picks the most recent order of
-    the same user at-or-before its timestamp.  Composition: equi-join on
-    the user key (shuffle once) + inequality residual + per-event
-    row_number.  At 100 TB the equi leg keeps this a hash join, never a
-    cross product; pandas merge_asof per group is the fallback when no
-    equi key exists."""
+    the same user at-or-before its timestamp.
+
+    Sort-merge formulation: UNION both sides tagged by type, one window
+    per user ordered by time carrying the last-seen order forward
+    (``last(..., ignorenulls)``), keep event rows that saw an order.
+    Cost = one shuffle+sort of (events + orders) — the naive
+    equi-join-with-inequality-residual materializes events x orders PAIRS
+    per user before ranking (quadratic in the per-user history; at 100 TB
+    a hot user with 1e6 events x 1e5 orders is 1e11 intermediate rows,
+    here it's 1.1e6 sorted rows).  Tie policy: orders sort before events
+    at the same timestamp (is_event 0 < 1), so at-or-BEFORE is inclusive;
+    among same-date orders the max orderkey wins (ascending sort + last)."""
     cat = Catalog(spark, sf_dir)
-    e = cat.events.select("event_id", "ts", "user_id")
-    o = cat.orders.select("o_custkey", "o_orderkey", "o_orderdate")
-    cand = e.join(o, (F.col("o_custkey") == F.col("user_id"))
-                  & (F.col("o_orderdate") <= F.col("ts")))
-    w = Window.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    e = cat.events.select(
+        "user_id", F.col("ts").alias("t"), F.lit(1).alias("is_event"),
+        "event_id", "ts",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
+    )
+    o = cat.orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"), F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp_ntz").alias("ts"),
+        "o_orderkey", "o_orderdate",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_event", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "ts", "user_id",
-                F.col("o_orderkey").alias("asof_orderkey"),
-                F.col("o_orderdate").alias("asof_orderdate"))
+        e.unionByName(o)
+        .select(
+            "event_id", "ts", "user_id", "is_event",
+            F.last("o_orderkey", ignorenulls=True).over(w).alias("asof_orderkey"),
+            F.last("o_orderdate", ignorenulls=True).over(w).alias("asof_orderdate"),
+        )
+        .filter((F.col("is_event") == 1) & F.col("asof_orderkey").isNotNull())
+        .select("event_id", "ts", "user_id", "asof_orderkey", "asof_orderdate")
     )
 
 
