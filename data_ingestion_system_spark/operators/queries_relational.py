@@ -314,6 +314,74 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# scans + event-time windows + containment + approx aggregates
+
+@register("scan_full", """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+""")
+def scan_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-15 full-table scan (``verify-db.ts:46``) — no filter, no limit;
+    the one query where reading everything is the point."""
+    cat = Catalog(spark, sf_dir)
+    return cat.events.select("event_id", "ts", "user_id", "event_type",
+                             "value", "props")
+
+
+@register("agg_time_window", """
+SELECT date_trunc('hour', ts) AS w_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""")
+def agg_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation — the batch form of the
+    streaming windowed agg (same ``window()`` expression runs under
+    ``readStream`` + watermark in streaming/windowed.py).  One shuffle on
+    (window, type); map-side partial counts."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("window.start").cast("timestamp_ntz").alias("w_start"),
+                "event_type", "n", "sum_value")
+    )
+
+
+@register("containment_match", """
+SELECT doc_id,
+       len(list_filter(['error', 'click', 'purchase'],
+                       w -> contains(lower(text), w))) > 0 AS has_marker
+FROM documents
+""")
+def containment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-18 containment match: the reference's ``key.includes(name)``
+    nested-loop over an in-memory array (``audit.middleware.ts:52-57``) as
+    an ``exists()`` higher-order predicate — evaluated per row inside
+    codegen, no join, no shuffle."""
+    cat = Catalog(spark, sf_dir)
+    markers = F.array(F.lit("error"), F.lit("click"), F.lit("purchase"))
+    return cat.documents.select(
+        "doc_id",
+        F.exists(markers, lambda w: F.contains(F.lower(F.col("text")), w))
+        .alias("has_marker"),
+    )
+
+
+@register("agg_approx_distinct")  # HLL sketch is engine-specific: rows-only
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct (HyperLogLog++, 5% rsd): the 100 TB answer to
+    COUNT(DISTINCT) — sketches merge associatively, so the shuffle moves
+    KB-sized sketches instead of every distinct value.  Accuracy vs the
+    exact count is asserted in tests/test_relational_extra.py."""
+    cat = Catalog(spark, sf_dir)
+    return cat.lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.05).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.05).alias("approx_supps"),
+    )
+
+
+# --------------------------------------------------------------------------
 # window functions (§2.12 gap)
 
 @register("window_topk_per_group", """

@@ -117,3 +117,51 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.documents.select(
         "doc_id", X.fingerprint_md5(F.col("text")).alias("fingerprint")
     )
+
+
+@register("text_winnow_fingerprint", """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(range(len(w) - 3),
+             i -> md5(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
+             AS gr
+  FROM t WHERE len(w) >= 4),
+wins AS (
+  SELECT doc_id,
+         list_transform(range(greatest(len(gr) - 7, 1)),
+             j -> list_min(gr[j+1:j+8])) AS fps
+  FROM g)
+SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM wins
+""")
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting by winnowing (Schleimer et al.,
+    SIGMOD'03): hash every token 4-gram, slide a window of 8 hashes, keep
+    each window's minimum — a locality-robust fingerprint set whose size
+    is ~2/(8+1) of the gram count.  Entirely JVM higher-order functions
+    (transform/sequence/slice/array_min): zero shuffles until the final
+    distinct, zero Python.  Short docs (< 8 grams) contribute their global
+    minimum; docs under 4 tokens have no gram and drop out (both engines).
+    md5 makes the hash engine-portable, hence fully oracle-checked."""
+    cat = Catalog(spark, sf_dir)
+    w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("w")) - 4),
+        lambda i: F.md5(F.concat_ws(
+            " ", F.get("w", i), F.get("w", i + 1),
+            F.get("w", i + 2), F.get("w", i + 3))),
+    )
+    wins = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(F.col("gr")) - 8, F.lit(0))),
+        lambda j: F.array_min(F.slice(F.col("gr"), j + 1, 8)),
+    )
+    # per-doc array_distinct makes each (doc_id, fp) row unique already —
+    # no global distinct shuffle needed (the oracle dedups listwise too)
+    return (
+        cat.documents.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 4)
+        .select("doc_id", grams.alias("gr"))
+        .select("doc_id", F.explode(F.array_distinct(wins)).alias("fp"))
+    )

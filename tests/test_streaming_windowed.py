@@ -1,0 +1,135 @@
+"""Watermarked windowed aggregation + stateful correlation operator."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.streaming.stateful import correlate_with_state
+from data_ingestion_system_spark.streaming.windowed import start_windowed_counts
+
+
+def _req(txn, hour, minute=0, action="create"):
+    return {
+        "transactionId": txn,
+        "timestamp": f"2024-03-01T{hour:02d}:{minute:02d}:00.000Z",
+        "method": "POST", "url": "/api/x", "appId": "app1",
+        "workflowId": "wf", "action": action,
+    }
+
+
+def _drain(spark, landing, out, ckpt):
+    q = start_windowed_counts(spark, landing, out, ckpt,
+                              window="1 hour", max_lateness="2 hours")
+    q.awaitTermination(120)
+    return q
+
+
+def test_windowed_counts_with_late_drop(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    # hour-1: 2 creates; hour-2: 1 read; hour-10 sentinel pushes the
+    # watermark to 08:00, closing both
+    batch1 = [_req("a", 1), _req("b", 1, 30), _req("c", 2, 15, "read"),
+              _req("z", 10)]
+    for i, r in enumerate(batch1):
+        (landing / f"b1_{i}.json").write_text(json.dumps(r))
+    _drain(spark, str(landing), out, ckpt)   # ingests; watermark -> 08:00
+    _drain(spark, str(landing), out, ckpt)   # flushes closed windows
+
+    got = {(str(r.w_start), r.action): r.n
+           for r in spark.read.parquet(out).collect()}
+    assert got[("2024-03-01 01:00:00", "create")] == 2
+    assert got[("2024-03-01 02:00:00", "read")] == 1
+    assert ("2024-03-01 10:00:00", "create") not in got  # still open
+
+    # a record 7h older than the watermark arrives -> dropped, not counted
+    (landing / "late.json").write_text(json.dumps(_req("late", 1, 45)))
+    q = _drain(spark, str(landing), out, ckpt)
+    progress = q.lastProgress
+    dropped = sum(op["numRowsDroppedByWatermark"]
+                  for op in progress["stateOperators"])
+    assert dropped == 1
+    got2 = {(str(r.w_start), r.action): r.n
+            for r in spark.read.parquet(out).collect()}
+    assert got2[("2024-03-01 01:00:00", "create")] == 2  # unchanged
+
+
+EVENTS_SCHEMA = ("transaction_id string, record_type string, ts string, "
+                 "app_id string, endpoint string, status_code int")
+
+
+def test_stateful_correlation_across_batches(spark, tmp_path):
+    """Request and response arrive in DIFFERENT micro-batches, response
+    first for t2 — both correlate exactly once (the reference loses the
+    response-first case)."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_batch(rows):
+        fn = landing / f"batch_{len(list(landing.iterdir()))}.json"
+        fn.write_text("\n".join(json.dumps(r) for r in rows))
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA).json(str(landing))
+        )
+        q = (
+            correlate_with_state(stream)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(path=out, format="parquet")
+        )
+        q.awaitTermination(120)
+
+    run_batch([
+        {"transaction_id": "t1", "record_type": "request",
+         "ts": "2024-03-01T10:00:00Z", "app_id": "a1", "endpoint": "/x",
+         "status_code": None},
+        {"transaction_id": "t2", "record_type": "response",
+         "ts": "2024-03-01T10:00:02Z", "app_id": None, "endpoint": None,
+         "status_code": 404},
+    ])
+    # nothing complete yet
+    assert spark.read.parquet(out).filter(F.col("outcome") == "correlated").count() == 0
+
+    run_batch([
+        {"transaction_id": "t1", "record_type": "response",
+         "ts": "2024-03-01T10:00:05Z", "app_id": None, "endpoint": None,
+         "status_code": 200},
+        {"transaction_id": "t2", "record_type": "request",
+         "ts": "2024-03-01T10:00:01Z", "app_id": "a2", "endpoint": "/y",
+         "status_code": None},
+    ])
+
+    rows = {r.transaction_id: r for r in
+            spark.read.parquet(out).filter(F.col("outcome") == "correlated").collect()}
+    assert set(rows) == {"t1", "t2"}
+    assert rows["t1"].status_code == 200 and rows["t1"].app_id == "a1"
+    assert rows["t2"].status_code == 404 and rows["t2"].app_id == "a2"
+    assert rows["t2"].endpoint == "/y"  # response-first still gets request fields
+
+    # orphan flush: t3's request never gets a response; advancing the
+    # watermark (10-min lateness) past 10:01 + 1h TTL expires the key
+    run_batch([
+        {"transaction_id": "t3", "record_type": "request",
+         "ts": "2024-03-01T10:01:00Z", "app_id": "a3", "endpoint": "/z",
+         "status_code": None},
+        {"transaction_id": "t9", "record_type": "request",
+         "ts": "2024-03-01T12:00:00Z", "app_id": "a9", "endpoint": "/s",
+         "status_code": None},
+    ])   # after this batch the watermark is 11:50 > 11:01
+    run_batch([
+        {"transaction_id": "t8", "record_type": "request",
+         "ts": "2024-03-01T13:30:00Z", "app_id": "a8", "endpoint": "/s",
+         "status_code": None},
+    ])   # timeout processing fires against watermark 11:50
+
+    flushed = {r.transaction_id: r for r in
+               spark.read.parquet(out).filter(F.col("outcome") == "timeout").collect()}
+    assert "t3" in flushed
+    assert flushed["t3"].app_id == "a3" and flushed["t3"].status_code is None
