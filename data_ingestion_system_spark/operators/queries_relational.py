@@ -173,15 +173,19 @@ SELECT t.event_id, t.ts, t.user_id, t.event_type, t.value,
 FROM top100 t LEFT JOIN documents d ON t.event_id = d.doc_id
 """)
 def join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O-17 Q-enrich: attach payload objects to the <=100 search results —
-    the 100-row side broadcasts and the payload store streams past it,
-    scanned once with pushdown, never collected.
+    """O-17 Q-enrich: attach payload objects to the <=100 search results.
 
-    Spark can only build the broadcast hash table from the side NOT
-    preserved by the outer join, so the left-outer is phrased as
-    ``payloads RIGHT JOIN broadcast(top100)`` — same semantics, and the
-    plan is a map-only BroadcastHashJoin (no shuffle of the payload
-    table at any scale)."""
+    An outer join can never broadcast its preserved side (the build side
+    must be the non-preserved one), so a naive ``top100 LEFT JOIN
+    payloads`` makes Spark broadcast (or shuffle) the PAYLOAD table —
+    backwards at 100 TB.  Instead, two broadcast stages, both map-only
+    over the big table:
+
+    1. inner-match: payload store ⋈ broadcast(top-100 keys) — scans the
+       payload table once, no shuffle, emits <=100 matched rows;
+    2. left-attach: top-100 LEFT JOIN broadcast(matched) — restores the
+       outer semantics from two tiny sides.
+    """
     cat = Catalog(spark, sf_dir)
     top = (
         cat.events.select("event_id", "ts", "user_id", "event_type", "value")
@@ -193,8 +197,11 @@ def join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("doc_text"),
         F.col("lang").alias("doc_lang"),
     )
+    matched = docs.join(
+        F.broadcast(top.select(F.col("event_id").alias("doc_id"))), "doc_id"
+    )
     return (
-        docs.join(F.broadcast(top), top.event_id == docs.doc_id, "right")
+        top.join(F.broadcast(matched), top.event_id == matched.doc_id, "left")
         .select("event_id", "ts", "user_id", "event_type", "value",
                 "doc_text", "doc_lang")
     )
