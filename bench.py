@@ -7,9 +7,13 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
      "queries": {"q1": sec, ...}, "sf": ...}
 
 Per-query time = wall-clock of executing the DataFrame plan to completion
-(count of materialized rows via collect), after one untimed warm-up of the
-session (JVM + parquet footer reads), mirroring the reference benchmark's
-posture of measuring steady-state latency (src/scripts/benchmark.ts:39-54).
+through the `noop` sink (full distributed materialization, no driver-side
+row transfer — collect() would time Python pickling of result sets, not
+the engine), after one untimed warm-up of the session (JVM + parquet
+footer reads), mirroring the reference benchmark's posture of measuring
+steady-state latency (src/scripts/benchmark.ts:39-54).  Caches are
+cleared between queries so no query is billed for (or subsidized by) a
+neighbor's persisted state.
 """
 
 from __future__ import annotations
@@ -32,15 +36,19 @@ def main() -> None:
     spark = get_spark(app_name="bench", cpus=CPUS)
     qs = registry.queries()
 
+    def run(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     # warm-up: JVM codegen + file listing, untimed (not part of any query's cost)
-    next(iter(sorted(qs.items())))[1](spark, SF_DIR).collect()
+    run(next(iter(sorted(qs.items())))[1](spark, SF_DIR))
 
     timings: dict[str, float] = {}
     for name, fn in sorted(qs.items()):
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        df.collect()
+        run(fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 4)
+    spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

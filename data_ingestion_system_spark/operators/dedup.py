@@ -30,8 +30,14 @@ from pyspark.sql import functions as F
 from data_ingestion_system_spark.operators.text import normalized_text
 
 
-def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+                  hashed: bool = False) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    ``hashed=True`` collapses each shingle to its 64-bit hash BEFORE the
+    distinct, so the dedup shuffle moves (id, long) rows — the right form
+    whenever downstream only needs set semantics (MinHash, Jaccard
+    verify), which is every path except the string-level oracle."""
     toks = df.select(
         F.col(id_col),
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("w"),
@@ -46,6 +52,8 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
             )
         ).alias("shingle"),
     )
+    if hashed:
+        grams = grams.select(id_col, F.xxhash64("shingle").alias("sh"))
     return grams.distinct()
 
 
@@ -53,18 +61,21 @@ def jaccard_pairs(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Exact Jaccard for every pair sharing >=1 shingle.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.  The common-shingle
-    join shuffles on the shingle value; per-doc set sizes ride along via
-    two broadcast-able aggregates.
+    join shuffles on the shingle value — collapsed to a 64-bit hash first,
+    so the shuffle and equality comparisons move 8-byte longs, not n-gram
+    strings; per-doc set sizes ride along via two broadcast-able
+    aggregates.
     """
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    h = _hashed_shingles(sh, id_col)
+    a = h.select(F.col(id_col).alias("id_a"), "sh")
+    b = h.select(F.col(id_col).alias("id_b"), "sh")
     common = (
-        a.join(b, "shingle")
+        a.join(b, "sh")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sizes = h.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (

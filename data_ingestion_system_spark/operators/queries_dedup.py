@@ -58,7 +58,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale candidate generation goes through MinHash-LSH instead
     (dedup_minhash_lsh) so this join never sees unrelated pairs."""
     cat = Catalog(spark, sf_dir)
-    sh = D.word_shingles(cat.documents, "doc_id", "text", n=3)
+    sh = D.word_shingles(cat.documents, "doc_id", "text", n=3, hashed=True)
     pairs = D.jaccard_pairs(sh)
     return pairs.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
@@ -76,9 +76,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist it (already hash-collapsed to longs) so the explode+distinct
     # shuffle runs once, not twice, and what's cached is 16 bytes/row
     # (at 100 TB: MEMORY_AND_DISK spills instead of recomputing the scan)
-    sh = D._hashed_shingles(
-        D.word_shingles(cat.documents, "doc_id", "text", n=3), "doc_id"
-    ).persist()
+    sh = D.word_shingles(cat.documents, "doc_id", "text", n=3,
+                         hashed=True).persist()
     sig = D.minhash_signatures(sh, num_perm=32)
     cand = D.lsh_candidate_pairs(sig, num_perm=32, bands=8)
     verified = D.verify_candidates(sh, cand)
