@@ -375,6 +375,41 @@ def containment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_session_window", """
+WITH d AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d)
+SELECT user_id, min(ts) AS s_start, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, sid
+""")
+def agg_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (§2.12 gap): per-user activity sessions closed by a
+    30-minute silence gap — ``F.session_window`` merges overlapping
+    [ts, ts+gap) intervals in one pass (same operator serves streaming
+    with a watermark).  The oracle derives identical sessions by the
+    classic gap-flag + running-sum sessionization."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.events
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select("user_id",
+                F.col("session_window.start").cast("timestamp_ntz").alias("s_start"),
+                "n_events", "sum_value")
+    )
+
+
 @register("agg_approx_distinct")  # HLL sketch is engine-specific: rows-only
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct (HyperLogLog++, 5% rsd): the 100 TB answer to

@@ -51,3 +51,18 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall vs brute force asserted in tests/test_similarity.py."""
     corpus, queries = _corpus_queries(spark, sf_dir)
     return topk_lsh(corpus, queries, k=K)
+
+
+@register("sim_topk_ivf")  # codebook-derived inverted lists: rows-only
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via IVF inverted lists (per-label-mean codebook,
+    nprobe=2); recall vs brute force asserted in tests/test_similarity.py."""
+    from data_ingestion_system_spark.operators.similarity import (
+        label_centroids,
+        topk_ivf,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    cents = label_centroids(cat.embeddings.select("label", "embedding"))
+    return topk_ivf(corpus, cents, queries, k=K, nprobe=2)

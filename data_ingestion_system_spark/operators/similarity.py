@@ -96,6 +96,68 @@ def topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10) -> DataF
     )
 
 
+def ivf_assign_udf(centroids: np.ndarray, nprobe: int = 1):
+    """Pandas UDF: indices of the ``nprobe`` nearest centroids (by cosine)
+    per embedding.  The codebook rides in the closure — in IVF the coarse
+    quantizer is metadata, kept in memory everywhere (faiss does the
+    same), so assignment is a map-only pass with one numpy matmul per
+    Arrow batch."""
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @F.pandas_udf("array<int>")
+    def assign(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ cn.T                               # (batch, n_centroids)
+        top = np.argsort(-sims, axis=1)[:, :nprobe]     # stable argmax order
+        return pd.Series([row.tolist() for row in top])
+
+    return assign
+
+
+def label_centroids(corpus_with_label: DataFrame) -> np.ndarray:
+    """Coarse codebook: per-label mean embedding, as a (n_labels, dim)
+    numpy array ordered by label.  Stand-in for a k-means pass — one
+    aggregation over the corpus either way; the codebook itself is tiny
+    and driver-resident by design."""
+    rows = (
+        corpus_with_label.groupBy("label")
+        .agg(F.array(*[
+            F.avg(F.col("embedding")[i].cast("double"))
+            for i in range(DIM)
+        ]).alias("centroid"))
+        .orderBy("label")
+        .collect()
+    )
+    return np.array([r.centroid for r in rows])
+
+
+def topk_ivf(corpus: DataFrame, centroids: np.ndarray, queries: DataFrame,
+             k: int = 10, nprobe: int = 2) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into inverted lists
+    (map-only UDF assign, no shuffle), probe each query's ``nprobe``
+    nearest lists, exact cosine + top-k on the probed candidates only.
+    The corpus⋈probe equi-join on the list id replaces the cross product;
+    candidates per query ≈ nprobe/n_lists of the corpus."""
+    assigned = corpus.withColumn(
+        "cid", ivf_assign_udf(centroids, 1)(F.col("embedding"))[0]
+    )
+    probes = queries.withColumn(
+        "cids", ivf_assign_udf(centroids, nprobe)(F.col("qv"))
+    ).select("qid", "qv", F.explode("cids").alias("cid"))
+    scored = (
+        assigned.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("cos_raw", cosine(F.col("qv"), F.col("embedding")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "vec_id", F.round("cos_raw", 6).alias("cosine"), "rnk")
+    )
+
+
 def topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
     """ANN top-k: candidates = union of the query's bucket across L tables.
 

@@ -45,6 +45,34 @@ def test_lsh_bucket_determinism(spark, sf_dir):
     assert {r.vec_id: r.bucket for r in one} == {r.vec_id: r.bucket for r in two}
 
 
+def test_ivf_recall_and_validity(spark, sf_dir):
+    from data_ingestion_system_spark.catalog import Catalog
+    from data_ingestion_system_spark.operators.similarity import (
+        label_centroids,
+        topk_ivf,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    corpus, queries = _load(spark, sf_dir)
+    cents = label_centroids(cat.embeddings.select("label", "embedding"))
+    exact = topk_bruteforce(corpus, queries, k=10).collect()
+    ann = topk_ivf(corpus, cents, queries, k=10, nprobe=2).collect()
+
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.qid, set()).add(r.vec_id)
+    for r in ann:
+        assert r.vec_id != r.qid
+    by_q = {}
+    for r in ann:
+        by_q.setdefault(r.qid, []).append(r)
+    for q, rows in by_q.items():
+        assert sorted(r.rnk for r in rows) == list(range(1, len(rows) + 1))
+    # probing 2 of the lists must recover some of the exact top-10
+    hits = sum(1 for r in ann if r.vec_id in exact_sets.get(r.qid, set()))
+    assert hits >= 5, f"IVF recovered only {hits} exact top-10 members"
+
+
 def test_lsh_results_subset_and_overlap(spark, sf_dir):
     corpus, queries = _load(spark, sf_dir)
     exact = topk_bruteforce(corpus, queries, k=10).collect()
