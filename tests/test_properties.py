@@ -1,0 +1,123 @@
+"""Property-based tests (hypothesis): operator semantics validated
+against independent reference implementations on adversarial inputs.
+Spark round-trips are batched per example via small deadline-free
+settings; pure-Python components get full randomized treatment."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.operators.correlate import latest_per_key
+from data_ingestion_system_spark.operators.search import conjunctive_filter
+from data_ingestion_system_spark.plans.cache import ResultCache, canonical_key
+
+SPARK_SETTINGS = settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),          # key
+        st.integers(min_value=0, max_value=10),         # order
+        st.integers(min_value=0, max_value=10),         # tiebreak
+        st.integers(min_value=-100, max_value=100),     # payload
+    ),
+    min_size=1, max_size=40,
+)
+
+
+@SPARK_SETTINGS
+@given(rows=rows_strategy)
+def test_latest_per_key_matches_window_formulation(spark, rows):
+    """The max(struct) aggregation must pick exactly the row the
+    row_number()-over-desc-window formulation picks, for any data whose
+    (order, tiebreak, payload) chain totally orders rows within a key."""
+    df = spark.createDataFrame(rows, ["k", "o", "t", "p"])
+    got = {
+        (r.k, r.o, r.t, r.p)
+        for r in latest_per_key(df, "k", "o", ["t", "p"]).collect()
+    }
+    w = Window.partitionBy("k").orderBy(
+        F.col("o").desc(), F.col("t").desc(), F.col("p").desc())
+    expect = {
+        (r.k, r.o, r.t, r.p)
+        for r in df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1).drop("__rn").collect()
+    }
+    assert got == expect
+
+
+filters_strategy = st.dictionaries(
+    st.sampled_from(["a", "b", "c"]),
+    st.integers(min_value=0, max_value=3),
+    max_size=3,
+)
+
+
+@SPARK_SETTINGS
+@given(
+    rows=st.lists(st.tuples(*[st.integers(0, 3)] * 3), min_size=0, max_size=30),
+    filters=filters_strategy,
+)
+def test_conjunctive_filter_matches_python(spark, rows, filters):
+    """AND-of-equalities == plain Python row filtering, incl. empty dict
+    (full scan) and unsatisfiable combinations (empty result)."""
+    df = spark.createDataFrame(rows, ["a", "b", "c"]) if rows else (
+        spark.createDataFrame([], "a int, b int, c int"))
+    got = sorted((r.a, r.b, r.c) for r in conjunctive_filter(df, filters).collect())
+    expect = sorted(
+        t for t in rows
+        if all(t[{"a": 0, "b": 1, "c": 2}[k]] == v for k, v in filters.items())
+    )
+    assert got == expect
+
+
+@given(
+    ops=st.lists(
+        st.tuples(st.sampled_from(["put", "get", "tick"]),
+                  st.sampled_from(["k1", "k2", "k3", "k4"])),
+        max_size=60,
+    )
+)
+def test_cache_model(ops):
+    """ResultCache vs a dict model: TTL expiry and LRU bound always agree."""
+    t = [0.0]
+    cache = ResultCache(ttl_seconds=10, max_entries=2, clock=lambda: t[0])
+    model: dict[str, float] = {}   # key -> expiry
+    lru: list[str] = []
+
+    for op, key in ops:
+        if op == "tick":
+            t[0] += 6.0
+        elif op == "put":
+            cache.put(key, key + "v")
+            model[key] = t[0] + 10
+            if key in lru:
+                lru.remove(key)
+            lru.append(key)
+            while len(lru) > 2:
+                dead = lru.pop(0)
+                model.pop(dead, None)
+        else:
+            got = cache.get(key)
+            live = key in lru and model.get(key, -1) > t[0]
+            if live:
+                assert got == key + "v"
+                lru.remove(key)
+                lru.append(key)
+            else:
+                assert got is None
+                if key in lru:   # expired entry: drop from model too
+                    lru.remove(key)
+                    model.pop(key, None)
+
+
+@given(filters_strategy, filters_strategy)
+def test_canonical_key_injective_on_content(f1, f2):
+    """Keys collide iff the filter dicts are equal — order never matters."""
+    k1, k2 = canonical_key("p", f1), canonical_key("p", f2)
+    assert (k1 == k2) == (f1 == f2)
