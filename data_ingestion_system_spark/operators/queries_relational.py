@@ -116,6 +116,23 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_cube", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+""")
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (§2.12 gap): all 2^k grouping combinations in
+    one pass — Spark expands to a single Expand + aggregation, not k
+    separate scans."""
+    cat = Catalog(spark, sf_dir)
+    return cat.lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count("*").alias("n"),
+    )
+
+
 # --------------------------------------------------------------------------
 # joins
 
