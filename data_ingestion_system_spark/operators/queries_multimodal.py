@@ -71,3 +71,27 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: every 4th 256-byte window per blob, one output row
     per sampled frame (row-exploding mapInPandas)."""
     return frame_sample(_media_from_documents(spark, sf_dir), every_n=4)
+
+
+@register("multimodal_near_dup")  # mapInPandas features: rows-only check
+def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal dedup: decode -> 16-dim features (Arrow
+    mapInPandas) -> cosine >= 0.999 pairs blocked by media kind.  The
+    composition matters: the feature stage is map-only, the pair stage
+    inherits the label-blocked near-dup plan (per-block pairwise, never
+    corpus²), and exact duplicates at the byte level are guaranteed to
+    collide at cosine 1.0."""
+    from data_ingestion_system_spark.functions.vectors import cosine
+
+    feats = media_features(_media_from_documents(spark, sf_dir))
+    a = feats.select(F.col("media_id").alias("id_a"), F.col("kind"),
+                     F.col("features").alias("fa"))
+    b = feats.select(F.col("media_id").alias("id_b"), F.col("kind"),
+                     F.col("features").alias("fb"))
+    return (
+        a.join(b, "kind")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_raw", cosine(F.col("fa"), F.col("fb")))
+        .filter(F.col("cos_raw") >= 0.999)
+        .select("id_a", "id_b", "kind", F.round("cos_raw", 6).alias("cosine"))
+    )

@@ -98,12 +98,18 @@ def start_ingest_stream(
     kind: str = "request",
     available_now: bool = True,
     processing_time: str = "100 milliseconds",
+    result_cache=None,
 ) -> StreamingQuery:
     """One streaming query: landing JSON -> (bronze parquet, quarantine).
 
     `available_now=True` drains the current backlog then stops (tests /
     backfills); otherwise runs continuously on a 100 ms trigger — the
-    reference uploader's cadence (``s3.service.ts:97-99``)."""
+    reference uploader's cadence (``s3.service.ts:97-99``).
+
+    `result_cache` (a plans.cache.ResultCache) is invalidated after each
+    batch that lands rows — the freshness contract the reference's pure
+    TTL cannot give (it serves stale top-k for up to 300 s after new data,
+    ``audit.services.ts:12,169``)."""
     schema = REQUEST_SCHEMA if kind == "request" else RESPONSE_SCHEMA
     project = project_requests if kind == "request" else project_responses
     ts_col = "timestamp" if kind == "request" else "response_ts"
@@ -117,6 +123,8 @@ def start_ingest_stream(
             write_date_partitioned(project(valid), bronze_dir, ts_col=ts_col,
                                    sort_col=ts_col)
             bad.write.mode("append").json(quarantine_dir)
+            if result_cache is not None:
+                result_cache.invalidate_all()
         finally:
             batch_df.unpersist()
 

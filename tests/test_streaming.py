@@ -92,6 +92,20 @@ def test_stream_to_silver(spark, dirs):
         spark.streams.removeListener(collector)
 
 
+def test_batch_commit_invalidates_result_cache(spark, dirs):
+    from data_ingestion_system_spark.plans.cache import ResultCache
+
+    cache = ResultCache()
+    cache.put("audit:{}", ["stale rows"])
+    q = start_ingest_stream(
+        spark, dirs["req_landing"], dirs["req_bronze"], dirs["quarantine"],
+        dirs["ckpt_req"], kind="request", available_now=True,
+        result_cache=cache,
+    )
+    q.awaitTermination(120)
+    assert cache.get("audit:{}") is None  # fresh data evicted the stale top-k
+
+
 def test_checkpoint_no_reprocess(spark, dirs):
     _drain(spark, dirs)
     n1 = spark.read.parquet(dirs["req_bronze"]).count()
