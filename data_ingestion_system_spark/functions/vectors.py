@@ -36,3 +36,28 @@ def l2_norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     a, b = as_double(a), as_double(b)
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Unrolled dot product for a KNOWN dimension: ``a[0]*b[0] + ... +
+    a[dim-1]*b[dim-1]`` as plain arithmetic.
+
+    Spark's higher-order ``aggregate``/``zip_with`` lambdas are evaluated
+    *interpreted*, per element, outside whole-stage codegen — on millions
+    of candidate pairs that is the dominant cost.  The unrolled form is
+    ordinary expressions, fully codegen'd.  Left-associated addition keeps
+    the fold order identical to ``dot()`` and to DuckDB's
+    ``list_dot_product``, so oracle comparisons stay bit-exact."""
+    terms = [a[i] * b[i] for i in range(dim)]
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return acc
+
+
+def cosine_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Codegen-friendly cosine for a known dimension (see dot_fixed)."""
+    a, b = as_double(a), as_double(b)
+    return dot_fixed(a, b, dim) / (
+        F.sqrt(dot_fixed(a, a, dim)) * F.sqrt(dot_fixed(b, b, dim))
+    )

@@ -171,6 +171,49 @@ def resize_blocks(df: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
     return df.mapInPandas(resize, out_schema)
 
 
+def near_dup_pairs(feats: DataFrame, threshold: float = 0.999,
+                   block_col: str = "kind") -> DataFrame:
+    """Near-duplicate media pairs from a `media_features` output.
+
+    Features are centered (per-vector mean removed) so cosine measures
+    profile *shape*, not byte-level brightness — raw block-means live in
+    the positive orthant where cosine saturates near 1 for unrelated
+    blobs.  Candidates come from multi-table SRP-LSH within the blocking
+    column (never an all-pairs join: quadratic per block, and a
+    3-value blocking key would bottleneck 3 partitions); survivors are
+    verified with exact centered cosine.  Byte-identical media share
+    every bucket, so exact duplicates are found with probability 1."""
+    from data_ingestion_system_spark.functions.vectors import cosine_fixed
+    from data_ingestion_system_spark.operators.similarity import srp_buckets_udf
+
+    mean = F.aggregate("features", F.lit(0.0), lambda a, x: a + x) / F.lit(
+        float(FEATURE_DIM))
+    buckets = srp_buckets_udf(dim=FEATURE_DIM)
+    centered = feats.select(
+        "media_id", block_col,
+        F.transform("features", lambda x: x - mean).alias("fc"),
+    ).withColumn("b", buckets(F.col("fc")))
+
+    banded = centered.select(
+        "media_id", block_col, "fc", F.posexplode("b").alias("tbl", "bucket"))
+    a = banded.select(F.col("media_id").alias("id_a"), block_col,
+                      F.col("fc").alias("fa"), "tbl", "bucket")
+    b = banded.select(F.col("media_id").alias("id_b"), block_col,
+                      F.col("fc").alias("fb"), "tbl", "bucket")
+    cand = (
+        a.join(b, [block_col, "tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cos_raw",
+                        cosine_fixed(F.col("fa"), F.col("fb"), FEATURE_DIM))
+        .filter(F.col("cos_raw") >= threshold)
+        .select("id_a", "id_b", block_col,
+                F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
 def pack_media(binary_df: DataFrame, kind_from_ext: bool = True) -> DataFrame:
     """Lift a binaryFile-source DataFrame (path, content, length, ...) into
     the typed media schema; kind inferred from extension, metadata struct

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.catalog import Catalog
-from data_ingestion_system_spark.functions.vectors import cosine
+from data_ingestion_system_spark.functions.vectors import cosine_fixed
 from data_ingestion_system_spark.operators import dedup as D
 from data_ingestion_system_spark.registry import register
 
@@ -116,7 +116,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("label"),
                  F.col("embedding").alias("vb"))
-    cos = cosine(F.col("va"), F.col("vb"))
+    cos = cosine_fixed(F.col("va"), F.col("vb"), 64)
     return (
         a.join(b, "label")
         .filter(F.col("id_a") < F.col("id_b"))

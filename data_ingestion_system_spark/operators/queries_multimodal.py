@@ -76,22 +76,26 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("multimodal_near_dup")  # mapInPandas features: rows-only check
 def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal dedup: decode -> 16-dim features (Arrow
-    mapInPandas) -> cosine >= 0.999 pairs blocked by media kind.  The
-    composition matters: the feature stage is map-only, the pair stage
-    inherits the label-blocked near-dup plan (per-block pairwise, never
-    corpus²), and exact duplicates at the byte level are guaranteed to
-    collide at cosine 1.0."""
-    from data_ingestion_system_spark.functions.vectors import cosine
+    mapInPandas) -> SRP-LSH candidate pairs within media kind -> exact
+    centered-cosine verify (>= 0.999).
+
+    Two deliberate choices:
+
+    * features are **centered** (per-vector mean removed) before any
+      similarity math — raw byte-block means all live in the positive
+      orthant, where cosine saturates near 1 for unrelated blobs;
+      centered cosine is profile-shape correlation, which actually
+      separates duplicates from noise;
+    * candidates come from the multi-table SRP-LSH used by similarity
+      search, NOT an all-pairs join: within-kind all-pairs is quadratic
+      per kind AND the kind key has only 3 values (3 busy partitions on
+      any cluster).  At a 0.999 threshold the per-table collision
+      probability for a true near-dup is ~0.9, so 8 tables give
+      ~1 - 1e-8 recall; byte-identical media share every bucket.
+
+    Planted-duplicate recovery is pinned in tests/test_multimodal.py.
+    """
+    from data_ingestion_system_spark.operators.multimodal import near_dup_pairs
 
     feats = media_features(_media_from_documents(spark, sf_dir))
-    a = feats.select(F.col("media_id").alias("id_a"), F.col("kind"),
-                     F.col("features").alias("fa"))
-    b = feats.select(F.col("media_id").alias("id_b"), F.col("kind"),
-                     F.col("features").alias("fb"))
-    return (
-        a.join(b, "kind")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_raw", cosine(F.col("fa"), F.col("fb")))
-        .filter(F.col("cos_raw") >= 0.999)
-        .select("id_a", "id_b", "kind", F.round("cos_raw", 6).alias("cosine"))
-    )
+    return near_dup_pairs(feats, threshold=0.999)

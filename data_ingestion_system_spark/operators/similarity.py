@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_ingestion_system_spark.functions.vectors import cosine
+from data_ingestion_system_spark.functions.vectors import cosine_fixed
 
 DIM = 64
 N_BITS = 8
@@ -86,7 +86,7 @@ def topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10) -> DataF
     scored = (
         corpus.crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("qid"))
-        .withColumn("cos_raw", cosine(F.col("qv"), F.col("embedding")))
+        .withColumn("cos_raw", cosine_fixed(F.col("qv"), F.col("embedding"), DIM))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
     return (
@@ -148,7 +148,7 @@ def topk_ivf(corpus: DataFrame, centroids: np.ndarray, queries: DataFrame,
     scored = (
         assigned.join(F.broadcast(probes), "cid")
         .filter(F.col("vec_id") != F.col("qid"))
-        .withColumn("cos_raw", cosine(F.col("qv"), F.col("embedding")))
+        .withColumn("cos_raw", cosine_fixed(F.col("qv"), F.col("embedding"), DIM))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
     return (
@@ -177,7 +177,7 @@ def topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
         .filter(F.col("vec_id") != F.col("qid"))
         .dropDuplicates(["qid", "vec_id"])
     )
-    scored = cand.withColumn("cos_raw", cosine(F.col("qv"), F.col("embedding")))
+    scored = cand.withColumn("cos_raw", cosine_fixed(F.col("qv"), F.col("embedding"), DIM))
     w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))

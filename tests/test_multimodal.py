@@ -98,6 +98,29 @@ def test_pack_media_kinds(spark, tmp_path):
     assert {bytes(r.content) for r in media} == {b"imgdata", b"auddata", b"viddata", b"other"}
 
 
+def test_near_dup_finds_planted_duplicates(spark):
+    from data_ingestion_system_spark.operators.multimodal import (
+        media_features,
+        near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    blobs = [rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()
+             for _ in range(30)]
+    blobs.append(blobs[0])          # 30: exact dup of 0 (same kind slot 0%3==30%3)
+    near = bytearray(blobs[3])      # 33: near dup of 3 (same kind: 3%3==33%3)
+    near[0] ^= 0xFF                 # flip one byte of 4096
+    blobs += [b"pad1", b"pad2"]     # 31, 32 keep kind alignment
+    blobs.append(bytes(near))       # 33
+    feats = media_features(_media_df(spark, blobs))
+    pairs = {(r.id_a, r.id_b): r.cosine
+             for r in near_dup_pairs(feats, threshold=0.999).collect()}
+    assert pairs.get((0, 30)) == pytest.approx(1.0)   # byte-identical
+    assert (3, 33) in pairs                           # one flipped byte
+    # random blobs don't collide at 0.999 profile correlation
+    assert all({a, b} <= {0, 30, 3, 33} for a, b in pairs)
+
+
 def test_decode_real_is_gated():
     with pytest.raises(NotImplementedError):
         decode_real(b"\x89PNG", "video")
