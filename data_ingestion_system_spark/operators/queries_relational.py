@@ -323,14 +323,32 @@ GROUP BY a.user_id
 """)
 def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval) self-join (§2.12 gap): pairs of events by the same
-    user within one hour.  The user_id equality keeps it an equi-join with
-    an interval residual — partition count scales with users, not rows²."""
+    user within one hour.
+
+    Interval bucketing: both sides key on (user, hour-bucket), with the
+    right side exploded to its bucket AND the previous one — any pair
+    within 1h shares one of those keys, and each qualifying pair matches
+    exactly one exploded row (the two bucket relations are disjoint), so
+    no dedup is needed.  The equi-join then only materializes *adjacent*
+    candidates before the residual — a plain (user) equi-join would
+    evaluate the time residual over each user's full history² (200M
+    comparisons at sf0.1; unbounded at 100 TB), bucketing bounds it by
+    the true 2-hour neighborhood."""
     cat = Catalog(spark, sf_dir)
-    a = cat.events.select(F.col("user_id"), F.col("ts").alias("a_ts"))
-    b = cat.events.select(F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"))
+    hour_bucket = (F.unix_micros(F.col("ts").cast("timestamp"))
+                   / F.lit(3_600_000_000)).cast("long")
+    a = cat.events.select(
+        F.col("user_id"), F.col("ts").alias("a_ts"),
+        hour_bucket.alias("bkt"),
+    )
+    b = cat.events.select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"),
+        F.explode(F.array(hour_bucket, hour_bucket - 1)).alias("bkt"),
+    )
     pairs = a.join(
         b,
         (F.col("user_id") == F.col("b_user"))
+        & (a["bkt"] == b["bkt"])
         & (F.col("b_ts") > F.col("a_ts"))
         & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 1 HOUR")),
     )
