@@ -189,10 +189,12 @@ def near_dup_pairs(feats: DataFrame, threshold: float = 0.999,
     mean = F.aggregate("features", F.lit(0.0), lambda a, x: a + x) / F.lit(
         float(FEATURE_DIM))
     buckets = srp_buckets_udf(dim=FEATURE_DIM)
+    # both pair-join branches scan this: persist so the Arrow decode +
+    # bucket UDF chain runs once, not once per branch
     centered = feats.select(
         "media_id", block_col,
         F.transform("features", lambda x: x - mean).alias("fc"),
-    ).withColumn("b", buckets(F.col("fc")))
+    ).withColumn("b", buckets(F.col("fc"))).persist()
 
     banded = centered.select(
         "media_id", block_col, "fc", F.posexplode("b").alias("tbl", "bucket"))
