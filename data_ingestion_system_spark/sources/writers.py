@@ -57,6 +57,77 @@ def write_date_partitioned(
     writer.parquet(path)
 
 
+def upsert_by_partition(
+    spark: SparkSession,
+    updates: DataFrame,
+    table_path: str,
+    ts_col: str = "timestamp",
+    merge_key: str | None = None,
+    tiebreaks: tuple[str, ...] = (),
+) -> None:
+    """Partition-scoped upsert: rewrite ONLY the date partitions the
+    update batch touches (dynamic partition overwrite).
+
+    This is the materialized alternative to the latest-wins *view*
+    (``streaming/pipeline.py::silver_view``): when read amplification on
+    the view outweighs write amplification, merge each micro-batch into
+    the affected partitions — cost is proportional to the touched dates'
+    data, never the whole table.  The reference's row-level UPDATE
+    (``processQueue.ts:230-238``) rewrote in place; on immutable storage
+    the partition is the atomic replacement unit.
+
+    With ``merge_key`` set, union+latest-wins (greatest ``ts_col``, then
+    ``tiebreaks``) dedups per key — a true MERGE; without it the rewrite
+    appends within the partition."""
+    from data_ingestion_system_spark.operators.correlate import latest_per_key
+
+    updates = with_audit_date(updates, ts_col)
+    dates = [r.audit_date for r in updates.select("audit_date").distinct().collect()]
+    import os
+
+    if any(os.path.exists(os.path.join(table_path, f"audit_date={d}"))
+           for d in dates):
+        current = (
+            spark.read.parquet(table_path)
+            .filter(F.col("audit_date").isin(dates))
+            .drop("audit_date")
+        )
+        merged = with_audit_date(
+            current.unionByName(updates.drop("audit_date")), ts_col)
+        if merge_key is not None:
+            merged = latest_per_key(merged, merge_key, ts_col, list(tiebreaks))
+    else:
+        merged = updates
+    _dynamic_overwrite(spark, merged.repartition(F.col("audit_date")), table_path)
+
+
+def compact_partitions(spark: SparkSession, table_path: str) -> int:
+    """Small-file compaction: rewrite each date partition into one file
+    per shuffle task holding that date (one file per date after AQE
+    coalescing).  Streaming appends accumulate one file per micro-batch
+    per date — at 100 TB the file COUNT, not the byte count, kills scan
+    planning and S3 listing.  Dynamic partition overwrite replaces each
+    partition atomically; returns the number of partitions rewritten."""
+    df = spark.read.parquet(table_path)
+    if "audit_date" not in df.columns:
+        raise ValueError(f"{table_path} is not audit_date-partitioned")
+    n_parts = df.select("audit_date").distinct().count()
+    _dynamic_overwrite(spark, df.repartition(F.col("audit_date")), table_path)
+    return n_parts
+
+
+def _dynamic_overwrite(spark: SparkSession, df: DataFrame, path: str) -> None:
+    """overwrite mode=dynamic: only partitions present in `df` are
+    replaced; everything else on disk survives."""
+    previous = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy("audit_date").parquet(path)
+    finally:
+        if previous is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", previous)
+
+
 def read_binary_dir(spark: SparkSession, path: str,
                     max_bytes: int = MAX_ATTACHMENT_BYTES,
                     glob: str | None = None) -> DataFrame:

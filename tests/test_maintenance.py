@@ -1,0 +1,73 @@
+"""Table maintenance: partition-scoped upsert (dynamic overwrite MERGE)
+and small-file compaction."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.sources.writers import (
+    compact_partitions,
+    upsert_by_partition,
+    write_date_partitioned,
+)
+
+
+def _rows(spark, rows):
+    df = spark.createDataFrame(
+        rows, "transaction_id string, timestamp string, status_code int")
+    return df.withColumn(
+        "timestamp", F.to_timestamp("timestamp").cast("timestamp_ntz"))
+
+
+def _parts(path):
+    return sorted(d for d in os.listdir(path) if d.startswith("audit_date="))
+
+
+def test_upsert_touches_only_affected_partitions(spark, tmp_path):
+    table = str(tmp_path / "silver")
+    base = _rows(spark, [
+        ("t1", "2024-03-01 10:00:00", 500),
+        ("t2", "2024-03-02 10:00:00", 200),
+        ("t3", "2024-03-03 10:00:00", 200),
+    ])
+    upsert_by_partition(spark, base, table)
+    assert _parts(table) == [f"audit_date=2024-03-0{d}" for d in (1, 2, 3)]
+    d3_files = set(os.listdir(os.path.join(table, "audit_date=2024-03-03")))
+
+    # a newer status for t1 lands (same day): only day 1 rewrites
+    upd = _rows(spark, [("t1", "2024-03-01 11:00:00", 200)])
+    upsert_by_partition(spark, upd, table, merge_key="transaction_id",
+                        tiebreaks=("status_code",))
+    rows = {r.transaction_id: r for r in spark.read.parquet(table).collect()}
+    assert len(rows) == 3
+    assert rows["t1"].status_code == 200          # latest won
+    assert str(rows["t1"].timestamp) == "2024-03-01 11:00:00"
+    assert rows["t2"].status_code == 200          # untouched partitions intact
+    # day-3 partition files were not rewritten
+    assert set(os.listdir(os.path.join(table, "audit_date=2024-03-03"))) == d3_files
+
+
+def test_upsert_without_merge_key_appends(spark, tmp_path):
+    table = str(tmp_path / "bronze")
+    upsert_by_partition(spark, _rows(spark, [("a", "2024-03-01 10:00:00", 1)]), table)
+    upsert_by_partition(spark, _rows(spark, [("a", "2024-03-01 12:00:00", 2)]), table)
+    assert spark.read.parquet(table).count() == 2
+
+
+def test_compaction_reduces_file_count(spark, tmp_path):
+    table = str(tmp_path / "many")
+    # simulate micro-batch appends: 5 small writes into the same date
+    for i in range(5):
+        df = _rows(spark, [(f"t{i}", "2024-03-01 10:00:00", 200)])
+        write_date_partitioned(df, table, ts_col="timestamp")
+    part_dir = os.path.join(table, "audit_date=2024-03-01")
+    before = len([f for f in os.listdir(part_dir) if f.endswith(".parquet")])
+    assert before >= 5
+
+    n = compact_partitions(spark, table)
+    assert n == 1
+    after = len([f for f in os.listdir(part_dir) if f.endswith(".parquet")])
+    assert after < before
+    assert spark.read.parquet(table).count() == 5  # no data change
