@@ -355,6 +355,37 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
 
 
+@register("agg_topk_orders", """
+SELECT l.l_orderkey AS orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate AS orderdate
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 150000
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, orderkey
+LIMIT 10
+""")
+def agg_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3 shape: join -> grouped agg -> top-10 by revenue.  The
+    orderBy+limit above an aggregation still fuses into
+    TakeOrderedAndProject: each partition's aggregated output keeps a
+    10-row heap, the driver merges — no global sort of the aggregate."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.lineitem
+        .join(cat.orders.filter(F.col("o_totalprice") > 150000),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_orderkey").alias("orderkey"),
+                 F.col("o_orderdate").alias("orderdate"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .select("orderkey", "revenue", "orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("orderkey"))
+        .limit(10)
+    )
+
+
 # --------------------------------------------------------------------------
 # scans + event-time windows + containment + approx aggregates
 
