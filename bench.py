@@ -42,12 +42,19 @@ def main() -> None:
     # warm-up: JVM codegen + file listing, untimed (not part of any query's cost)
     run(next(iter(sorted(qs.items())))[1](spark, SF_DIR))
 
+    # best-of-N wall clock per query, taken across FULL passes over the
+    # query list (not back-to-back repeats): transient host stalls last
+    # seconds-to-minutes, so temporal separation decorrelates them from
+    # any one query; min (not mean) estimates intrinsic cost.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
-    for name, fn in sorted(qs.items()):
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        run(fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 4)
+    for _ in range(runs):
+        for name, fn in sorted(qs.items()):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            run(fn(spark, SF_DIR))
+            elapsed = time.perf_counter() - t0
+            timings[name] = round(min(timings.get(name, elapsed), elapsed), 4)
     spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
