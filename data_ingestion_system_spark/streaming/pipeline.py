@@ -99,6 +99,7 @@ def start_ingest_stream(
     available_now: bool = True,
     processing_time: str = "100 milliseconds",
     result_cache=None,
+    dedup_within: str | None = None,
 ) -> StreamingQuery:
     """One streaming query: landing JSON -> (bronze parquet, quarantine).
 
@@ -109,12 +110,25 @@ def start_ingest_stream(
     `result_cache` (a plans.cache.ResultCache) is invalidated after each
     batch that lands rows — the freshness contract the reference's pure
     TTL cannot give (it serves stale top-k for up to 300 s after new data,
-    ``audit.services.ts:12,169``)."""
+    ``audit.services.ts:12,169``).
+
+    `dedup_within` (e.g. "1 hour") suppresses redelivered records by
+    (transactionId, timestamp) within the watermark window — the
+    duplicate-INSERT hole in the reference's at-least-once path (a
+    redelivered SQS message inserts twice, ``processQueue.ts:162-198``;
+    SURVEY §2.7 O-28) closed with bounded state."""
     schema = REQUEST_SCHEMA if kind == "request" else RESPONSE_SCHEMA
     project = project_requests if kind == "request" else project_responses
     ts_col = "timestamp" if kind == "request" else "response_ts"
 
     raw = _observed(read_landing(spark, landing_dir, schema, streaming=True), kind)
+    if dedup_within is not None:
+        raw = (
+            raw.withColumn("__et", F.to_timestamp("timestamp").cast("timestamp"))
+            .withWatermark("__et", dedup_within)
+            .dropDuplicatesWithinWatermark(["transactionId", "timestamp"])
+            .drop("__et")
+        )
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()

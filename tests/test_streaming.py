@@ -92,6 +92,40 @@ def test_stream_to_silver(spark, dirs):
         spark.streams.removeListener(collector)
 
 
+def test_redelivery_dedup_within_watermark(spark, tmp_path):
+    """The reference's at-least-once path inserts a redelivered message
+    twice; dropDuplicatesWithinWatermark suppresses the duplicate even
+    when it arrives in a LATER micro-batch."""
+    import json as J
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rec = {"transactionId": "dup1", "timestamp": "2024-03-01T10:00:00.000Z",
+           "method": "POST", "url": "/x", "appId": "a", "workflowId": "w",
+           "action": "c"}
+    other = {"transactionId": "t2", "timestamp": "2024-03-01T10:10:00.000Z",
+             "method": "GET", "url": "/y", "appId": "b", "workflowId": "w",
+             "action": "r"}
+
+    def drain():
+        q = start_ingest_stream(
+            spark, str(landing), str(tmp_path / "bronze"),
+            str(tmp_path / "quarantine"), str(tmp_path / "ckpt"),
+            kind="request", available_now=True, dedup_within="1 hour",
+        )
+        q.awaitTermination(120)
+
+    (landing / "m1.json").write_text(J.dumps(rec))
+    drain()
+    # redelivery: same record again (new file), plus a genuinely new one
+    (landing / "m1_redelivered.json").write_text(J.dumps(rec))
+    (landing / "m2.json").write_text(J.dumps(other))
+    drain()
+
+    bronze = spark.read.parquet(str(tmp_path / "bronze"))
+    assert bronze.count() == 2  # duplicate suppressed, new record kept
+    assert bronze.filter(bronze.transaction_id == "dup1").count() == 1
+
+
 def test_batch_commit_invalidates_result_cache(spark, dirs):
     from data_ingestion_system_spark.plans.cache import ResultCache
 
