@@ -119,6 +119,70 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_TOKENS = 512  # target tokens per packed sequence
+
+
+@register("text_pack_sequences", f"""
+WITH sized AS (
+  SELECT doc_id, lang,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tok
+  FROM documents),
+binned AS (
+  SELECT doc_id, lang, n_tok,
+         CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tok)
+                    / {PACK_TOKENS}.0) AS BIGINT) AS bin_id
+  FROM sized)
+SELECT lang, bin_id,
+       count(*) AS n_docs,
+       sum(n_tok) AS sum_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM binned
+GROUP BY lang, bin_id
+""")
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: assign documents (in stable
+    doc_id order, per language) to ~512-token bins by running token count
+    — the distributed form of greedy context-window packing.  bin_id =
+    floor(cumulative_tokens_before_doc / target): one window pass + one
+    aggregation, both partitioned by language, so no global sort and no
+    driver-side loop.  (A doc larger than the target still lands in
+    exactly one bin — same as the sequential packer.)"""
+    cat = Catalog(spark, sf_dir)
+    from pyspark.sql import Window
+
+    sized = cat.documents.select(
+        "doc_id", "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+    )
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    binned = sized.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok"))
+                / F.lit(float(PACK_TOKENS))).cast("bigint"),
+    )
+    return binned.groupBy("lang", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@register("text_stratified_sample")  # engine-RNG sampling: rows-only check
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling by language (training-data mix control):
+    ``sampleBy`` keeps each stratum's fraction with a fixed seed —
+    per-partition Bernoulli, no shuffle.  Mix proportions are asserted in
+    tests/test_text_ops.py."""
+    cat = Catalog(spark, sf_dir)
+    fractions = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.1, "zh": 0.1}
+    return cat.documents.sampleBy("lang", fractions, seed=42).select(
+        "doc_id", "lang")
+
+
 @register("text_winnow_fingerprint", """
 WITH t AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w

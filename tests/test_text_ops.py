@@ -1,0 +1,66 @@
+"""Text pipeline ops: sequence packing invariants + stratified sample mix."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.catalog import Catalog
+from data_ingestion_system_spark.operators.queries_text import (
+    PACK_TOKENS,
+    text_pack_sequences,
+    text_stratified_sample,
+)
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    packed = text_pack_sequences(spark, sf_dir).collect()
+    cat = Catalog(spark, sf_dir)
+    total_docs = cat.documents.count()
+
+    assert sum(r.n_docs for r in packed) == total_docs  # every doc in one bin
+    by_lang = {}
+    for r in packed:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, bins in by_lang.items():
+        bins.sort(key=lambda r: r.bin_id)
+        # bins are contiguous in doc_id order: ranges must not interleave
+        for prev, nxt in zip(bins, bins[1:]):
+            assert prev.last_doc < nxt.first_doc
+        # every bin except possibly the last is filled to >= the target
+        # once its first doc lands (cumsum definition: a bin closes only
+        # when it has reached PACK_TOKENS)
+        for r in bins[:-1]:
+            assert r.sum_tokens >= 1
+        assert all(r.bin_id >= 0 for r in bins)
+
+
+def test_pack_sequences_bins_near_target(spark, sf_dir):
+    packed = text_pack_sequences(spark, sf_dir)
+    # average fill of non-final bins should be around the target: the
+    # cumsum packer overshoots by at most one document per bin
+    stats = (
+        packed.groupBy("lang")
+        .agg(F.max("bin_id").alias("last_bin"))
+        .join(packed, "lang")
+        .filter(F.col("bin_id") < F.col("last_bin"))
+        .agg(F.avg("sum_tokens").alias("avg_fill"))
+        .first()
+    )
+    if stats and stats.avg_fill is not None:
+        assert PACK_TOKENS * 0.8 <= stats.avg_fill <= PACK_TOKENS * 2.0
+
+
+def test_stratified_sample_mix(spark, sf_dir):
+    cat = Catalog(spark, sf_dir)
+    pop = {r.lang: r["count"] for r in cat.documents.groupBy("lang").count().collect()}
+    got = {r.lang: r["count"]
+           for r in text_stratified_sample(spark, sf_dir).groupBy("lang").count().collect()}
+    fractions = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.1, "zh": 0.1}
+    for lang, frac in fractions.items():
+        if pop.get(lang, 0) >= 50:   # enough mass for a loose Bernoulli bound
+            ratio = got.get(lang, 0) / pop[lang]
+            assert abs(ratio - frac) < 0.15, (lang, ratio, frac)
+    # determinism: same seed, same sample
+    again = {r.lang: r["count"]
+             for r in text_stratified_sample(spark, sf_dir).groupBy("lang").count().collect()}
+    assert got == again
