@@ -53,6 +53,28 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_lsh(corpus, queries, k=K)
 
 
+@register("emb_quantize_roundtrip")  # mapInPandas quantizer: rows-only
+def emb_quantize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 quantize -> dequantize -> per-vector max abs error vs the
+    original (storage-compression op; error bound scale/2 pinned in
+    tests/test_embeddings_io.py)."""
+    from data_ingestion_system_spark.functions.vectors import as_double
+    from data_ingestion_system_spark.operators.embeddings import (
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings.select("vec_id", "embedding")
+    back = dequantize_int8(quantize_int8(emb)).withColumnRenamed(
+        "embedding", "emb_q")
+    joined = emb.join(back, "vec_id")
+    err = F.array_max(F.zip_with(
+        as_double(F.col("embedding")), F.col("emb_q"),
+        lambda a, b: F.abs(a - b)))
+    return joined.select("vec_id", F.round(err, 6).alias("max_abs_err"))
+
+
 @register("sim_topk_ivf")  # codebook-derived inverted lists: rows-only
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via IVF inverted lists (per-label-mean codebook,

@@ -128,6 +128,20 @@ def _dynamic_overwrite(spark: SparkSession, df: DataFrame, path: str) -> None:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", previous)
 
 
+def write_sharded(df: DataFrame, path: str, shard_key: str,
+                  n_shards: int = 16, fmt: str = "json") -> None:
+    """Training-shard export: deterministic hash-bucketed shards.
+
+    ``shard = pmod(xxhash64(key), n)`` gives reproducible, evenly-sized,
+    key-stable shards (all records of one document land together);
+    ``repartition(shard)`` makes exactly one task own each shard so the
+    output is one file per shard directory, ready for a dataloader to
+    consume shard-parallel."""
+    shard = F.pmod(F.xxhash64(F.col(shard_key)), F.lit(n_shards)).alias("shard")
+    out = df.withColumn("shard", shard).repartition(F.col("shard"))
+    out.write.mode("overwrite").partitionBy("shard").format(fmt).save(path)
+
+
 def read_binary_dir(spark: SparkSession, path: str,
                     max_bytes: int = MAX_ATTACHMENT_BYTES,
                     glob: str | None = None) -> DataFrame:
