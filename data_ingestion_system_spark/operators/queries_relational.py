@@ -355,6 +355,65 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
 
 
+@register("agg_forecast_revenue", """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def agg_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6 shape: scalar aggregate under range predicates — every
+    filter reaches the parquet scan (range pushdown prunes row groups by
+    min/max stats), then a single global sum with map-side partials."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.lineitem
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue"))
+    )
+
+
+@register("join_semi_dated", """
+SELECT o.o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o.o_orderpriority
+""")
+def join_semi_dated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4 shape: date-ranged semi-join (orders with at least one
+    lineitem shipped >90 days after ordering) + grouped count.  The
+    semi-join carries the correlated time residual and never
+    materializes matching lineitems — each order emits at most once."""
+    cat = Catalog(spark, sf_dir)
+    orders = cat.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    return (
+        orders.join(
+            cat.lineitem,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate")
+               > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
 @register("agg_topk_orders", """
 SELECT l.l_orderkey AS orderkey,
        round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
