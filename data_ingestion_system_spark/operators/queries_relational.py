@@ -500,6 +500,29 @@ def containment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_pivot_event_types", """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS click,
+       count(*) FILTER (WHERE event_type = 'view') AS view,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'error') AS error
+FROM events
+GROUP BY user_id
+""")
+def agg_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot / cross-tab: per-user counts by event type.  Explicit pivot
+    values keep it a single-pass aggregation (without them Spark runs an
+    extra distinct-values job first — never do that at 100 TB)."""
+    cat = Catalog(spark, sf_dir)
+    kinds = ["click", "view", "purchase", "error"]
+    return (
+        cat.events.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .count()
+        .na.fill(0, kinds)
+    )
+
+
 @register("agg_session_window", """
 WITH d AS (
   SELECT user_id, ts, value,
