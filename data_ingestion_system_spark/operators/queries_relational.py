@@ -500,6 +500,54 @@ def containment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_promo_revenue", """
+SELECT round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+""")
+def agg_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14 shape: lineitem ⋈ part (dimension broadcast, zero
+    shuffle for the join) with a conditional-revenue ratio — prefix LIKE
+    stays JVM-side as StartsWith, pushable to the dictionary."""
+    cat = Catalog(spark, sf_dir)
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(0.0)
+    return (
+        cat.lineitem
+        .join(F.broadcast(cat.part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(F.round(F.lit(100.0) * F.sum(promo) / F.sum(disc), 4)
+             .alias("promo_pct"))
+    )
+
+
+@register("agg_supplier_balance", """
+SELECT n.n_name AS nation,
+       count(*) AS n_suppliers,
+       round(sum(s.s_acctbal), 2) AS total_balance,
+       round(max(s.s_acctbal), 2) AS best_balance
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+HAVING count(*) > 1
+""")
+def agg_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier rollup by nation with a HAVING filter (post-aggregation
+    predicate) — dimension⋈dimension broadcast join."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.supplier
+        .join(F.broadcast(cat.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_suppliers"),
+             F.round(F.sum("s_acctbal"), 2).alias("total_balance"),
+             F.round(F.max("s_acctbal"), 2).alias("best_balance"))
+        .filter(F.col("n_suppliers") > 1)
+    )
+
+
 @register("agg_pivot_event_types", """
 SELECT user_id,
        count(*) FILTER (WHERE event_type = 'click') AS click,

@@ -80,3 +80,37 @@ def test_exact_dedup_single_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_exact")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_min" in plan                  # map-side min(doc_id)
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """Joining a date-partitioned fact with a filtered dim prunes fact
+    partitions at RUNTIME from the dim's build side — scans of a
+    partitioned bronze table must not read every date just because the
+    filter arrives via a join."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_system_spark.catalog import Catalog
+    from data_ingestion_system_spark.sources.writers import write_date_partitioned
+
+    cat = Catalog(spark, sf_dir)
+    fact_path = str(tmp_path / "fact")
+    write_date_partitioned(
+        cat.events.select("event_id", "user_id", F.col("ts").alias("timestamp")),
+        fact_path, ts_col="timestamp")
+    fact = spark.read.parquet(fact_path)
+    n_dates = fact.select("audit_date").distinct().count()
+    assert n_dates > 3
+
+    # canonical DPP shape: a filtered parquet dim joined on the partition
+    # column (the selective filter on the build side is what triggers the
+    # runtime pruning subquery)
+    dim_path = str(tmp_path / "dim")
+    (
+        fact.select("audit_date").distinct()
+        .withColumn("tier", F.when(F.rand(7) < 0.3, "hot").otherwise("cold"))
+        .write.parquet(dim_path)
+    )
+    dim = spark.read.parquet(dim_path).filter(F.col("tier") == "hot")
+    joined = fact.join(dim, "audit_date")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "no DPP filter in the fact scan"
