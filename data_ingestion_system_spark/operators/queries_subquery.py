@@ -1,0 +1,205 @@
+"""Declared queries: subquery decorrelation, grouping sets, unpivot and
+lateral-view shapes — §2.12 gap-closers beyond what queries_relational.py
+covers.
+
+The reference generates only flat conjunctive-filter SQL
+(src/services/audit.services.ts:109-163); everything here is new scope a
+real analytics engine needs.  Scale posture per query below: subqueries are
+decorrelated into aggregate-then-join (never per-row recomputation),
+dimension legs broadcast, and every limit is a tie-broken deterministic
+top-k (TakeOrderedAndProject — no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.catalog import Catalog
+from data_ingestion_system_spark.registry import register
+
+
+@register("agg_grouping_sets", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+""")
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (vs the rollup/cube queries' fixed lattices):
+    one Expand + one hash-agg shuffle, same cost profile as a plain groupBy
+    times the number of sets."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.lineitem
+        .groupingSets(
+            [[F.col("l_returnflag")], [F.col("l_linestatus")]],
+            F.col("l_returnflag"), F.col("l_linestatus"))
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register("agg_ship_priority", """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""")
+def agg_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped join + agg + top-k: customer is broadcast into the
+    orders scan (dim leg, no shuffle), the fact-fact join shuffles on
+    orderkey, and the final ordering is a deterministic tie-broken top-10
+    (TakeOrderedAndProject — no global sort at any scale)."""
+    cat = Catalog(spark, sf_dir)
+    cutoff = F.lit("1998-01-01").cast("timestamp_ntz")
+    cust = cat.customer.filter(F.col("c_mktsegment") == "BUILDING")
+    orders = cat.orders.filter(F.col("o_orderdate") < cutoff)
+    li = cat.lineitem.filter(F.col("l_shipdate") > cutoff)
+    return (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register("agg_small_qty_revenue", """
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#12'
+  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                      FROM lineitem l2
+                      WHERE l2.l_partkey = l.l_partkey)
+""")
+def agg_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped correlated scalar subquery, decorrelated the
+    scale-correct way: restrict lineitem to the (broadcast) brand parts
+    first, compute the per-part avg ONCE from that restricted fact slice
+    (identical values — the correlation key is the group key), then join
+    agg-to-fact on l_partkey.  Never recomputes the subquery per row and
+    never windows over the full fact table."""
+    cat = Catalog(spark, sf_dir)
+    parts = cat.part.filter(F.col("p_brand") == "Brand#12").select("p_partkey")
+    li = cat.lineitem.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+    limits = li.groupBy(F.col("l_partkey").alias("k_partkey")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_limit"))
+    return (
+        li.join(limits, F.col("l_partkey") == F.col("k_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register("join_in_agg_subquery", """
+SELECT c.c_name, o.o_orderkey, o.o_totalprice,
+       round(sum(l.l_quantity), 2) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                       GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+""")
+def join_in_agg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped IN-over-aggregate subquery.  The HAVING aggregate
+    already carries the answer, so the semi-join collapses into
+    agg -> filter -> join: sum(l_quantity) per orderkey (one map-side-
+    combined shuffle on the already-partitioned join key), keep the >300
+    heavy hitters (tiny), join orders on orderkey, broadcast customer."""
+    cat = Catalog(spark, sf_dir)
+    heavy = (
+        cat.lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        cat.orders.join(heavy, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cat.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "o_orderkey", "o_totalprice", "total_qty")
+    )
+
+
+@register("join_notin_nullaware", """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_totalprice > 400000)
+""")
+def join_notin_nullaware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN subquery — SQL's null-aware anti join (three-valued: one NULL
+    in the subquery empties the result).  Expressed through the SQL API so
+    Catalyst plans its NullAwareAntiJoin (broadcast-only by design — the
+    filtered subquery side must be small; at scale, prefer NOT EXISTS when
+    the column is provably non-null, which plans a shuffleable anti join
+    like the join_anti query)."""
+    cat = Catalog(spark, sf_dir)
+    cat.register_views(("customer", "orders"))
+    return spark.sql("""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_totalprice > 400000)
+    """)
+
+
+@register("agg_unpivot_orders", """
+SELECT o_orderstatus, 'sum_price' AS metric,
+       round(sum(o_totalprice), 2) AS val
+FROM orders GROUP BY o_orderstatus
+UNION ALL
+SELECT o_orderstatus, 'n_orders' AS metric,
+       CAST(count(*) AS DOUBLE) AS val
+FROM orders GROUP BY o_orderstatus
+""")
+def agg_unpivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (wide metrics -> long rows): one grouped aggregation,
+    then a zero-shuffle Expand over the metric columns — vs the oracle's
+    two-scan UNION ALL formulation."""
+    cat = Catalog(spark, sf_dir)
+    wide = cat.orders.groupBy("o_orderstatus").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.count("*").cast("double").alias("n_orders"),
+    )
+    return wide.unpivot("o_orderstatus", ["sum_price", "n_orders"], "metric", "val")
+
+
+@register("text_word_topk", """
+SELECT word, count(*) AS freq
+FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+      FROM documents) t
+WHERE word <> ''
+GROUP BY word
+ORDER BY freq DESC, word
+LIMIT 20
+""")
+def text_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide word frequency via explode (lateral view / UDTF shape —
+    §2.12 gap): generator runs inside whole-stage codegen, partial counts
+    combine map-side before the one shuffle on word, top-20 is a tie-broken
+    TakeOrderedAndProject.  At 100 TB the same plan holds; skewed stopwords
+    are absorbed by the map-side partial aggregation."""
+    cat = Catalog(spark, sf_dir)
+    words = cat.documents.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"))
+    return (
+        words.filter(F.col("word") != "")
+        .groupBy("word").agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word"))
+        .limit(20)
+    )

@@ -62,6 +62,7 @@ def _load_all() -> None:
         queries_relational,
         queries_search,
         queries_similarity,
+        queries_subquery,
         queries_text,
     )
     _LOADED = True

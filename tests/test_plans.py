@@ -82,6 +82,63 @@ def test_exact_dedup_single_shuffle(spark, sf_dir):
     assert "partial_min" in plan                  # map-side min(doc_id)
 
 
+def test_notin_is_null_aware_broadcast_anti(spark, sf_dir):
+    """NOT IN must plan Spark's null-aware anti join (the trailing `true`
+    on the LeftAnti BroadcastHashJoin) with the subquery filter pushed
+    into the build-side scan."""
+    plan = plan_of(spark, sf_dir, "join_notin_nullaware")
+    assert "LeftAnti, BuildRight, true" in plan
+    assert "GreaterThan(o_totalprice,400000.0)" in plan
+
+
+def test_grouping_sets_single_shuffle_expand(spark, sf_dir):
+    """GROUPING SETS = one Expand + one partial-then-final agg shuffle,
+    never one pass per set."""
+    plan = plan_of(spark, sf_dir, "agg_grouping_sets")
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan
+
+
+def test_unpivot_expands_after_agg(spark, sf_dir):
+    """Melt runs on the tiny aggregated result (Expand above the agg in
+    the plan), not on the raw fact rows, and adds no shuffle."""
+    plan = plan_of(spark, sf_dir, "agg_unpivot_orders")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.index("Expand") < plan.index("HashAggregate")
+
+
+def test_q17_decorrelated_no_window(spark, sf_dir):
+    """The correlated scalar subquery is decorrelated into agg+join with
+    the brand filter pushed to the part scan — no per-key window over the
+    fact table."""
+    plan = plan_of(spark, sf_dir, "agg_small_qty_revenue")
+    assert "EqualTo(p_brand,Brand#12)" in plan
+    assert "Window" not in plan and "row_number" not in plan
+
+
+def test_ship_priority_topk_and_pushdown(spark, sf_dir):
+    """Q3 shape: all three filters reach their scans; final order+limit is
+    a distributed tie-broken top-10, not a global sort."""
+    plan = plan_of(spark, sf_dir, "agg_ship_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "GreaterThan(l_shipdate" in plan
+
+
+def test_word_topk_generate_prunes_and_combines(spark, sf_dir):
+    """Explode shape: the generator reads only the text column, counts
+    combine map-side before the single word shuffle, top-k never sorts
+    globally."""
+    plan = plan_of(spark, sf_dir, "text_word_topk")
+    assert "Generate explode" in plan
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "struct<text:string>" in read_schema
+
+
 def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     """Joining a date-partitioned fact with a filtered dim prunes fact
     partitions at RUNTIME from the dim's build side — scans of a
