@@ -690,3 +690,105 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = purchase.intersect(error).withColumn("bucket", F.lit("both"))
     only = purchase.exceptAll(error).withColumn("bucket", F.lit("purchase_only"))
     return both.unionAll(only)
+
+
+@register("agg_group_percentiles", """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       count(*) AS n
+FROM events GROUP BY event_type
+""")
+def agg_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (linear interpolation — bit-identical
+    formula to DuckDB's quantile_cont).  Exact percentile sorts within
+    the group: fine per event_type; at 100 TB switch callers to the
+    bench_stats query's percentile_approx sketch, which merges partials
+    map-side."""
+    cat = Catalog(spark, sf_dir)
+    return cat.events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
+@register("window_range_frame", """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2)
+           AS hour_sum
+FROM events
+""")
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window per row (RANGE frame): each event's sum
+    over its trailing hour.  Ordering key is integer epoch-MICROseconds on
+    both engines — second-truncation would move frame boundaries and
+    float epochs drift.  One shuffle on user_id, one sort per partition."""
+    cat = Catalog(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (Window.partitionBy("user_id").orderBy(us)
+         .rangeBetween(-3_600_000_000, Window.currentRow))
+    return cat.events.select(
+        "event_id", "user_id",
+        F.round(F.sum("value").over(w), 2).alias("hour_sum"),
+    )
+
+
+@register("agg_market_share", """
+SELECT year(o_orderdate) AS o_year,
+       round(sum(CASE WHEN n_name = 'NATION_7'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY o_year
+""")
+def agg_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped conditional-aggregation ratio (one nation's share
+    of revenue per order-year).  Supplier and nation legs broadcast; the
+    conditional numerator folds into the same single-shuffle grouped agg
+    as the denominator — no second pass, no join of two aggregates."""
+    cat = Catalog(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cat.lineitem
+        .join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cat.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(
+            F.sum(F.when(F.col("n_name") == "NATION_7", rev).otherwise(0.0)) / F.sum(rev),
+            4).alias("mkt_share"))
+    )
+
+
+@register("join_full_outer", """
+WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY nk),
+     s AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY nk)
+SELECT coalesce(c.nk, s.nk) AS nationkey,
+       coalesce(n_cust, 0) AS n_cust,
+       coalesce(n_supp, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+""")
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (§2.12 set-op gap): per-nation customer vs supplier
+    counts, null-completed on both sides.  Outer joins can never broadcast
+    their preserved sides, so both pre-aggregated (tiny) inputs shuffle on
+    the join key — pre-aggregating BEFORE the outer join is the scale move:
+    the shuffle carries one row per nation, not one per customer."""
+    cat = Catalog(spark, sf_dir)
+    c = cat.customer.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count("*").alias("n_cust"))
+    s = cat.supplier.groupBy(F.col("s_nationkey").alias("s_nk")).agg(
+        F.count("*").alias("n_supp"))
+    return (
+        c.join(s, c.nk == s.s_nk, "full_outer")
+        .select(
+            F.coalesce(F.col("nk"), F.col("s_nk")).alias("nationkey"),
+            F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+            F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+        )
+    )

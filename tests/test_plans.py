@@ -139,6 +139,42 @@ def test_word_topk_generate_prunes_and_combines(spark, sf_dir):
     assert "struct<text:string>" in read_schema
 
 
+def test_group_percentiles_partial_merge(spark, sf_dir):
+    """Exact percentile must still combine partial state map-side before
+    its single shuffle (ObjectHashAggregate partial_percentile)."""
+    plan = plan_of(spark, sf_dir, "agg_group_percentiles")
+    assert "partial_percentile" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_frame_single_shuffle_sort(spark, sf_dir):
+    """Trailing-hour RANGE frame: one shuffle on user_id, one
+    partition-local sort, integer-microsecond frame bounds."""
+    plan = plan_of(spark, sf_dir, "window_range_frame")
+    assert "RangeFrame, -3600000000" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort ") == 1
+
+
+def test_market_share_one_agg_pass(spark, sf_dir):
+    """Conditional numerator and denominator fold into ONE grouped agg
+    (no self-join of two aggregates); supplier/nation legs broadcast."""
+    plan = plan_of(spark, sf_dir, "agg_market_share")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "partial_sum(CASE WHEN" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_full_outer_preaggregates_before_join(spark, sf_dir):
+    """Outer joins can't broadcast their preserved sides — both inputs
+    must be pre-aggregated so the FullOuter shuffle carries one row per
+    nation, not one per customer/supplier."""
+    plan = plan_of(spark, sf_dir, "join_full_outer")
+    assert "FullOuter" in plan
+    before_join = plan.split("FullOuter")[1]
+    assert before_join.count("HashAggregate") >= 2  # aggs below the join
+
+
 def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     """Joining a date-partitioned fact with a filtered dim prunes fact
     partitions at RUNTIME from the dim's build side — scans of a
