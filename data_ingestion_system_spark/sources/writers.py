@@ -128,6 +128,68 @@ def _dynamic_overwrite(spark: SparkSession, df: DataFrame, path: str) -> None:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", previous)
 
 
+def zorder_key(cols: list, mins: list, maxs: list, bits: int = 16):
+    """Z-order (Morton) key: bit-interleave the range-normalized values of
+    ``cols`` so that rows close in EVERY dimension get close keys.  Pure
+    column expressions (shift/mask/or) — whole-stage codegen, no UDF.
+
+    Normalization is linear min/max to ``bits`` levels; for heavily skewed
+    dimensions substitute quantile edges for ``mins``/``maxs`` upstream
+    (the interleave is agnostic to how bucket ids were produced)."""
+    ndims = len(cols)
+    quant = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        span = max(float(hi) - float(lo), 1.0)
+        scale = (2**bits - 1) / span
+        quant.append(
+            F.least(
+                F.lit(2**bits - 1),
+                F.greatest(
+                    F.lit(0),
+                    ((c.cast("double") - float(lo)) * scale).cast("long"),
+                ),
+            )
+        )
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for d, v in enumerate(quant):
+            bit = F.shiftright(v, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * ndims + d))
+    return z
+
+
+def write_zordered(df: DataFrame, path: str, cols: list[str],
+                   n_files: int = 32, bits: int = 16,
+                   mode: str = "overwrite") -> None:
+    """Z-order-clustered parquet layout: multi-column data skipping,
+    the lakehouse replacement for a multi-column secondary index (O-48
+    beyond what single-column sort gives).
+
+    A layout sorted by one column has tight min/max stats on THAT column
+    only — every file still spans the full domain of the second filter
+    column, so a conjunctive predicate prunes on one dimension at best
+    (the reference kept five separate B-trees for exactly this reason,
+    ``src/scripts/setup-db.ts:72-78``).  Clustering by the interleaved
+    key gives every file a small bounding box in ALL ``cols``, so parquet
+    row-group/file min-max stats prune multiplicatively.
+
+    Pipeline: one agg pass for min/max -> map-side key computation ->
+    ``repartitionByRange`` on the key (range exchange with sampling — the
+    only shuffle) -> sort within partitions -> one file per task.  Scales
+    linearly; no global sort, no driver-side data."""
+    zcols = [F.col(c) for c in cols]
+    stats = df.agg(*[f(c) for c in cols for f in (F.min, F.max)]).first()
+    mins, maxs = list(stats[0::2]), list(stats[1::2])
+    z = zorder_key(zcols, mins, maxs, bits).alias("__z")
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode).parquet(path)
+    )
+
+
 def write_sharded(df: DataFrame, path: str, shard_key: str,
                   n_shards: int = 16, fmt: str = "json") -> None:
     """Training-shard export: deterministic hash-bucketed shards.
