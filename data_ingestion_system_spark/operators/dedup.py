@@ -222,6 +222,54 @@ def simhash_near_pairs(sig: DataFrame, id_col: str = "doc_id",
     )
 
 
+def connected_components(pairs: DataFrame, a_col: str = "id_a",
+                         b_col: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected pair list -> (node,
+    cluster_id) with cluster_id = min node id in the component.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels (one join + one hash agg —
+    both shuffles land on the same node key, so AQE reuses the
+    partitioning).  Converges in graph-diameter rounds; near-dup graphs
+    are short transitive chains, so a handful.  ``localCheckpoint`` after
+    each round truncates lineage — without it the plan doubles per
+    iteration and the driver, not the data, becomes the bottleneck.  For
+    adversarial diameters at 100 TB, swap the propagation body for the
+    alternating large-star/small-star rounds (same loop skeleton, doubly-
+    logarithmic rounds).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionAll(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("cluster_id", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "cluster_id")
+        )
+        new_labels = (
+            labels.unionAll(neighbor)
+            .groupBy("node").agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("cluster_id", "old"), "node")
+            .filter(F.col("cluster_id") != F.col("old"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def exact_dedup_survivors(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup: keep the lowest id per normalized-content group.
 

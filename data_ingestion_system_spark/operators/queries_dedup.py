@@ -95,6 +95,44 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(sig, max_hamming=3)
 
 
+@register("dedup_cluster_components", f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+  FROM toks, UNNEST(range(len(w) - 2)) AS t(i)),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN cnt ca ON ca.doc_id = id_a
+  JOIN cnt cb ON cb.doc_id = id_b
+  WHERE c * 1.0 / (ca.n + cb.n - c) >= {JACCARD_THRESHOLD}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, root) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node)
+SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
+""")
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: connected components over the
+    word-3-gram Jaccard pair graph (A~B, B~C => one cluster even when
+    A,C don't pair directly — pair lists alone over-keep).  Iterative
+    min-label propagation (operators/dedup.py::connected_components);
+    the oracle is the same fixpoint via DuckDB's recursive CTE."""
+    cat = Catalog(spark, sf_dir)
+    sh = D.word_shingles(cat.documents, "doc_id", "text", n=3, hashed=True)
+    pairs = D.jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return D.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id")
+
+
 @register("dedup_embedding_cosine", f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

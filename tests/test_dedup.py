@@ -71,3 +71,37 @@ def test_simhash_finds_near_dups(spark):
     found_near = sum(1 for n, i in enumerate([3, 11, 19, 27, 35, 43])
                      if (i, 100 + n) in got)
     assert found_near >= 4, f"simhash found only {found_near}/6 near-dups"
+
+
+def test_connected_components_transitive_chain(spark):
+    """A-B-C chain collapses to one cluster (min id) even though A,C
+    never pair directly; disjoint pair stays its own cluster; convergence
+    reached well under max_iter."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        ["id_a", "id_b"])
+    got = {r.node: r.cluster_id
+           for r in D.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_label_is_member_min(spark):
+    """On the real near-dup graph: every edge joins same-cluster nodes
+    and each cluster's label is its minimum member."""
+    from data_ingestion_system_spark.catalog import Catalog
+
+    sh = D.word_shingles(
+        Catalog(spark, "/root/testdata/sf0.001").documents,
+        "doc_id", "text", n=3, hashed=True)
+    pairs = D.jaccard_pairs(sh).filter(F.col("jaccard") >= 0.5)
+    labels = D.connected_components(pairs)
+    lab = {r.node: r.cluster_id for r in labels.collect()}
+    for a, b in [(r.id_a, r.id_b) for r in pairs.collect()]:
+        assert lab[a] == lab[b]
+    by_cluster = {}
+    for n, c in lab.items():
+        by_cluster.setdefault(c, []).append(n)
+    for c, members in by_cluster.items():
+        assert c == min(members)
