@@ -22,7 +22,9 @@ from pyspark.sql.streaming import StreamingQuery
 
 from data_ingestion_system_spark.sources.ingest import (
     REQUEST_SCHEMA,
+    RESPONSE_SCHEMA,
     project_requests,
+    project_responses,
     read_landing,
     validate_split,
 )
@@ -49,6 +51,75 @@ def windowed_counts(spark: SparkSession, landing_dir: str,
             F.col("window.start").cast("timestamp_ntz").alias("w_start"),
             "action", "n",
         )
+    )
+
+
+def stream_stream_correlate(
+    spark: SparkSession,
+    req_dir: str,
+    resp_dir: str,
+    max_lateness: str = "2 hours",
+    join_window: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream join: request stream ⋈ response stream on
+    transaction_id, with the response bounded to ``join_window`` after its
+    request.
+
+    This is the third face of the reference's core correlation (O-16)
+    alongside the batch merge and the applyInPandasWithState operator —
+    here both sides are unbounded and Spark buffers rows in the state
+    store.  The time-bound condition + both-sides watermarks are what make
+    that state finite: a buffered request is evicted once the watermark
+    passes request_time + join_window, so state is O(in-flight
+    transactions), never O(stream).  Without the time bound Spark would
+    have to keep EVERY request forever (any future response could match) —
+    the unbounded-state mistake this function exists to rule out.
+    """
+    req = (
+        project_requests(
+            validate_split(read_landing(spark, req_dir, REQUEST_SCHEMA,
+                                        streaming=True))[0])
+        .withColumn("req_time", F.col("timestamp").cast("timestamp"))
+        .withWatermark("req_time", max_lateness)
+    )
+    resp = (
+        project_responses(
+            validate_split(read_landing(spark, resp_dir, RESPONSE_SCHEMA,
+                                        streaming=True))[0])
+        .withColumnRenamed("transaction_id", "resp_transaction_id")
+        .withColumn("resp_time", F.col("response_ts").cast("timestamp"))
+        .withWatermark("resp_time", max_lateness)
+    )
+    cond = (
+        (F.col("transaction_id") == F.col("resp_transaction_id"))
+        & (F.col("resp_time") >= F.col("req_time"))
+        & (F.col("resp_time") <= F.col("req_time") + F.expr(f"INTERVAL {join_window}"))
+    )
+    return req.join(resp, cond, "inner").select(
+        "transaction_id", "app_id", "endpoint", "workflow_id", "action",
+        "timestamp", "status_code", "response_ts",
+        "request_s3_key", "response_s3_key",
+    )
+
+
+def start_stream_stream_correlate(
+    spark: SparkSession,
+    req_dir: str,
+    resp_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_lateness: str = "2 hours",
+    join_window: str = "1 hour",
+) -> StreamingQuery:
+    """Append-mode stream-stream correlation -> parquet (inner join rows
+    emit as soon as both sides arrive; state evicts at the watermark)."""
+    joined = stream_stream_correlate(
+        spark, req_dir, resp_dir, max_lateness, join_window)
+    return (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start(path=out_dir, format="parquet")
     )
 
 

@@ -133,3 +133,46 @@ def test_stateful_correlation_across_batches(spark, tmp_path):
                spark.read.parquet(out).filter(F.col("outcome") == "timeout").collect()}
     assert "t3" in flushed
     assert flushed["t3"].app_id == "a3" and flushed["t3"].status_code is None
+
+
+def _resp(txn, hour, minute=0, status=200):
+    return {
+        "transactionId": txn,
+        "timestamp": f"2024-03-01T{hour:02d}:{minute:02d}:00.000Z",
+        "statusCode": status, "appId": "app1",
+        "workflowId": "wf", "action": "create",
+    }
+
+
+def test_stream_stream_join_time_bounded(spark, tmp_path):
+    """Responses within the 1h join window match; a response arriving
+    outside the request's window never joins (the reference's silent
+    no-op update becomes an explicit time-bound policy)."""
+    from data_ingestion_system_spark.streaming.windowed import (
+        start_stream_stream_correlate,
+    )
+
+    req_dir, resp_dir = tmp_path / "req", tmp_path / "resp"
+    req_dir.mkdir(); resp_dir.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    reqs = [_req("a", 1), _req("b", 1, 30), _req("c", 2)]
+    resps = [
+        _resp("a", 1, 10, 200),     # 10 min after request a -> match
+        _resp("b", 2, 15, 500),     # 45 min after request b -> match
+        _resp("c", 4, 0, 200),      # 2 h after request c -> outside window
+        _resp("ghost", 1, 5, 404),  # response with no request
+    ]
+    for i, r in enumerate(reqs):
+        (req_dir / f"r{i}.json").write_text(json.dumps(r))
+    for i, r in enumerate(resps):
+        (resp_dir / f"s{i}.json").write_text(json.dumps(r))
+
+    q = start_stream_stream_correlate(
+        spark, str(req_dir), str(resp_dir), out, ckpt,
+        max_lateness="2 hours", join_window="1 hour")
+    q.awaitTermination(120)
+
+    rows = {r.transaction_id: r.status_code
+            for r in spark.read.parquet(out).collect()}
+    assert rows == {"a": 200, "b": 500}
