@@ -61,18 +61,30 @@ class Catalog:
         if name not in self._cache:
             df = self.spark.read.parquet(self.path(name))
             if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-                # integer `div`, not `/` — ns epochs (~1.7e18) exceed
-                # double-precision mantissa and float division drifts by 1us.
-                # Land on TIMESTAMP_NTZ (UTC wall-clock): LTZ would render in
-                # the host TZ at collect() and diverge from the naive-UTC
-                # oracle; other tables' parquet ms timestamps already infer
-                # as NTZ.
-                df = df.withColumn(
-                    "ts",
-                    F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-                )
+                df = _convert_events_ts(df)
             self._cache[name] = df
         return self._cache[name]
+
+    def events_between(self, lo_iso: str, hi_iso: str) -> DataFrame:
+        """events with ``lo_iso <= ts < hi_iso`` (ISO dates, UTC), filtered
+        on the RAW nanos long *before* the timestamp conversion.
+
+        A range predicate on the converted ``ts`` column wraps the scan
+        column in ``timestamp_micros(ts div 1000)`` — an expression parquet
+        can't evaluate, so nothing pushes down and every row-group is read.
+        Re-expressing the bounds in the storage domain (integer
+        nanoseconds) makes them plain long comparisons that reach the scan
+        as PushedFilters and prune row-groups via min/max stats — at
+        100 TB this is the difference between scanning a week and scanning
+        the table.  Pinned by tests/test_plans.py."""
+        df = self.spark.read.parquet(self.path("events"))
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            lo_ns, hi_ns = _iso_to_ns(lo_iso), _iso_to_ns(hi_iso)
+            return _convert_events_ts(
+                df.filter((F.col("ts") >= lo_ns) & (F.col("ts") < hi_ns)))
+        lo = F.lit(lo_iso).cast("timestamp_ntz")
+        hi = F.lit(hi_iso).cast("timestamp_ntz")
+        return df.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in TABLES:
@@ -84,6 +96,24 @@ class Catalog:
         for name in tables:
             if os.path.exists(self.path(name)):
                 self.table(name).createOrReplaceTempView(name)
+
+
+def _convert_events_ts(df: DataFrame) -> DataFrame:
+    """nanos-long -> TIMESTAMP_NTZ.  Integer ``div``, not ``/`` — ns epochs
+    (~1.7e18) exceed the double mantissa and float division drifts by 1us.
+    NTZ (UTC wall-clock) because LTZ would render in the host TZ at
+    collect() and diverge from the naive-UTC oracle; other tables' parquet
+    ms timestamps already infer as NTZ."""
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
+
+
+def _iso_to_ns(iso: str) -> int:
+    """ISO date/datetime (UTC) -> integer epoch nanoseconds."""
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(iso).replace(tzinfo=timezone.utc)
+    return int(dt.timestamp()) * 1_000_000_000 + dt.microsecond * 1_000
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> Catalog:

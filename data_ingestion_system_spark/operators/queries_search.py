@@ -67,6 +67,42 @@ def search_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _search(spark, sf_dir, {"event_id": 42})
 
 
+@register("search_time_range", _SEARCH_ORACLE.format(
+    where="WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' "
+          "AND ts < TIMESTAMP '2024-01-15 00:00:00' "
+          "AND event_type = 'purchase'"))
+def search_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range + equality conjunction: the reference's `idx_timestamp`
+    B-tree use case (setup-db.ts:77) re-expressed as parquet min/max
+    row-group skipping.  The range is applied in the storage domain
+    (raw nanos, ``Catalog.events_between``) so both bounds reach the scan
+    as pushable long comparisons — filtering the *converted* timestamp
+    would wrap the column in an expression and push nothing."""
+    cat = Catalog(spark, sf_dir)
+    bounded = cat.events_between("2024-01-08", "2024-01-15").filter(
+        F.col("event_type") == "purchase")
+    return search(bounded, {}, project=_PROJ,
+                  order_col="ts", tiebreak_col="event_id", limit=100)
+
+
+@register("agg_value_histogram", """
+SELECT CAST(floor(value / 25) AS BIGINT) AS bucket,
+       count(*) AS n, round(avg(value), 4) AS avg_value
+FROM events GROUP BY bucket
+""")
+def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: bucket id computed map-side, one grouped
+    agg — the O(1)-memory alternative to exact percentiles for
+    distribution dashboards."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.events
+        .groupBy(F.floor(F.col("value") / 25).alias("bucket"))
+        .agg(F.count("*").alias("n"),
+             F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
 @register("search_json_payload", """
 SELECT event_id, ts, user_id, event_type, value,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS payload_k

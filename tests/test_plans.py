@@ -139,6 +139,17 @@ def test_word_topk_generate_prunes_and_combines(spark, sf_dir):
     assert "struct<text:string>" in read_schema
 
 
+def test_time_range_pushes_to_scan_in_storage_domain(spark, sf_dir):
+    """The ts-range search must push BOTH bounds into the parquet scan as
+    raw-nanos long comparisons — a filter on the converted timestamp
+    column pushes nothing and reads every row-group."""
+    plan = plan_of(spark, sf_dir, "search_time_range")
+    assert "GreaterThanOrEqual(ts,1704672000000000000)" in plan
+    # (PushedFilters renders truncated; the physical Filter shows both)
+    assert "< 1705276800000000000)" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_group_percentiles_partial_merge(spark, sf_dir):
     """Exact percentile must still combine partial state map-side before
     its single shuffle (ObjectHashAggregate partial_percentile)."""
