@@ -103,6 +103,28 @@ def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_geomean_udaf", """
+SELECT event_type, round(exp(avg(ln(value))), 4) AS geo_mean, count(*) AS n
+FROM events GROUP BY event_type
+""")
+def agg_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via Arrow-batched GROUPED_AGG pandas UDF
+    (functions/udaf.py) — the UDAF surface the reference lacks entirely
+    (SURVEY.md §2.12).  The oracle is the decomposed built-in form
+    exp(avg(ln x)); agreement to 4 decimals also regression-checks the
+    UDAF against the shuffle-light rewrite hot paths should use."""
+    from data_ingestion_system_spark.functions.udaf import (
+        geometric_mean,
+        n_values,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    return cat.events.groupBy("event_type").agg(
+        F.round(geometric_mean("value"), 4).alias("geo_mean"),
+        n_values("value").alias("n"),
+    )
+
+
 @register("search_json_payload", """
 SELECT event_id, ts, user_id, event_type, value,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS payload_k
