@@ -127,10 +127,15 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label propagation (operators/dedup.py::connected_components);
     the oracle is the same fixpoint via DuckDB's recursive CTE."""
     cat = Catalog(spark, sf_dir)
-    sh = D.word_shingles(cat.documents, "doc_id", "text", n=3, hashed=True)
+    # persist the hash-collapsed shingles: jaccard_pairs scans them for
+    # both the self-join and the per-doc counts (16 bytes/row cached)
+    sh = D.word_shingles(cat.documents, "doc_id", "text", n=3,
+                         hashed=True).persist()
     pairs = D.jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    return D.connected_components(pairs).select(
+    labels = D.connected_components(pairs).select(
         F.col("node").alias("doc_id"), "cluster_id")
+    sh.unpersist()
+    return labels
 
 
 @register("dedup_embedding_cosine", f"""
