@@ -158,6 +158,126 @@ def join_notin_nullaware(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+@register("agg_disjunctive_revenue", """
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+""")
+def agg_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped OR-of-ANDs join predicate.  The disjunction mixes
+    columns from both sides, so it can only be evaluated post-join — but
+    each side's *implied* envelope (brand IN the three values ∧ size ≤ 35;
+    quantity in [1,30]) is conjunctive and is applied before the join, so
+    it reaches the parquet scans as PushedFilters.  Part shrinks to three
+    brands (broadcast); lineitem prunes row groups on quantity.  At 100 TB
+    that envelope derivation is the difference between scanning 3/25ths of
+    part and scanning all of it."""
+    cat = Catalog(spark, sf_dir)
+    part = cat.part.filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3")
+        & F.col("p_size").between(1, 35))
+    li = cat.lineitem.filter(F.col("l_quantity").between(1, 30))
+    arm = lambda brand, size_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand) & F.col("p_size").between(1, size_hi)
+        & F.col("l_quantity").between(q_lo, q_hi))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(arm("Brand#12", 15, 1, 11)
+                | arm("Brand#23", 25, 10, 20)
+                | arm("Brand#3", 35, 20, 30))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
+_IDLE_SEGMENTS = ("AUTOMOBILE", "BUILDING", "MACHINERY")
+
+
+@register("agg_idle_customers", f"""
+WITH pool AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+  WHERE c_mktsegment IN {_IDLE_SEGMENTS!r}
+)
+SELECT c_mktsegment AS segment,
+       count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM pool
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM pool WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = pool.c_custkey
+                    AND o.o_totalprice > 300000)
+GROUP BY c_mktsegment
+""")
+def agg_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped: well-funded customers in chosen segments with no
+    large order.  Decorrelated scale-safe: the scalar avg is one 1-row
+    aggregate broadcast into the filter (never recomputed per row), and
+    NOT EXISTS is a left-anti join that shuffles both sides on custkey —
+    works at any orders size, unlike NOT IN's broadcast-only null-aware
+    plan (see join_notin_nullaware)."""
+    cat = Catalog(spark, sf_dir)
+    pool = cat.customer.filter(F.col("c_mktsegment").isin(*_IDLE_SEGMENTS)) \
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    thresh = pool.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal"))
+    return (
+        pool.join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(cat.orders.filter(F.col("o_totalprice") > 300000)
+              .select("o_custkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("numcust"),
+             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+    )
+
+
+@register("join_top_supplier", """
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+""")
+def join_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped max-over-view (ties kept): quarterly revenue per
+    supplier, return the top supplier(s).  The revenue view is computed
+    once (one map-side-combined shuffle on l_suppkey); its 1-row max is
+    broadcast back as a filter — no window over the full view, no second
+    scan of lineitem.  Revenue is rounded to 2 decimals *before* both the
+    max and the equality so the tie comparison is on identical doubles in
+    both engines."""
+    cat = Catalog(spark, sf_dir)
+    lo = F.lit("1998-01-01").cast("timestamp_ntz")
+    hi = F.lit("1998-04-01").cast("timestamp_ntz")
+    rev = (
+        cat.lineitem
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("total_revenue"))
+    )
+    best = rev.agg(F.max("total_revenue").alias("best_rev"))
+    return (
+        rev.join(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("best_rev"))
+        .join(F.broadcast(cat.supplier),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
 @register("agg_unpivot_orders", """
 SELECT o_orderstatus, 'sum_price' AS metric,
        round(sum(o_totalprice), 2) AS val

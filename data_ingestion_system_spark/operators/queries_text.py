@@ -119,6 +119,26 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("text_redact_pii", f"""
+SELECT event_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(props, '{X.EMAIL_PATTERN}', '<EMAIL>', 'g'),
+           '{X.PHONE_PATTERN}', '<PHONE>', 'g'),
+         '{X.NUMBER_PATTERN}', '<NUM>', 'g') AS props_redacted
+FROM events
+""")
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-shaped scrubbing over the event payloads: email -> phone ->
+    number masking as one codegen'd regexp_replace chain (the standard
+    cheap scrub pass before a corpus reaches training).  Pattern strings
+    are shared constants with the oracle SQL; synthetic true-positive
+    cases (real emails/phones) are pinned in tests/test_text_ops.py."""
+    cat = Catalog(spark, sf_dir)
+    return cat.events.select(
+        "event_id", X.redact_pii(F.col("props")).alias("props_redacted"))
+
+
 PACK_TOKENS = 512  # target tokens per packed sequence
 
 

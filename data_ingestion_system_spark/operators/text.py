@@ -76,6 +76,30 @@ def quality_score(col: Column) -> Column:
     return F.round(score, 4)
 
 
+# PII-shaped redaction patterns.  Kept inside the Java∩RE2 regex subset
+# (classes, quantifiers, alternation — no backrefs, no lookaround) so the
+# same pattern strings drive both Spark and the DuckDB oracle.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"(\+?[0-9]{1,3}[-. ]?)?(\([0-9]{2,4}\)[-. ]?)?[0-9]{2,4}[-. ][0-9]{2,4}([-. ][0-9]{2,4})?"
+NUMBER_PATTERN = r"[0-9]+(\.[0-9]+)?"
+
+
+def redact(col: Column, pattern: str, token: str) -> Column:
+    """Replace every occurrence of ``pattern`` with ``token`` (Spark's
+    regexp_replace is global; the oracle needs RE2's explicit 'g' flag)."""
+    return F.regexp_replace(col, pattern, token)
+
+
+def redact_pii(col: Column) -> Column:
+    """Standard training-corpus scrub: emails, then phone-shaped digit
+    runs, then remaining numbers.  Order matters — email local parts can
+    contain digits, so emails are masked first.  Pure codegen'd
+    regexp_replace chain: runs unchanged over 100 TB of text."""
+    out = redact(col, EMAIL_PATTERN, "<EMAIL>")
+    out = redact(out, PHONE_PATTERN, "<PHONE>")
+    return redact(out, NUMBER_PATTERN, "<NUM>")
+
+
 def normalized_text(col: Column) -> Column:
     """Canonical form for exact dedup: lowercase, collapse whitespace."""
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")

@@ -64,3 +64,22 @@ def test_stratified_sample_mix(spark, sf_dir):
     again = {r.lang: r["count"]
              for r in text_stratified_sample(spark, sf_dir).groupBy("lang").count().collect()}
     assert got == again
+
+
+def test_redact_pii_true_positives(spark):
+    """The event-table query only exercises number masking (the fixture
+    payloads hold no emails/phones), so pin real PII shapes here."""
+    from data_ingestion_system_spark.operators.text import redact_pii
+
+    cases = [
+        ("contact john.doe+spam@example.co.uk today", "contact <EMAIL> today"),
+        ("call +1 555-867-5309 now", "call <PHONE> now"),
+        ("call (555) 867-5309 now", "call <PHONE> now"),
+        ("pi is 3.14159 exactly", "pi is <NUM> exactly"),
+        ('{"k": 69}', '{"k": <NUM>}'),
+        ("no pii here", "no pii here"),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], ["text"])
+    got = [r.red for r in
+           df.select(redact_pii(F.col("text")).alias("red")).collect()]
+    assert got == [want for _, want in cases]
