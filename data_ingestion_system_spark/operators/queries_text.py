@@ -119,6 +119,37 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("text_chunk_windows", """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+s AS (
+  SELECT doc_id, w,
+         unnest(range(0, greatest(len(w), 1), 24)) AS start
+  FROM t)
+SELECT doc_id,
+       CAST(start // 24 AS INTEGER) AS chunk_id,
+       array_to_string(w[start + 1 : start + 32], ' ') AS chunk_text
+FROM s
+""")
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (32-token windows, stride 24 — the standard
+    context-window prep for RAG/training corpora): one codegen'd
+    sequence/slice explode, no shuffle at all — chunking is embarrassingly
+    parallel at any scale.  The same semantics are exposed as a Python
+    UDTF (functions/udtf.py::ChunkWindows) for cases needing real
+    tokenizer libraries; equivalence is pinned in tests/test_text_ops.py."""
+    from data_ingestion_system_spark.functions.udtf import chunk_rows
+
+    cat = Catalog(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return (
+        cat.documents
+        .select("doc_id", F.explode(chunk_rows(toks)).alias("c"))
+        .select("doc_id", F.col("c.chunk_id").alias("chunk_id"),
+                F.col("c.chunk_text").alias("chunk_text"))
+    )
+
+
 @register("text_redact_pii", f"""
 SELECT event_id,
        regexp_replace(

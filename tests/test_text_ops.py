@@ -83,3 +83,55 @@ def test_redact_pii_true_positives(spark):
     got = [r.red for r in
            df.select(redact_pii(F.col("text")).alias("red")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_chunk_udtf_matches_jvm_chunker(spark, sf_dir):
+    """The Python UDTF surface and the codegen'd JVM chunker must agree
+    row-for-row (same windows, same trailing-chunk behavior)."""
+    from data_ingestion_system_spark.functions.udtf import (
+        CHUNK_STRIDE,
+        CHUNK_WINDOW,
+        ChunkWindows,
+    )
+    from data_ingestion_system_spark.operators.queries_text import (
+        text_chunk_windows,
+    )
+
+    spark.udtf.register("chunk_windows", ChunkWindows)
+    Catalog(spark, sf_dir).register_views(("documents",))
+    via_udtf = spark.sql(f"""
+        SELECT d.doc_id, c.chunk_id, c.chunk_text
+        FROM documents d,
+             LATERAL chunk_windows(d.text, {CHUNK_WINDOW}, {CHUNK_STRIDE}) c
+    """)
+    jvm = text_chunk_windows(spark, sf_dir)
+    assert sorted(map(tuple, via_udtf.collect())) == \
+        sorted(map(tuple, jvm.collect()))
+
+
+def test_chunk_windows_shapes(spark, sf_dir):
+    from data_ingestion_system_spark.functions.udtf import (
+        CHUNK_STRIDE,
+        CHUNK_WINDOW,
+    )
+    from data_ingestion_system_spark.operators.queries_text import (
+        text_chunk_windows,
+    )
+
+    rows = text_chunk_windows(spark, sf_dir).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    cat = Catalog(spark, sf_dir)
+    assert len(per_doc) == cat.documents.count()  # every doc chunked
+    for chunks in per_doc.values():
+        chunks.sort(key=lambda r: r.chunk_id)
+        # contiguous ids from 0; every chunk bounded by the window size
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert 1 <= len(c.chunk_text.split()) <= CHUNK_WINDOW
+        # consecutive chunks overlap by window - stride tokens
+        for a, b in zip(chunks, chunks[1:]):
+            a_t, b_t = a.chunk_text.split(), b.chunk_text.split()
+            if len(a_t) == CHUNK_WINDOW:
+                assert a_t[CHUNK_STRIDE:] == b_t[:CHUNK_WINDOW - CHUNK_STRIDE]
