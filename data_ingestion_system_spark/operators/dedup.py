@@ -270,6 +270,28 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
     return labels
 
 
+def cross_corpus_overlap(docs: DataFrame, id_col: str, text_col: str,
+                         source_col: str, bench_value: str,
+                         n: int = 5) -> DataFrame:
+    """Benchmark-contamination audit: for every doc NOT in the benchmark
+    source, count its distinct word-n-grams that also occur anywhere in
+    the benchmark source.  The benchmark gram set is hash-collapsed,
+    deduplicated and broadcast (eval corpora are small by construction),
+    so the training side is one map-only scan + local hash-semijoin at
+    any corpus size."""
+    bench = (
+        word_shingles(docs.filter(F.col(source_col) == bench_value),
+                      id_col, text_col, n=n, hashed=True)
+        .select("sh").distinct()
+    )
+    train = word_shingles(docs.filter(F.col(source_col) != bench_value),
+                          id_col, text_col, n=n, hashed=True)
+    return (
+        train.join(F.broadcast(bench), "sh")
+        .groupBy(id_col).agg(F.count("*").alias("n_shared"))
+    )
+
+
 def exact_dedup_survivors(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup: keep the lowest id per normalized-content group.
 

@@ -138,6 +138,38 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels
 
 
+BENCHMARK_SOURCE = "src0"  # stands in for a held-out eval corpus
+
+
+@register("dedup_contamination", f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, source,
+         w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5]
+           AS shingle
+  FROM toks, UNNEST(range(len(w) - 4)) AS t(i)),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE source = '{BENCHMARK_SOURCE}')
+SELECT s.doc_id, count(*) AS n_shared
+FROM sh s JOIN bench b ON s.shingle = b.shingle
+WHERE s.source <> '{BENCHMARK_SOURCE}'
+GROUP BY s.doc_id
+""")
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check (the GPT-3-style n-gram overlap
+    audit): training docs sharing >= 1 exact word-5-gram with the
+    held-out corpus, with the shared-gram count.  The eval side collapses
+    to a distinct hashed-gram set and is BROADCAST — benchmark corpora
+    are small by construction, so the training corpus is scanned once,
+    map-only, at any scale.  Gram counts use the same hash-collapsed
+    longs as MinHash (collision odds ~n²/2⁶⁴); the oracle recomputes
+    them string-level."""
+    cat = Catalog(spark, sf_dir)
+    return D.cross_corpus_overlap(
+        cat.documents, "doc_id", "text", "source", BENCHMARK_SOURCE, n=5)
+
+
 @register("dedup_embedding_cosine", f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -119,6 +119,43 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("text_repetition", """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(range(len(w) - 2),
+                        i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS gr
+  FROM toks WHERE len(w) >= 3)
+SELECT doc_id,
+       round(1.0 - len(list_distinct(gr)) * 1.0 / len(gr), 6) AS dup_gram_ratio
+FROM g
+""")
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition score (Gopher-style quality rule):
+    fraction of word-3-grams that are repeats of an earlier gram in the
+    same doc.  Boilerplate/spam scores high and gets filtered before
+    training.  Entirely row-local higher-order functions — no shuffle,
+    scales with scan bandwidth."""
+    cat = Catalog(spark, sf_dir)
+    w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    gr = F.expr(
+        "transform(sequence(0, size(w) - 3), "
+        "i -> concat_ws(' ', w[i], w[i + 1], w[i + 2]))")
+    return (
+        cat.documents.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct(gr)).cast("double") / F.size(gr),
+                6).alias("dup_gram_ratio"),
+        )
+    )
+
+
 @register("text_chunk_windows", """
 WITH t AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),

@@ -105,3 +105,24 @@ def test_connected_components_label_is_member_min(spark):
         by_cluster.setdefault(c, []).append(n)
     for c, members in by_cluster.items():
         assert c == min(members)
+
+
+def test_contamination_planted_overlap(spark):
+    """A training doc copying a benchmark span is flagged with the exact
+    shared-gram count; a disjoint doc is not flagged at all."""
+    from data_ingestion_system_spark.operators.dedup import cross_corpus_overlap
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, bench_text, "bench"),
+            # copies tokens 1..6 of the benchmark: 6 tokens -> two 5-grams
+            (2, "beta gamma delta epsilon zeta eta PAD1 PAD2", "train"),
+            (3, "totally different words with no overlap at all", "train"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    got = {r.doc_id: r.n_shared
+           for r in cross_corpus_overlap(
+               docs, "doc_id", "text", "source", "bench", n=5).collect()}
+    assert got == {2: 2}
