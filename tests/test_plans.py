@@ -218,3 +218,35 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     joined = fact.join(dim, "audit_date")
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), "no DPP filter in the fact scan"
+
+
+def test_runtime_bloom_filter_on_shuffle_join(spark, sf_dir):
+    """A selective filter on one side of a shuffle join injects a runtime
+    bloom filter on the other side's join key (rows that cannot match die
+    at the probe-side scan, before the shuffle).  The application-side
+    size threshold defaults to 10 GB — sane on a cluster, never met at
+    test scale — so it is forced down here purely to pin the plan shape
+    Spark produces automatically at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_system_spark.catalog import Catalog
+
+    cat = Catalog(spark, sf_dir)
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        sel_orders = cat.orders.filter(F.col("o_totalprice") > 400000)
+        j = (cat.lineitem
+             .join(sel_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+             .groupBy("o_orderstatus").agg(F.count("*").alias("n")))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan       # built from the selective side
+        assert "might_contain" in plan.lower()  # probed on the fact side
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
