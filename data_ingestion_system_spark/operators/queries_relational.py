@@ -480,6 +480,60 @@ def agg_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_resample_ffill", """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events),
+users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 20),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM users, bounds),
+hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, avg(value) AS v
+  FROM events WHERE user_id < 20 GROUP BY 1, 2)
+SELECT g.user_id, g.bucket,
+       round(last_value(h.v IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value_ffill
+FROM grid g LEFT JOIN hourly h USING (user_id, bucket)
+""")
+def agg_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward-fill: a dense per-user hourly grid
+    (empty buckets included), each bucket carrying the last observed
+    hourly mean.  The grid is generated executor-side (per-user
+    sequence+explode off a broadcast 1-row bounds agg — no driver loop),
+    the hourly means are one map-combined shuffle, and the fill is one
+    last-non-null running window per user.  Leading buckets before a
+    user's first observation stay NULL by design.  At scale the grid is
+    O(users × buckets) rows but never materializes wider than the window
+    partition (one user's timeline)."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"))
+    sub = ev.filter(F.col("user_id") < 20)
+    grid = (
+        sub.select("user_id").distinct()
+        .join(F.broadcast(bounds))
+        .select("user_id", F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket"))
+    )
+    hourly = (
+        sub.groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.avg("value").alias("v"))
+    )
+    w = (Window.partitionBy("user_id").orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        grid.join(hourly, ["user_id", "bucket"], "left")
+        .select("user_id",
+                F.col("bucket").cast("timestamp_ntz").alias("bucket"),
+                F.round(F.last("v", ignorenulls=True).over(w), 4)
+                .alias("value_ffill"))
+    )
+
+
 @register("containment_match", """
 SELECT doc_id,
        len(list_filter(['error', 'click', 'purchase'],

@@ -45,6 +45,39 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_bruteforce(corpus, queries, k=K)
 
 
+@register("emb_norm_stats", """
+WITH n AS (
+  SELECT label,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings)
+SELECT label, count(*) AS n_vecs,
+       round(avg(nrm), 4) AS avg_norm,
+       round(min(nrm), 6) AS min_norm,
+       round(max(nrm), 6) AS max_norm
+FROM n GROUP BY label
+""")
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-health audit: L2-norm distribution per label (collapsed
+    or exploding norms are the standard symptom of a bad encoder run).
+    The norm uses the unrolled fixed-dim dot product
+    (functions/vectors.py::dot_fixed — codegen'd, left-associated, so
+    DuckDB-bit-exact); one row-local map + one grouped agg, no join."""
+    from data_ingestion_system_spark.functions.vectors import as_double, dot_fixed
+    from data_ingestion_system_spark.operators.similarity import DIM
+
+    cat = Catalog(spark, sf_dir)
+    v = as_double(F.col("embedding"))
+    return (
+        cat.embeddings
+        .select("label", F.sqrt(dot_fixed(v, v, DIM)).alias("nrm"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n_vecs"),
+             F.round(F.avg("nrm"), 4).alias("avg_norm"),
+             F.round(F.min("nrm"), 6).alias("min_norm"),
+             F.round(F.max("nrm"), 6).alias("max_norm"))
+    )
+
+
 @register("sim_topk_lsh")  # bucket assignment uses engine RNG-derived planes: rows-only
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via sign-random-projection buckets (Pandas-UDF matmul);
