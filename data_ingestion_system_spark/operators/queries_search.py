@@ -85,6 +85,24 @@ def search_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                   order_col="ts", tiebreak_col="event_id", limit=100)
 
 
+@register("search_prefix", _SEARCH_ORACLE.format(
+    where="WHERE event_type LIKE 'c%' OR event_type LIKE 's%'"))
+def search_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-40 startswith as a search predicate: prefix matches compile to
+    `StringStartsWith` pushed filters, which parquet answers from
+    dictionary/min-max stats — unlike contains/suffix predicates, which
+    must scan.  (The reference uses startsWith only for route dispatch,
+    app.ts:23; here it's first-class.)"""
+    cat = Catalog(spark, sf_dir)
+    pred = (F.col("event_type").startswith("c")
+            | F.col("event_type").startswith("s"))
+    return (
+        cat.events.filter(pred).select(*_PROJ)
+        .orderBy(F.col("ts").desc_nulls_last(), F.col("event_id").desc())
+        .limit(100)
+    )
+
+
 @register("agg_value_histogram", """
 SELECT CAST(floor(value / 25) AS BIGINT) AS bucket,
        count(*) AS n, round(avg(value), 4) AS avg_value

@@ -135,3 +135,24 @@ def test_chunk_windows_shapes(spark, sf_dir):
             a_t, b_t = a.chunk_text.split(), b.chunk_text.split()
             if len(a_t) == CHUNK_WINDOW:
                 assert a_t[CHUNK_STRIDE:] == b_t[:CHUNK_WINDOW - CHUNK_STRIDE]
+
+
+def test_redact_pii_idempotent(spark):
+    """Masking already-masked text must be a no-op (the replacement
+    tokens contain no digits or @-runs for the patterns to re-match)."""
+    import random
+
+    from data_ingestion_system_spark.operators.text import redact_pii
+
+    rng = random.Random(7)
+    alphabet = list("abc 0123456789@.-+() ")
+    rows = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+            for _ in range(200)]
+    df = spark.createDataFrame([(s,) for s in rows], ["text"])
+    once_twice = df.select(
+        redact_pii(F.col("text")).alias("once"),
+    ).select(
+        "once", redact_pii(F.col("once")).alias("twice"),
+    ).collect()
+    for r in once_twice:
+        assert r.once == r.twice
