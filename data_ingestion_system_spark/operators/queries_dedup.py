@@ -148,20 +148,25 @@ WITH p AS (
   FROM documents)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        levenshtein(a.pfx, b.pfx) AS edit_dist
-FROM p a JOIN p b ON a.source = b.source AND a.doc_id < b.doc_id
+FROM p a JOIN p b
+  ON a.source = b.source
+ AND substr(a.pfx, 1, 1) = substr(b.pfx, 1, 1)
+ AND a.doc_id < b.doc_id
 ORDER BY edit_dist, id_a, id_b
 LIMIT 20
 """)
 def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy dedup by edit distance: candidate pairs form only
-    WITHIN a blocking key (source here; lang/length-bucket in general),
-    each pair compared on a fixed normalized prefix, closest 20 pairs
-    reported (deterministic tie-broken top-k, no threshold to tune).
-    Blocking is what makes edit-distance dedup scale: the quadratic
-    explosion is bounded per block, the equi-join on the block key is one
-    shuffle, and `levenshtein` runs JVM-side (identical semantics in the
-    DuckDB oracle).  The final top-20 is TakeOrderedAndProject — no
-    global sort."""
+    WITHIN a blocking key — (source, first char of the normalized
+    prefix), the sorted-neighborhood-style key — each pair compared on a
+    fixed normalized prefix, closest 20 pairs reported (deterministic
+    tie-broken top-k, no threshold to tune).  Blocking is the ONLY thing
+    that makes edit-distance dedup scale: pair count is quadratic per
+    block, never per corpus, and the block key rides one equi-join
+    shuffle.  The first-char component trades recall for a ~|alphabet|×
+    pair cut (edits at position 0 are missed — the MinHash/SimHash
+    family covers those); `levenshtein` runs JVM-side with identical
+    DuckDB semantics, and the final top-20 is TakeOrderedAndProject."""
     cat = Catalog(spark, sf_dir)
     from data_ingestion_system_spark.operators.text import normalized_text
 
@@ -174,6 +179,7 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("pfx").alias("pfx_b"))
     return (
         a.join(b, (F.col("src_a") == F.col("src_b"))
+               & (F.substring("pfx_a", 1, 1) == F.substring("pfx_b", 1, 1))
                & (F.col("id_a") < F.col("id_b")))
         .select("id_a", "id_b",
                 F.levenshtein("pfx_a", "pfx_b").alias("edit_dist"))
