@@ -45,8 +45,11 @@ def main() -> None:
     # best-of-N wall clock per query, taken across FULL passes over the
     # query list (not back-to-back repeats): transient host stalls last
     # seconds-to-minutes, so temporal separation decorrelates them from
-    # any one query; min (not mean) estimates intrinsic cost.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # any one query; min (not mean) estimates intrinsic cost.  Three
+    # passes, not two: pass 1 also pays whole-stage-codegen compilation
+    # for each query's plan, so a single co-located stall in pass 2
+    # would otherwise leave no clean measurement at all.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for _ in range(runs):
         for name, fn in sorted(qs.items()):
