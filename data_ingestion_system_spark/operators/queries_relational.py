@@ -480,6 +480,25 @@ def agg_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_zscore_by_user", """
+SELECT event_id, user_id,
+       round((value - avg(value) OVER (PARTITION BY user_id))
+             / stddev_samp(value) OVER (PARTITION BY user_id), 4) AS zscore
+FROM events
+""")
+def agg_zscore_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group normalization (z-score of value within each user): two
+    windowed aggregates over one user partition — a single shuffle, no
+    pandas.  The GROUPED_MAP applyInPandas twin
+    (functions/grouped.py::zscore_grouped_map) is the API surface for
+    group-local logic with no such decomposition; equivalence is pinned
+    in tests/test_text_ops.py."""
+    from data_ingestion_system_spark.functions.grouped import zscore_builtin
+
+    cat = Catalog(spark, sf_dir)
+    return zscore_builtin(cat.events)
+
+
 @register("agg_resample_ffill", """
 WITH bounds AS (
   SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
