@@ -278,6 +278,32 @@ def join_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_order_count_dist", """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey) t
+GROUP BY c_count
+""")
+def agg_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped distribution-of-group-sizes: orders per customer
+    (zero-order customers preserved by the left join — count(o_orderkey)
+    skips NULLs), then the distribution of those counts.  First agg
+    shuffles on custkey (the join's own key, so AQE reuses the
+    partitioning); the second agg's input is one row per customer and its
+    key space is tiny."""
+    cat = Catalog(spark, sf_dir)
+    per_cust = (
+        cat.customer.join(
+            cat.orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
 @register("agg_unpivot_orders", """
 SELECT o_orderstatus, 'sum_price' AS metric,
        round(sum(o_totalprice), 2) AS val
