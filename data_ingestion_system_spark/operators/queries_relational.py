@@ -480,6 +480,45 @@ def agg_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_funnel", """
+WITH f AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id)
+SELECT count(*) AS n_users,
+       count(t_view) AS n_view,
+       count(CASE WHEN t_click > t_view THEN 1 END) AS n_view_click,
+       count(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 END)
+         AS n_full_funnel
+FROM f
+""")
+def agg_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-funnel analysis (view -> click -> purchase ordered by
+    first occurrence): conditional-min aggregation collapses each user's
+    event history to three timestamps in ONE map-combined shuffle on
+    user_id, and the funnel ordering is then row-local — the scale-safe
+    alternative to per-user event-sequence windows (no per-user sort,
+    state is three timestamps per user regardless of history length)."""
+    cat = Catalog(spark, sf_dir)
+    t = lambda et: F.min(  # noqa: E731
+        F.when(F.col("event_type") == et, F.col("ts")))
+    f = cat.events.groupBy("user_id").agg(
+        t("view").alias("t_view"),
+        t("click").alias("t_click"),
+        t("purchase").alias("t_purchase"))
+    return f.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1))
+        .alias("n_view_click"),
+        F.count(F.when((F.col("t_click") > F.col("t_view"))
+                       & (F.col("t_purchase") > F.col("t_click")), 1))
+        .alias("n_full_funnel"),
+    )
+
+
 @register("agg_zscore_by_user", """
 SELECT event_id, user_id,
        round((value - avg(value) OVER (PARTITION BY user_id))

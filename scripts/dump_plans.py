@@ -85,6 +85,25 @@ HEADLINERS = {
         "on custkey — both sides scale out, unlike NOT IN's "
         "broadcast-only null-aware plan."
     ),
+    "agg_resample_ffill": (
+        "Time-series resample + forward-fill: the dense grid explodes "
+        "executor-side off a broadcast 1-row bounds aggregate, hourly "
+        "means partial-aggregate before their shuffle, and the fill is "
+        "one last-non-null running window per user — no driver loop "
+        "anywhere."
+    ),
+    "dedup_levenshtein": (
+        "Blocked fuzzy dedup: the (source, first-char) blocking key "
+        "rides one equi-join shuffle so pair count is quadratic per "
+        "block, never per corpus; levenshtein evaluates inside codegen "
+        "and the top-20 is `TakeOrderedAndProject`."
+    ),
+    "agg_funnel": (
+        "Conversion funnel: conditional-min aggregation collapses each "
+        "user's history to three timestamps in one map-combined shuffle "
+        "— per-user state is O(1) regardless of history length, no "
+        "event-sequence window."
+    ),
     "text_chunk_windows": (
         "Sliding-window chunking: sequence/slice/concat_ws inside one "
         "`Generate`+`WholeStageCodegen` span — zero exchanges in the "
