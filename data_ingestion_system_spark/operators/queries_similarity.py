@@ -45,6 +45,84 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_bruteforce(corpus, queries, k=K)
 
 
+_HOURS = range(24)
+_PROF_COLS_SQL = ",\n         ".join(
+    f"coalesce(avg(CASE WHEN hour(ts) = {h} THEN value END), 0.0) AS h{h}"
+    for h in _HOURS)
+_HV_SQL = "[" + ", ".join(f"h{h}" for h in _HOURS) + "]"
+_ONES_SQL = "[" + ", ".join("1.0" for _ in _HOURS) + "]::DOUBLE[]"
+
+
+@register("sim_user_timeseries", f"""
+WITH prof AS (
+  SELECT user_id,
+         {_PROF_COLS_SQL}
+  FROM events GROUP BY user_id),
+vec AS (
+  SELECT user_id, {_HV_SQL}::DOUBLE[] AS hv FROM prof),
+cent AS (
+  SELECT user_id,
+         list_transform(hv, x -> x - list_dot_product(hv, {_ONES_SQL}) / 24.0)
+           AS cv
+  FROM vec),
+nrm AS (
+  SELECT user_id, cv, sqrt(list_dot_product(cv, cv)) AS n FROM cent)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       round(list_dot_product(a.cv, b.cv) / (a.n * b.n), 6) AS correlation
+FROM nrm a JOIN nrm b ON a.user_id < b.user_id
+WHERE a.n > 0 AND b.n > 0
+ORDER BY correlation DESC, user_a, user_b
+LIMIT 20
+""")
+def sim_user_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (EDBT'19-shaped): each user's
+    activity collapses to a 24-dim hour-of-day profile vector (one
+    map-combined shuffle), profiles are mean-centered so the score is
+    Pearson correlation of daily rhythms, and the top-20 most-similar
+    pairs come out of a tie-broken TakeOrderedAndProject.
+
+    The profile stays an ARRAY column with higher-order-function math
+    (functions/vectors.py::dot) deliberately: unrolling 24-term
+    arithmetic into named columns sends Catalyst's
+    InferFiltersFromConstraints into a quadratic constraint-
+    canonicalization blowup (driver OOM) once a filter sits above the
+    aliased expressions — the array form keeps every expression tree a
+    handful of nodes, and the interpreted fold is irrelevant at 24
+    elements.  Fold order (left, 0-seeded) matches DuckDB's
+    list_dot_product, so the query is fully oracle-checked.  All-pairs
+    is quadratic in users — at real scale the pair join swaps for
+    SRP-LSH over the same profile vectors (operators/similarity.py),
+    exactly like the embedding ANN path."""
+    from data_ingestion_system_spark.functions.vectors import dot
+
+    cat = Catalog(spark, sf_dir)
+    hours = [
+        F.coalesce(F.avg(F.when(F.hour("ts") == h, F.col("value"))), F.lit(0.0))
+        .alias(f"h{h}") for h in _HOURS]
+    prof = cat.events.groupBy("user_id").agg(*hours)
+    hv = F.array(*[F.col(f"h{h}") for h in _HOURS])
+    vec = prof.select("user_id", hv.alias("hv"))
+    mu = dot(F.col("hv"), F.array_repeat(F.lit(1.0), 24)) / 24.0
+    cent = vec.select(
+        "user_id", F.transform("hv", lambda x: x - mu).alias("cv"))
+    nrm = cent.select(
+        "user_id", "cv", F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("n"))
+    a = nrm.select(F.col("user_id").alias("user_a"),
+                   F.col("cv").alias("cv_a"), F.col("n").alias("n_a"))
+    b = nrm.select(F.col("user_id").alias("user_b"),
+                   F.col("cv").alias("cv_b"), F.col("n").alias("n_b"))
+    return (
+        a.join(b, F.col("user_a") < F.col("user_b"))
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .select("user_a", "user_b",
+                F.round(dot(F.col("cv_a"), F.col("cv_b"))
+                        / (F.col("n_a") * F.col("n_b")), 6)
+                .alias("correlation"))
+        .orderBy(F.col("correlation").desc(), "user_a", "user_b")
+        .limit(20)
+    )
+
+
 @register("emb_norm_stats", """
 WITH n AS (
   SELECT label,
