@@ -107,15 +107,20 @@ def sim_user_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.transform("hv", lambda x: x - mu).alias("cv"))
     nrm = cent.select(
         "user_id", "cv", F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("n"))
+    from data_ingestion_system_spark.functions.vectors import dot_fixed
+
     a = nrm.select(F.col("user_id").alias("user_a"),
                    F.col("cv").alias("cv_a"), F.col("n").alias("n_a"))
     b = nrm.select(F.col("user_id").alias("user_b"),
                    F.col("cv").alias("cv_b"), F.col("n").alias("n_b"))
+    # the PAIR stage (quadratic) uses the unrolled codegen'd dot on the
+    # array attributes — per-row stages above stay HOF so no giant
+    # aliased expressions ever sit under the n>0 filter (see docstring)
     return (
         a.join(b, F.col("user_a") < F.col("user_b"))
         .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
         .select("user_a", "user_b",
-                F.round(dot(F.col("cv_a"), F.col("cv_b"))
+                F.round(dot_fixed(F.col("cv_a"), F.col("cv_b"), 24)
                         / (F.col("n_a") * F.col("n_b")), 6)
                 .alias("correlation"))
         .orderBy(F.col("correlation").desc(), "user_a", "user_b")
