@@ -22,7 +22,7 @@ one file per date per shuffle partition instead of
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 MAX_ATTACHMENT_BYTES = 5 * 1024 * 1024  # multer cap, audit.middleware.ts:10
@@ -99,6 +99,40 @@ def upsert_by_partition(
     else:
         merged = updates
     _dynamic_overwrite(spark, merged.repartition(F.col("audit_date")), table_path)
+
+
+def scd2_apply(history: DataFrame, updates: DataFrame, key: str,
+               ts_col: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 merge: apply an update batch to a
+    versioned history table, closing superseded versions and opening new
+    current ones.
+
+    ``history`` carries the key, the tracked attributes, and
+    ``valid_from`` / ``valid_to`` timestamps (``valid_to IS NULL`` =
+    current version).  ``updates`` carries the key, the same attributes,
+    and ``ts_col`` (the change's effective time).  Several updates to one
+    key in a single batch are chained in ``ts_col`` order.
+
+    Scale shape: keys untouched by the batch pass through with one
+    broadcast anti join (the update batch's key set is small); only the
+    affected keys' open versions re-window, partitioned by key — state
+    per task is one key's version chain, never the table.  Persist the
+    result with ``upsert_by_partition``-style dynamic overwrite when the
+    history is date-partitioned on ``valid_from``.  Row-level MERGE on
+    mutable storage (the reference's UPDATE, ``processQueue.ts:230-238``)
+    becomes this union + window on immutable parquet."""
+    affected = updates.select(key).distinct()
+    untouched = history.join(F.broadcast(affected), key, "left_anti")
+    touched = history.join(F.broadcast(affected), key, "inner")
+    closed = touched.filter(F.col("valid_to").isNotNull())
+    open_rows = touched.filter(F.col("valid_to").isNull()).drop("valid_to")
+    incoming = updates.withColumnRenamed(ts_col, "valid_from")
+    w = Window.partitionBy(key).orderBy("valid_from")
+    reversioned = (
+        open_rows.unionByName(incoming)
+        .withColumn("valid_to", F.lead("valid_from").over(w))
+    )
+    return untouched.unionByName(closed.unionByName(reversioned))
 
 
 def compact_partitions(spark: SparkSession, table_path: str) -> int:

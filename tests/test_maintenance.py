@@ -71,3 +71,39 @@ def test_compaction_reduces_file_count(spark, tmp_path):
     after = len([f for f in os.listdir(part_dir) if f.endswith(".parquet")])
     assert after < before
     assert spark.read.parquet(table).count() == 5  # no data change
+
+
+def test_scd2_versioning(spark):
+    """Two update batches produce a contiguous, correctly-closed version
+    chain per key; untouched keys pass through byte-identical."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_system_spark.sources.writers import scd2_apply
+
+    t0, t1, t2, t3 = (datetime(2024, 1, d, 0, 0) for d in (1, 5, 9, 13))
+    history = spark.createDataFrame(
+        [(1, "a1", t0, None), (2, "b1", t0, None), (3, "c1", t0, None)],
+        "k int, attr string, valid_from timestamp_ntz, valid_to timestamp_ntz")
+
+    # batch 1: two chained updates for k=1, one for k=2
+    batch1 = spark.createDataFrame(
+        [(1, "a2", t1), (1, "a3", t2), (2, "b2", t1)],
+        "k int, attr string, ts timestamp_ntz")
+    h1 = scd2_apply(history, batch1, "k", "ts")
+
+    # batch 2 on top of batch 1: k=2 changes again
+    batch2 = spark.createDataFrame(
+        [(2, "b3", t3)], "k int, attr string, ts timestamp_ntz")
+    h2 = scd2_apply(h1, batch2, "k", "ts")
+
+    rows = {(r.k, r.attr): (r.valid_from, r.valid_to) for r in h2.collect()}
+    assert rows == {
+        (1, "a1"): (t0, t1), (1, "a2"): (t1, t2), (1, "a3"): (t2, None),
+        (2, "b1"): (t0, t1), (2, "b2"): (t1, t3), (2, "b3"): (t3, None),
+        (3, "c1"): (t0, None),
+    }
+    # exactly one current (open) version per key
+    cur = h2.filter(F.col("valid_to").isNull()).groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in cur) and len(cur) == 3
