@@ -63,3 +63,41 @@ def ingest_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("ts_ms"),
         )
     )
+
+
+@register("ingest_expectations", """
+SELECT count(*) AS n_rows,
+       sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS null_keys,
+       count(*) - count(DISTINCT o_orderkey) AS dup_keys,
+       sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpositive_price,
+       sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01 00:00:00'
+                  OR o_orderdate > TIMESTAMP '2030-01-01 00:00:00'
+                THEN 1 ELSE 0 END) AS date_out_of_range,
+       sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)
+         AS bad_status
+FROM orders
+""")
+def ingest_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations in ONE pass (O-14 generalized): null /
+    uniqueness / range / domain rules evaluate as conditional aggregates
+    over a single scan — adding a rule adds a column, never a pass.  The
+    uniqueness check rides Spark's two-phase partial-distinct; everything
+    else partial-aggregates map-side.  The same rule expressions drive a
+    quarantine split when row-level routing is needed
+    (sources/ingest.py::validate_split)."""
+    cat = Catalog(spark, sf_dir)
+
+    def viol(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    lo = F.lit("1990-01-01").cast("timestamp_ntz")
+    hi = F.lit("2030-01-01").cast("timestamp_ntz")
+    return cat.orders.agg(
+        F.count("*").alias("n_rows"),
+        viol(F.col("o_orderkey").isNull()).alias("null_keys"),
+        (F.count("*") - F.count_distinct(F.col("o_orderkey"))).alias("dup_keys"),
+        viol(F.col("o_totalprice") <= 0).alias("nonpositive_price"),
+        viol((F.col("o_orderdate") < lo) | (F.col("o_orderdate") > hi))
+        .alias("date_out_of_range"),
+        viol(~F.col("o_orderstatus").isin("O", "F", "P")).alias("bad_status"),
+    )
