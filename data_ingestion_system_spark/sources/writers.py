@@ -113,26 +113,32 @@ def scd2_apply(history: DataFrame, updates: DataFrame, key: str,
     and ``ts_col`` (the change's effective time).  Several updates to one
     key in a single batch are chained in ``ts_col`` order.
 
+    Late-arriving updates are handled: an affected key's WHOLE version
+    chain (closed versions included) re-windows, so an update effective
+    before an already-closed boundary splices in correctly instead of
+    corrupting the chain — (key, effective time) must be unique across
+    history+batch, as in any SCD-2 store.  (The weaker open-rows-only
+    variant silently mis-chains exactly that case; the property test in
+    tests/test_properties.py replays random split points to pin it.)
+
     Scale shape: keys untouched by the batch pass through with one
     broadcast anti join (the update batch's key set is small); only the
-    affected keys' open versions re-window, partitioned by key — state
-    per task is one key's version chain, never the table.  Persist the
+    affected keys' versions re-window, partitioned by key — state per
+    task is one key's version chain, never the table.  Persist the
     result with ``upsert_by_partition``-style dynamic overwrite when the
     history is date-partitioned on ``valid_from``.  Row-level MERGE on
     mutable storage (the reference's UPDATE, ``processQueue.ts:230-238``)
     becomes this union + window on immutable parquet."""
     affected = updates.select(key).distinct()
     untouched = history.join(F.broadcast(affected), key, "left_anti")
-    touched = history.join(F.broadcast(affected), key, "inner")
-    closed = touched.filter(F.col("valid_to").isNotNull())
-    open_rows = touched.filter(F.col("valid_to").isNull()).drop("valid_to")
+    touched = history.join(F.broadcast(affected), key, "inner").drop("valid_to")
     incoming = updates.withColumnRenamed(ts_col, "valid_from")
     w = Window.partitionBy(key).orderBy("valid_from")
     reversioned = (
-        open_rows.unionByName(incoming)
+        touched.unionByName(incoming)
         .withColumn("valid_to", F.lead("valid_from").over(w))
     )
-    return untouched.unionByName(closed.unionByName(reversioned))
+    return untouched.unionByName(reversioned)
 
 
 def compact_partitions(spark: SparkSession, table_path: str) -> int:

@@ -121,3 +121,57 @@ def test_canonical_key_injective_on_content(f1, f2):
     """Keys collide iff the filter dicts are equal — order never matters."""
     k1, k2 = canonical_key("p", f1), canonical_key("p", f2)
     assert (k1 == k2) == (f1 == f2)
+
+
+# --- SCD-2 merge vs sequential reference -------------------------------
+
+# update stream: (key, effective_day, attr_value); days unique per key
+# across the whole stream so the version chain is totally ordered
+scd_stream = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),     # key
+        st.integers(min_value=1, max_value=28),    # effective day
+        st.integers(min_value=0, max_value=99),    # attr payload
+    ),
+    min_size=1, max_size=16,
+).map(lambda rows: list({(k, d): (k, d, v) for k, d, v in rows}.values()))
+
+
+@SPARK_SETTINGS
+@given(stream=scd_stream, cut=st.integers(min_value=0, max_value=16))
+def test_scd2_batched_equals_sequential(spark, stream, cut):
+    """Applying an update stream in two arbitrary batches through
+    scd2_apply yields exactly the version chains a sequential one-at-a-
+    time reference versioner produces."""
+    from datetime import datetime
+
+    from data_ingestion_system_spark.sources.writers import scd2_apply
+
+    day = lambda d: datetime(2024, 1, d)  # noqa: E731
+
+    # python reference: replay updates one by one in time order
+    by_key: dict[int, list[tuple[int, int]]] = {}
+    for k, d, v in sorted(stream, key=lambda r: (r[0], r[1])):
+        by_key.setdefault(k, []).append((d, v))
+    expect = {}
+    for k, chain in by_key.items():
+        chain.sort()
+        for (d, v), nxt in zip(chain, chain[1:] + [None]):
+            expect[(k, day(d), v)] = day(nxt[0]) if nxt else None
+
+    empty = spark.createDataFrame(
+        [], "k int, attr int, valid_from timestamp_ntz, valid_to timestamp_ntz")
+    cut = min(cut, len(stream))
+    hist = empty
+    for batch in (stream[:cut], stream[cut:]):
+        if not batch:
+            continue
+        # a batch must not contain two updates at the same (key, ts):
+        # scd2_apply chains within a batch by ts only
+        bdf = spark.createDataFrame(
+            [(k, v, day(d)) for k, d, v in batch],
+            "k int, attr int, ts timestamp_ntz")
+        hist = scd2_apply(hist, bdf, "k", "ts").localCheckpoint()
+
+    got = {(r.k, r.valid_from, r.attr): r.valid_to for r in hist.collect()}
+    assert got == expect
