@@ -98,6 +98,13 @@ HEADLINERS = {
         "block, never per corpus; levenshtein evaluates inside codegen "
         "and the top-20 is `TakeOrderedAndProject`."
     ),
+    "sim_user_timeseries": (
+        "Daily-rhythm correlation search: per-row profile stages stay "
+        "higher-order-function array math (tiny expression trees — the "
+        "unrolled-column form drove Catalyst constraint inference into "
+        "a quadratic OOM), while the quadratic pair stage unrolls the "
+        "24-term dot inside codegen; top-20 is `TakeOrderedAndProject`."
+    ),
     "agg_funnel": (
         "Conversion funnel: conditional-min aggregation collapses each "
         "user's history to three timestamps in one map-combined shuffle "
