@@ -480,6 +480,34 @@ def agg_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_retention_dod", """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+SELECT a.d AS day,
+       count(*) AS returning_users
+FROM days a
+JOIN days b ON a.user_id = b.user_id AND b.d = a.d - 1
+GROUP BY a.d
+""")
+def agg_retention_dod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retention: users active on a day who were also
+    active the day before.  The (user, day) dedup collapses raw events
+    by ~events-per-user-day in one map-combined shuffle; the self-join
+    then runs on that much smaller activity table, co-partitioned on
+    user_id.  The same shape gives N-day retention by changing the
+    offset, and cohort retention by joining to a first-seen table."""
+    cat = Catalog(spark, sf_dir)
+    days = cat.events.select(
+        "user_id", F.col("ts").cast("date").alias("d")).distinct()
+    a = days.select(F.col("user_id").alias("u"), F.col("d").alias("day"))
+    b = days.select(F.col("user_id").alias("u2"), F.col("d").alias("d_prev"))
+    return (
+        a.join(b, (F.col("u") == F.col("u2"))
+               & (F.col("d_prev") == F.date_sub(F.col("day"), 1)))
+        .groupBy("day").agg(F.count("*").alias("returning_users"))
+    )
+
+
 @register("agg_funnel", """
 WITH f AS (
   SELECT user_id,
