@@ -480,6 +480,63 @@ def agg_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_event_transitions", """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events)
+SELECT prev, event_type AS next, count(*) AS n
+FROM seq WHERE prev IS NOT NULL
+GROUP BY prev, next
+ORDER BY n DESC, prev, next
+LIMIT 15
+""")
+def agg_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: top event-type transition pairs (first-order Markov
+    counts).  One lag window per user (deterministic (ts, event_id)
+    ordering), then a grouped count over a 25-value key space — the
+    window partitions on high-cardinality user_id, so no partition ever
+    holds more than one user's history."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = cat.events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev"))
+    return (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "prev", "next")
+        .limit(15)
+    )
+
+
+@register("agg_equidepth_histogram", """
+WITH b AS (
+  SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bucket
+  FROM events)
+SELECT bucket, count(*) AS n,
+       round(min(value), 4) AS lo, round(max(value), 4) AS hi
+FROM b GROUP BY bucket
+""")
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) histogram via ntile(10) with a deterministic
+    tiebreak.  CAVEAT, stated for the record: an un-partitioned ntile is
+    a single-partition window — correct but serialized, so this query
+    pins the exact semantics while the scale path derives decile
+    boundaries from percentile_approx and buckets by range (the
+    fixed-width sibling `agg_value_histogram` shows that shape; swapping
+    its width computation for approx quantiles is a column change)."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.orderBy("value", "event_id")
+    b = cat.events.select("value", F.ntile(10).over(w).alias("bucket"))
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 4).alias("lo"),
+        F.round(F.max("value"), 4).alias("hi"),
+    )
+
+
 @register("agg_retention_dod", """
 WITH days AS (
   SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
