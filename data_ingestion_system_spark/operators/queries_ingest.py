@@ -101,3 +101,30 @@ def ingest_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("date_out_of_range"),
         viol(~F.col("o_orderstatus").isin("O", "F", "P")).alias("bad_status"),
     )
+
+
+@register("agg_corr_stats", """
+SELECT event_type,
+       round(corr(value, CAST(json_extract_string(props, '$.k') AS INT)), 4)
+         AS corr_vk,
+       round(covar_samp(value, CAST(json_extract_string(props, '$.k') AS INT)), 4)
+         AS covar_vk,
+       round(stddev_samp(value), 4) AS sd_value,
+       round(var_samp(value), 4) AS var_value
+FROM events
+GROUP BY event_type
+""")
+def agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: Pearson correlation and sample
+    covariance between the metric column and a JSON-extracted payload
+    field, plus dispersion.  All are single-pass co-moment aggregates
+    with map-side partial combine — the building blocks for feature
+    screening over training data at any scale."""
+    cat = Catalog(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return cat.events.groupBy("event_type").agg(
+        F.round(F.corr(F.col("value"), k), 4).alias("corr_vk"),
+        F.round(F.covar_samp(F.col("value"), k), 4).alias("covar_vk"),
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+        F.round(F.var_samp("value"), 4).alias("var_value"),
+    )
