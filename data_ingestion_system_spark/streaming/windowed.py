@@ -123,6 +123,37 @@ def start_stream_stream_correlate(
     )
 
 
+def start_windowed_counts_update(
+    spark: SparkSession,
+    landing_dir: str,
+    checkpoint_dir: str,
+    table_name: str,
+    window: str = "1 hour",
+    max_lateness: str = "2 hours",
+) -> StreamingQuery:
+    """Update-mode windowed counts -> in-memory table (live dashboard
+    shape).
+
+    Update mode re-emits a window's row every time new data changes it,
+    *before* the watermark closes it — the complement of append mode's
+    emit-once-final: low-latency partial results, but the consumer must
+    treat rows as upserts keyed by (w_start, action).  State and
+    watermark semantics are identical to the append path (same plan);
+    only the sink contract changes.  Memory sink is test/dashboard
+    scope by design — it cannot recover from a checkpoint (each start
+    needs a fresh checkpoint dir and rebuilds the table); durable
+    consumers use foreachBatch upsert
+    (sources/writers.py::upsert_by_partition) instead."""
+    agg = windowed_counts(spark, landing_dir, window, max_lateness)
+    return (
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .format("memory").queryName(table_name)
+        .start()
+    )
+
+
 def start_windowed_counts(
     spark: SparkSession,
     landing_dir: str,

@@ -176,3 +176,36 @@ def test_stream_stream_join_time_bounded(spark, tmp_path):
     rows = {r.transaction_id: r.status_code
             for r in spark.read.parquet(out).collect()}
     assert rows == {"a": 200, "b": 500}
+
+
+def test_windowed_counts_update_mode_emits_open_windows(spark, tmp_path):
+    """Update mode is the complement of append: a window's row reaches
+    the sink while the window is still OPEN (re-emitted on change), where
+    append holds it back until the watermark finalizes it."""
+    from data_ingestion_system_spark.streaming.windowed import (
+        start_windowed_counts_update,
+    )
+
+    landing = tmp_path / "landing_u"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt_u")
+
+    for i, r in enumerate([_req("a", 1), _req("b", 1, 30)]):
+        (landing / f"u1_{i}.json").write_text(json.dumps(r))
+    q = start_windowed_counts_update(spark, str(landing), ckpt, "upd_counts")
+    q.awaitTermination(120)
+    got = {(str(r.w_start), r.action): r.n
+           for r in spark.sql("SELECT * FROM upd_counts").collect()}
+    # the hour-1 window is NOT closed (watermark is behind it) yet its
+    # current partial count is already visible
+    assert got[("2024-03-01 01:00:00", "create")] == 2
+
+    # more data for the SAME window -> the row is re-emitted, updated
+    # (memory sink can't recover a checkpoint: fresh ckpt, full rebuild)
+    (landing / "u2.json").write_text(json.dumps(_req("c", 1, 45)))
+    q = start_windowed_counts_update(
+        spark, str(landing), str(tmp_path / "ckpt_u2"), "upd_counts2")
+    q.awaitTermination(120)
+    got2 = {(str(r.w_start), r.action): r.n
+            for r in spark.sql("SELECT * FROM upd_counts2").collect()}
+    assert got2[("2024-03-01 01:00:00", "create")] == 3
