@@ -141,6 +141,36 @@ def scd2_apply(history: DataFrame, updates: DataFrame, key: str,
     return untouched.unionByName(reversioned)
 
 
+def diff_tables(before: DataFrame, after: DataFrame, key: str) -> DataFrame:
+    """Reconciliation diff of two snapshots keyed by ``key``:
+    (key, status) with status in {'added', 'removed', 'changed'} —
+    unchanged rows are omitted.
+
+    One full-outer join on the key; non-key columns compare as a single
+    packed struct (null-safe, so NULL attribute values diff correctly).
+    At scale both sides shuffle once on the key — for repeated
+    reconciliation of bucketed tables the shuffle disappears entirely
+    (tests/test_bucketing.py shows the layout).  This is how a migration
+    to this engine is verified against the system it replaces."""
+    cols = [c for c in before.columns if c != key]
+    assert [c for c in after.columns if c != key] == cols, "schema mismatch"
+    a = before.select(F.col(key).alias("k_a"),
+                      F.struct(*cols).alias("payload_a"))
+    b = after.select(F.col(key).alias("k_b"),
+                     F.struct(*cols).alias("payload_b"))
+    j = a.join(b, F.col("k_a") == F.col("k_b"), "full_outer")
+    status = (
+        F.when(F.col("k_a").isNull(), "added")
+        .when(F.col("k_b").isNull(), "removed")
+        .when(~F.col("payload_a").eqNullSafe(F.col("payload_b")), "changed")
+    )
+    return (
+        j.select(F.coalesce(F.col("k_a"), F.col("k_b")).alias(key),
+                 status.alias("status"))
+        .filter(F.col("status").isNotNull())
+    )
+
+
 def compact_partitions(spark: SparkSession, table_path: str) -> int:
     """Small-file compaction: rewrite each date partition into one file
     per shuffle task holding that date (one file per date after AQE

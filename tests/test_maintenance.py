@@ -7,6 +7,7 @@ import os
 
 from pyspark.sql import functions as F
 
+from data_ingestion_system_spark.catalog import Catalog
 from data_ingestion_system_spark.sources.writers import (
     compact_partitions,
     upsert_by_partition,
@@ -107,3 +108,27 @@ def test_scd2_versioning(spark):
     # exactly one current (open) version per key
     cur = h2.filter(F.col("valid_to").isNull()).groupBy("k").count().collect()
     assert all(r["count"] == 1 for r in cur) and len(cur) == 3
+
+
+def test_diff_tables(spark, sf_dir):
+    """added / removed / changed detected exactly; unchanged rows absent;
+    NULL attribute values compare null-safely."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_system_spark.sources.writers import diff_tables
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+        "k int, s string, v double")
+    after = spark.createDataFrame(
+        [(2, "b", None),      # unchanged (NULL == NULL null-safely)
+         (3, "c", 31.0),      # changed
+         (4, "D", 40.0),      # changed
+         (5, "e", 50.0)],     # added      (1 removed)
+        "k int, s string, v double")
+    got = {r.k: r.status for r in diff_tables(base, after, "k").collect()}
+    assert got == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
+
+    # identical snapshots diff to empty — the migration-parity assertion
+    orders = Catalog(spark, sf_dir).orders
+    assert diff_tables(orders, orders, "o_orderkey").count() == 0
