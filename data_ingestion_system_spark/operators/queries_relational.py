@@ -480,6 +480,35 @@ def agg_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_cohort_retention", """
+WITH first_seen AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY user_id),
+days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+SELECT f.cohort, datediff('day', f.cohort, days.d) AS age_days,
+       count(*) AS active_users
+FROM days JOIN first_seen f ON days.user_id = f.user_id
+GROUP BY f.cohort, age_days
+""")
+def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    by days-since-cohort on each later active day.  first-seen is one
+    grouped min; the activity table dedups to (user, day); both shuffle
+    on user_id so the join is co-partitioned, and the final matrix is
+    cohorts × ages — tiny at any scale."""
+    cat = Catalog(spark, sf_dir)
+    first_seen = cat.events.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort"))
+    days = cat.events.select(
+        "user_id", F.col("ts").cast("date").alias("d")).distinct()
+    return (
+        days.join(first_seen, "user_id")
+        .groupBy("cohort",
+                 F.datediff(F.col("d"), F.col("cohort")).alias("age_days"))
+        .agg(F.count("*").alias("active_users"))
+    )
+
+
 @register("agg_event_transitions", """
 WITH seq AS (
   SELECT user_id, event_type,

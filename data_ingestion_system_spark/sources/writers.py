@@ -141,6 +141,37 @@ def scd2_apply(history: DataFrame, updates: DataFrame, key: str,
     return untouched.unionByName(reversioned)
 
 
+def publish_if_valid(df: DataFrame, path: str,
+                     rules: dict[str, "F.Column"]) -> dict[str, int]:
+    """Write-audit-publish: stage the dataset, evaluate every expectation
+    rule in ONE pass over the staged copy, and only then promote it to
+    ``path``.  Returns the violation count per rule; raises ValueError
+    (leaving the previous published data untouched, staged copy kept for
+    forensics) if any rule fails.
+
+    Rules map name -> boolean Column that flags a VIOLATING row.  The
+    audit reads the staged parquet, not the input plan, so what is
+    validated is byte-for-byte what gets published.  Promotion is a
+    directory swap — atomic on a filesystem; on object stores the rename
+    is copy-based, so at real scale the promote step becomes a
+    table-format transaction commit (the audit stage is unchanged).
+    """
+    import shutil
+
+    staging = path.rstrip("/") + ".staging"
+    df.write.mode("overwrite").parquet(staging)
+    staged = df.sparkSession.read.parquet(staging)
+    counts = staged.agg(*[
+        F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+        for name, cond in rules.items()
+    ]).collect()[0].asDict()
+    if any(v for v in counts.values()):
+        raise ValueError(f"audit failed, not publishing: {counts}")
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.move(staging, path)
+    return counts
+
+
 def diff_tables(before: DataFrame, after: DataFrame, key: str) -> DataFrame:
     """Reconciliation diff of two snapshots keyed by ``key``:
     (key, status) with status in {'added', 'removed', 'changed'} —

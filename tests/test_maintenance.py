@@ -132,3 +132,28 @@ def test_diff_tables(spark, sf_dir):
     # identical snapshots diff to empty — the migration-parity assertion
     orders = Catalog(spark, sf_dir).orders
     assert diff_tables(orders, orders, "o_orderkey").count() == 0
+
+
+def test_write_audit_publish(spark, sf_dir, tmp_path):
+    """A clean dataset publishes; a dirty one raises and leaves the
+    previously published data untouched."""
+    import pytest as _pytest
+
+    from data_ingestion_system_spark.sources.writers import publish_if_valid
+
+    path = str(tmp_path / "published")
+    good = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k int, v double")
+    rules = {
+        "null_key": F.col("k").isNull(),
+        "nonpositive_v": F.col("v") <= 0,
+    }
+    counts = publish_if_valid(good, path, rules)
+    assert counts == {"null_key": 0, "nonpositive_v": 0}
+    assert {r.k for r in spark.read.parquet(path).collect()} == {1, 2}
+
+    bad = spark.createDataFrame([(3, -1.0)], "k int, v double")
+    with _pytest.raises(ValueError, match="nonpositive_v"):
+        publish_if_valid(bad, path, rules)
+    # previous publish still intact
+    assert {r.k for r in spark.read.parquet(path).collect()} == {1, 2}
