@@ -119,6 +119,45 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("text_unigram_nll", """
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents),
+freq AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+tot AS (SELECT sum(c) AS n FROM freq)
+SELECT doc_id,
+       round(avg(-ln(c * 1.0 / n)), 4) AS nll,
+       count(*) AS n_tokens
+FROM words JOIN freq USING (w), tot
+GROUP BY doc_id
+""")
+def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality filtering, unigram form (the CCNet/Wiki-LM
+    perplexity gate reduced to its distributable core): train the
+    unigram model ON the corpus (one grouped count), then score each
+    document by mean negative log-likelihood of its tokens.  The
+    vocabulary and the 1-row total BROADCAST into the scoring join, so
+    scoring is one map-side pass over the exploded tokens plus the final
+    per-doc aggregation.  Swapping the corpus model for an external
+    n-gram table changes only the broadcast input."""
+    cat = Catalog(spark, sf_dir)
+    words = cat.documents.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"))
+    freq = words.groupBy("w").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").alias("n"))
+    return (
+        words.join(F.broadcast(freq), "w")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(-F.ln(F.col("c") * 1.0 / F.col("n"))), 4)
+            .alias("nll"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+
+
 @register("text_repetition", """
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
