@@ -278,6 +278,53 @@ def join_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_returned_customers", """
+SELECT c.c_custkey, c.c_name,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100.0)
+                AS BIGINT)) / 100.0 AS revenue,
+       c.c_acctbal
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""")
+def agg_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped: customers who returned the most revenue in a
+    quarter.  Both fact filters reach their scans (quarter on orders,
+    returnflag on lineitem), the fact-fact join shuffles on orderkey,
+    customer broadcasts into the grouped result, and the top-20 is a
+    tie-broken TakeOrderedAndProject.
+
+    Revenue sums EXACT INTEGER CENTS (per-item round, bigint sum, one
+    final divide) instead of rounding a double sum: double summation is
+    order-dependent across partitions, and a total landing on a .xx5
+    boundary rounds differently run to run — integer cents make the
+    aggregate bit-stable under any partitioning (and any engine)."""
+    cat = Catalog(spark, sf_dir)
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1996-04-01").cast("timestamp_ntz")
+    orders = cat.orders.filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+    li = cat.lineitem.filter(F.col("l_returnflag") == "R")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+    ).cast("bigint")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cat.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg((F.sum(cents) / 100.0).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
 @register("agg_order_count_dist", """
 SELECT c_count, count(*) AS custdist
 FROM (
