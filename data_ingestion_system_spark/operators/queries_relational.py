@@ -480,6 +480,32 @@ def agg_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_percent_of_total", """
+WITH s AS (
+  SELECT o_orderstatus, sum(o_totalprice) AS status_rev
+  FROM orders GROUP BY o_orderstatus)
+SELECT o_orderstatus,
+       round(status_rev, 2) AS status_rev,
+       round(status_rev / sum(status_rev) OVER (), 6) AS share
+FROM s
+""")
+def agg_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio-to-report): share of revenue per order
+    status via an un-partitioned window OVER the aggregated rows — safe
+    at any scale because the window input is post-aggregation (one row
+    per status), never the fact table; the fact scan still partial-
+    aggregates map-side."""
+    cat = Catalog(spark, sf_dir)
+    s = cat.orders.groupBy("o_orderstatus").agg(
+        F.sum("o_totalprice").alias("raw_rev"))
+    w = Window.partitionBy()
+    return s.select(
+        "o_orderstatus",
+        F.round(F.col("raw_rev"), 2).alias("status_rev"),
+        F.round(F.col("raw_rev") / F.sum("raw_rev").over(w), 6).alias("share"),
+    )
+
+
 @register("agg_cohort_retention", """
 WITH first_seen AS (
   SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY user_id),

@@ -160,3 +160,54 @@ def test_checkpoint_no_reprocess(spark, dirs):
     silver = silver_view(spark, dirs["req_bronze"], dirs["resp_bronze"])
     t9 = silver.filter(silver.transaction_id == "t9").first()
     assert t9.status_code == 404  # the reference would have lost this update
+
+
+def test_streaming_write_audit_publish(spark, tmp_path):
+    """foreachBatch + publish_if_valid: each micro-batch is staged,
+    audited, and only clean batches reach the published table."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_system_spark.sources.ingest import (
+        REQUEST_SCHEMA,
+        project_requests,
+        read_landing,
+        validate_split,
+    )
+    from data_ingestion_system_spark.sources.writers import publish_if_valid
+
+    landing = tmp_path / "landing_wap"
+    landing.mkdir()
+    pub = str(tmp_path / "published_wap")
+    ckpt = str(tmp_path / "ckpt_wap")
+
+    rec = {"transactionId": "t1",
+           "timestamp": "2024-03-01T01:00:00.000Z",
+           "method": "POST", "url": "/api/x", "appId": "app1",
+           "workflowId": "wf", "action": "create"}
+    (landing / "r1.json").write_text(json.dumps(rec))
+
+    outcomes = []
+
+    def audit_and_publish(batch_df, batch_id):
+        good, _bad = validate_split(batch_df)
+        proj = project_requests(good)
+        try:
+            publish_if_valid(
+                proj, pub,
+                {"null_txn": F.col("transaction_id").isNull()})
+            outcomes.append(("published", batch_id))
+        except ValueError:
+            outcomes.append(("rejected", batch_id))
+
+    q = (read_landing(spark, str(landing), REQUEST_SCHEMA, streaming=True)
+         .writeStream.foreachBatch(audit_and_publish)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    assert outcomes and outcomes[0][0] == "published"
+    got = spark.read.parquet(pub)
+    assert got.count() == 1
+    assert got.collect()[0].transaction_id == "t1"
