@@ -1044,3 +1044,122 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
         )
     )
+
+
+@register("agg_volume_shipping", """
+SELECT supp_nation, cust_nation, l_year,
+       sum(CAST(round(volume * 100.0) AS BIGINT)) / 100.0 AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l.l_shipdate) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_13')
+      OR (n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_3'))
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00')
+GROUP BY supp_nation, cust_nation, l_year
+""")
+def agg_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped bilateral trade volume: revenue between two nations
+    by shipping direction and year.  The only fact-fact shuffle is
+    lineitem⋈orders on orderkey; supplier, customer and both nation legs
+    broadcast.  The disjunctive nation-pair predicate can't be applied
+    until both legs are attached, but each leg's IN-(2 nations) envelope
+    is implied onto the broadcast dimension inputs, so the giant fact scan
+    still drops ~23/25 of suppliers' rows at the first (map-side) join.
+    Revenue sums exact integer cents (order-independent across any
+    partitioning — see agg_returned_customers)."""
+    cat = Catalog(spark, sf_dir)
+    pair = ("NATION_3", "NATION_13")
+    li = cat.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz")))
+    n1 = cat.nation.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = cat.nation.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    supp = cat.supplier.join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+    cust = cat.customer.join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+    ).cast("bigint")
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg((F.sum(cents) / 100.0).alias("revenue"))
+    )
+
+
+@register("agg_product_profit", """
+SELECT nation, o_year,
+       sum(CAST(round(profit * 100.0) AS BIGINT)) / 100.0 AS profit
+FROM (
+  SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount)
+           - p.p_retailprice * 0.6 * l.l_quantity AS profit
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE p.p_type = 'PROMO')
+GROUP BY nation, o_year
+""")
+def agg_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped product-type profit by supplier nation and order
+    year.  (The fixture has no partsupp table, so supply cost is modeled
+    as 60% of p_retailprice — the aggregation topology is identical to
+    Q9: a selective part filter, two broadcast dimension legs, one
+    fact-fact shuffle on orderkey, then a small grouped sum.)  The
+    p_type filter prunes at the part scan and, via the broadcast hash
+    join, drops non-PROMO lineitem rows before the orders shuffle — the
+    order of the two joins (selective broadcast first, shuffle second)
+    is the scale-critical choice AQE preserves."""
+    cat = Catalog(spark, sf_dir)
+    part = cat.part.filter(F.col("p_type") == "PROMO")
+    profit_cents = F.round(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+         - F.col("p_retailprice") * 0.6 * F.col("l_quantity")) * 100.0
+    ).cast("bigint")
+    return (
+        cat.lineitem
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cat.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg((F.sum(profit_cents) / 100.0).alias("profit"))
+    )
+
+
+@register("agg_hll_sketch")  # Datasketches binary state is engine-specific: rows-only
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog sketches (the 100 TB COUNT-DISTINCT posture
+    beyond approx_count_distinct): ``hll_sketch_agg`` materializes a
+    REUSABLE per-group sketch, and ``hll_union_agg`` merges sketches
+    without touching the raw data again — the building block for
+    incremental distinct-user rollups (daily sketches → monthly union)
+    where re-scanning 100 TB per rollup is not an option.  Estimates per
+    event_type plus the union-of-sketches global estimate in one result;
+    merge-vs-direct equivalence is pinned in tests/test_relational_extra.py."""
+    cat = Catalog(spark, sf_dir)
+    per_type = cat.events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    est = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_users"))
+    union_all = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    ).select(F.lit("__all__").alias("event_type"), "approx_users")
+    return est.unionByName(union_all)

@@ -6,7 +6,7 @@ the oracle SQL mirrors each formula term for term.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.catalog import Catalog
@@ -355,4 +355,57 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("w") >= 4)
         .select("doc_id", grams.alias("gr"))
         .select("doc_id", F.explode(F.array_distinct(wins)).alias("fp"))
+    )
+
+
+@register("text_tfidf_topk", """
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w),
+dfreq AS (SELECT w, count(*) AS dfreq FROM tf GROUP BY w),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, w AS term,
+         round(tf * ln((n_docs + 1.0) / (dfreq + 1.0)), 6) AS tfidf
+  FROM tf JOIN dfreq USING (w), nd),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rnk
+  FROM scored)
+SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 3
+""")
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document.  Term
+    frequencies aggregate once on (doc_id, term); document frequencies
+    derive from THAT aggregate (one extra shuffle over vocab-sized, not
+    corpus-sized, data) and broadcast back with the 1-row corpus count;
+    the per-doc top-3 is a window over the doc_id partitioning the tf
+    aggregate already produced — no second pass over raw text.  Ranking
+    compares the ROUNDED score (6 dp) with a term tie-break so the
+    ordering is reproducible across engines and partitionings; the raw
+    double differs only below the rounding quantum."""
+    cat = Catalog(spark, sf_dir)
+    words = cat.documents.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"))
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("dfreq"))
+    nd = cat.documents.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "w")
+        .join(F.broadcast(nd))
+        .select(
+            "doc_id", F.col("w").alias("term"),
+            F.round(
+                F.col("tf")
+                * F.ln((F.col("n_docs") + 1.0) / (F.col("dfreq") + 1.0)),
+                6).alias("tfidf"))
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
     )

@@ -140,13 +140,24 @@ def test_word_topk_generate_prunes_and_combines(spark, sf_dir):
 
 
 def test_time_range_pushes_to_scan_in_storage_domain(spark, sf_dir):
-    """The ts-range search must push BOTH bounds into the parquet scan as
-    raw-nanos long comparisons — a filter on the converted timestamp
-    column pushes nothing and reads every row-group."""
+    """The ts-range search must push BOTH bounds into the parquet scan in
+    the STORAGE domain — raw-nanos long comparisons when the file stores
+    int64 nanos (a filter on the converted timestamp column would push
+    nothing), plain timestamp comparisons when the file stores a native
+    parquet timestamp.  Either way both bounds must appear as DataFilters
+    on the scan so row-group min/max pruning applies."""
+    import pyarrow.parquet as pq
+
     plan = plan_of(spark, sf_dir, "search_time_range")
-    assert "GreaterThanOrEqual(ts,1704672000000000000)" in plan
-    # (PushedFilters renders truncated; the physical Filter shows both)
-    assert "< 1705276800000000000)" in plan
+    ts_type = str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
+    if ts_type.startswith("int"):  # raw nanos layout
+        assert "GreaterThanOrEqual(ts,1704672000000000000)" in plan
+        # (PushedFilters renders truncated; the physical Filter shows both)
+        assert "< 1705276800000000000)" in plan
+    else:  # native timestamp layout: bounds push as timestamp literals
+        assert "(ts#" in plan and ">= 2024-01-08 00:00:00" in plan
+        assert "< 2024-01-15 00:00:00" in plan
+        assert "GreaterThanOrEqual(ts," in plan  # reaches PushedFilters
     assert "TakeOrderedAndProject" in plan
 
 
@@ -250,3 +261,38 @@ def test_runtime_bloom_filter_on_shuffle_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_volume_shipping_broadcast_legs_and_envelope(spark, sf_dir):
+    """Q7 shape: every dimension leg broadcasts, the nation-pair IN
+    envelope reaches both nation scans, the shipdate range reaches the
+    lineitem scan, and the final agg needs exactly one hash shuffle."""
+    plan = plan_of(spark, sf_dir, "agg_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert plan.count("n_name") and "In(n_name, [NATION_13,NATION_3])" in plan \
+        or "IN (NATION_3,NATION_13)" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_product_profit_selective_broadcast_first(spark, sf_dir):
+    """Q9 shape: the selective p_type filter reaches the part scan and the
+    part/supplier/nation legs broadcast so non-PROMO lineitem rows drop
+    before any shuffle."""
+    plan = plan_of(spark, sf_dir, "agg_product_profit")
+    assert "EqualTo(p_type,PROMO)" in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_tfidf_no_global_sort_and_partial_counts(spark, sf_dir):
+    """TF-IDF: term counts combine map-side before their shuffle; document
+    frequency derives from the tf aggregate (vocab-sized, not
+    corpus-sized); the per-doc top-3 is a partition-local window, never a
+    global sort."""
+    plan = plan_of(spark, sf_dir, "text_tfidf_topk")
+    assert "partial_count" in plan
+    assert "Sort [tfidf" not in plan.replace("Sort [doc_id", "")  # no global sort on score
+    assert "rangepartitioning" not in plan  # orderBy would introduce one
+    assert "Window" in plan
