@@ -204,3 +204,18 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, queries = _corpus_queries(spark, sf_dir)
     cents = label_centroids(cat.embeddings.select("label", "embedding"))
     return topk_ivf(corpus, cents, queries, k=K, nprobe=2)
+
+
+@register("sim_topk_pq")  # compressed-domain ADC scan: rows-only
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via product quantization: 40-bit codes (8 subspaces x
+    32 centroids trained on a deterministic sample), asymmetric-distance
+    shortlist of 50 in the compressed domain, exact cosine re-rank of the
+    shortlist only.  The 100 TB posture: the hot scan reads ~8 bytes per
+    vector instead of 512, and only shortlist*n_queries raw vectors are
+    ever touched.  Recall vs brute force pinned in
+    tests/test_similarity.py."""
+    from data_ingestion_system_spark.operators.similarity import topk_pq
+
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    return topk_pq(corpus, queries, k=K, shortlist=50)

@@ -184,3 +184,140 @@ def topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
         .filter(F.col("rnk") <= k)
         .select("qid", "vec_id", F.round("cos_raw", 6).alias("cosine"), "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC)
+
+PQ_M = 8          # subspaces
+PQ_KS = 32        # centroids per subspace -> 5 bits; 8 codes = 40 bits/vector
+PQ_SAMPLE = 2048  # training sample (driver-resident, like faiss train())
+PQ_ITERS = 10
+
+
+def train_pq_codebook(corpus: DataFrame, dim: int = DIM,
+                      m: int = PQ_M, ks: int = PQ_KS) -> np.ndarray:
+    """(m, ks, dim//m) codebook via per-subspace k-means on a
+    deterministic corpus sample.
+
+    PQ training mirrors faiss: the codebook is METADATA, trained on a
+    small sample driver-side and shipped to executors in a closure —
+    at 100 TB the sample stays a few thousand rows (one cheap
+    head-scan), while encoding and scoring remain map-only passes over
+    the full corpus.  Seeded init + fixed iteration count make the
+    codebook bit-reproducible."""
+    rows = (corpus.select("vec_id", "embedding").orderBy("vec_id")
+            .limit(PQ_SAMPLE).collect())
+    x = np.array([r.embedding for r in rows], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    d_sub = dim // m
+    rng = np.random.default_rng(SEED)
+    books = []
+    for j in range(m):
+        sub = x[:, j * d_sub:(j + 1) * d_sub]
+        cents = sub[rng.choice(len(sub), ks, replace=False)]
+        for _ in range(PQ_ITERS):
+            # assign to nearest centroid (L2), then recenter
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(ks):
+                mask = a == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(axis=0)
+        books.append(cents)
+    return np.stack(books)                     # (m, ks, d_sub)
+
+
+def pq_encode_udf(codebook: np.ndarray):
+    """Pandas UDF: embedding -> array of m codes.  One numpy pass per
+    Arrow batch; vectors are L2-normalized first so ADC dot products
+    approximate cosine."""
+    m, ks, d_sub = codebook.shape
+
+    @F.pandas_udf("array<int>")
+    def encode(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(mat), m), dtype=np.int64)
+        for j in range(m):
+            sub = mat[:, j * d_sub:(j + 1) * d_sub]
+            d2 = ((sub[:, None, :] - codebook[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return encode
+
+
+def pq_adc_score_udf(codebook: np.ndarray):
+    """Pandas UDF: (codes, flattened per-query LUT) -> approximate cosine.
+
+    ADC: the query precomputes dot(q_sub, centroid) for every (subspace,
+    centroid) pair — an m*ks table, built once per query — and scoring a
+    corpus vector is m table lookups + a sum over its 40-bit code.  The
+    raw embedding is never touched: the compressed-domain scan reads
+    ~8 bytes/vector instead of 512."""
+    m, ks, _ = codebook.shape
+
+    @F.pandas_udf("double")
+    def score(codes: pd.Series, lut: pd.Series) -> pd.Series:
+        c = np.vstack(codes.to_numpy()).astype(np.int64)       # (batch, m)
+        l = np.vstack(lut.to_numpy()).reshape(len(c), m, ks)   # (batch, m, ks)
+        return pd.Series(np.take_along_axis(
+            l, c[:, :, None], axis=2).squeeze(2).sum(axis=1))
+
+    return score
+
+
+def query_luts(queries_rows, codebook: np.ndarray):
+    """[(qid, flattened LUT)] for a driver-resident query set."""
+    m, ks, d_sub = codebook.shape
+    out = []
+    for qid, qv in queries_rows:
+        q = np.asarray(qv, dtype=np.float64)
+        q = q / max(np.linalg.norm(q), 1e-12)
+        lut = np.empty((m, ks))
+        for j in range(m):
+            lut[j] = codebook[j] @ q[j * d_sub:(j + 1) * d_sub]
+        out.append((qid, lut.ravel().tolist()))
+    return out
+
+
+def topk_pq(corpus: DataFrame, queries: DataFrame, k: int = 10,
+            shortlist: int = 50) -> DataFrame:
+    """PQ-ADC ANN: encode the corpus to 40-bit codes (map-only), score
+    every (query, vector) pair in the compressed domain, take a
+    per-query ADC shortlist, then re-rank ONLY the shortlist with exact
+    cosine against the original embeddings.
+
+    The two-stage shape is the scale story: stage 1 scans codes (64x
+    smaller than raw vectors, no shuffle — the LUT join is a broadcast),
+    stage 2 touches full vectors for shortlist*n_queries rows only."""
+    spark = corpus.sparkSession
+    codebook = train_pq_codebook(corpus)
+    q_rows = [(r[0], list(r[1])) for r in queries.select("qid", "qv").collect()]
+    luts = spark.createDataFrame(query_luts(q_rows, codebook), "qid long, lut array<double>")
+
+    encoded = corpus.withColumn("codes", pq_encode_udf(codebook)(F.col("embedding")))
+    adc = (
+        encoded.select("vec_id", "codes").crossJoin(F.broadcast(luts))
+        .withColumn("adc", pq_adc_score_udf(codebook)(F.col("codes"), F.col("lut")))
+        .filter(F.col("vec_id") != F.col("qid"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc").desc(), F.col("vec_id"))
+    short = (adc.withColumn("srnk", F.row_number().over(w))
+             .filter(F.col("srnk") <= shortlist)
+             .select("qid", "vec_id"))
+
+    # exact re-rank of the shortlist against the raw vectors
+    qv = spark.createDataFrame(q_rows, "qid long, qv array<double>")
+    rer = (
+        short.join(corpus.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qv), "qid")
+        .withColumn("cos_raw", cosine_fixed(F.col("qv"), F.col("embedding"), DIM))
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        rer.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "vec_id", F.round("cos_raw", 6).alias("cosine"), "rnk")
+    )

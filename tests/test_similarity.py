@@ -88,3 +88,48 @@ def test_lsh_results_subset_and_overlap(spark, sf_dir):
     top1 = {r.qid: r.vec_id for r in ann if r.rnk == 1}
     hits = sum(1 for q, v in top1.items() if v in exact_sets.get(q, set()))
     assert hits >= 1, f"ANN top-1 never overlapped exact top-10 ({top1})"
+
+
+def test_pq_adc_recall_and_validity(spark, sf_dir):
+    """PQ-ADC with exact re-rank: every returned neighbor is a real
+    corpus vector (never the query itself), per-query results are ranked
+    1..10 by true cosine, and recall@10 vs brute force clears 0.6 — the
+    compressed-domain shortlist plus re-rank recovers most of the exact
+    top-k despite 64x code compression."""
+    from data_ingestion_system_spark.operators.similarity import topk_pq
+
+    corpus, queries = _load(spark, sf_dir)
+    exact = topk_bruteforce(corpus, queries, k=10).collect()
+    ann = topk_pq(corpus, queries, k=10, shortlist=50).collect()
+
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.qid, set()).add(r.vec_id)
+    by_q = {}
+    for r in ann:
+        assert r.vec_id != r.qid
+        by_q.setdefault(r.qid, []).append(r)
+    assert set(by_q) == set(exact_sets)
+    hits = total = 0
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+        cos = [r.cosine for r in rows]
+        assert cos == sorted(cos, reverse=True)
+        hits += len({r.vec_id for r in rows} & exact_sets[qid])
+        total += len(exact_sets[qid])
+    assert hits / total >= 0.6, f"recall@10 {hits}/{total}"
+
+
+def test_pq_codebook_deterministic(spark, sf_dir):
+    """Same corpus -> bit-identical codebook (seeded sample + fixed
+    iterations), so PQ results are reproducible run to run."""
+    import numpy as np
+
+    from data_ingestion_system_spark.operators.similarity import train_pq_codebook
+
+    corpus, _ = _load(spark, sf_dir)
+    a = train_pq_codebook(corpus)
+    b = train_pq_codebook(corpus)
+    assert a.shape[0] == 8 and a.shape[1] == 32
+    assert np.array_equal(a, b)
