@@ -33,11 +33,14 @@ class Catalog:
         self.spark = spark
         self.sf_dir = sf_dir
         self._cache: dict[str, DataFrame] = {}
-        # Spark 4 rejects parquet TIMESTAMP(NANOS) outright
-        # (PARQUET_TYPE_ILLEGAL); read nanos as long and down-convert to
-        # microsecond timestamps ourselves (floor division — identical to
-        # how DuckDB truncates ns to its native us precision, so the
-        # oracle comparison stays bit-exact).
+        # Defensive: earlier fixture generations stored events.ts as
+        # parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
+        # (PARQUET_TYPE_ILLEGAL); with this conf such files read as long
+        # and table() down-converts to microsecond timestamps (floor
+        # division — identical to DuckDB's ns->us truncation, so the
+        # oracle comparison stays bit-exact).  Current fixtures store
+        # native TIMESTAMP(MICROS); the conf is then a no-op and ts
+        # loads as timestamp directly (both paths are tested).
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             # timestamps must render as UTC-naive to match the DuckDB

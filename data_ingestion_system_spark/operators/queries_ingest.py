@@ -128,3 +128,38 @@ def agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("value"), 4).alias("sd_value"),
         F.round(F.var_samp("value"), 4).alias("var_value"),
     )
+
+
+@register("ingest_variant_payload", """
+SELECT event_type,
+       count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+GROUP BY event_type
+""")
+def ingest_variant_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-12/O-41 in their Spark-4-native form: the schemaless layer-B
+    payload (``src/services/s3.service.ts:82`` stores whatever JSON the
+    client sent) lands in a VARIANT column via ``parse_json`` — parsed
+    ONCE into a binary-encoded tree, then every ``variant_get`` path
+    access is a cheap typed extraction, unlike ``get_json_object`` which
+    re-parses the string per call.  At 100 TB the bronze table stores
+    the VARIANT column and downstream queries bind fields lazily —
+    schema-on-read without either a rigid struct or repeated parsing.
+    The oracle reads the same paths with DuckDB's JSON extraction."""
+    cat = Catalog(spark, sf_dir)
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return (
+        cat.events
+        .select("event_type", k.alias("k"))
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum("k").alias("sum_k"),
+             F.min("k").alias("min_k"),
+             F.max("k").alias("max_k"))
+    )

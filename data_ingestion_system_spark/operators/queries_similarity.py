@@ -219,3 +219,20 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus, queries = _corpus_queries(spark, sf_dir)
     return topk_pq(corpus, queries, k=K, shortlist=50)
+
+
+@register("sim_topk_ivf_pq")  # composed coarse+fine quantization: rows-only
+def sim_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via the composed IVF+PQ stack (faiss-IVFPQ shape):
+    inverted-list probe prunes candidates sub-linearly, PQ-ADC scores the
+    probed candidates from 40-bit codes, exact re-rank on the shortlist.
+    Recall vs brute force pinned in tests/test_similarity.py."""
+    from data_ingestion_system_spark.operators.similarity import (
+        label_centroids,
+        topk_ivf_pq,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    cents = label_centroids(cat.embeddings.select("label", "embedding"))
+    return topk_ivf_pq(corpus, cents, queries, k=K, nprobe=2, shortlist=50)

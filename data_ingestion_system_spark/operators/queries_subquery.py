@@ -396,3 +396,79 @@ def text_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("word"))
         .limit(20)
     )
+
+
+@register("join_lateral_latest", """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_orderdate DESC, o_orderkey LIMIT 1) o ON true
+""")
+def join_lateral_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (each customer's most recent order) —
+    the per-row-subquery API surface the reference's per-row S3 lookup
+    (O-17, ``src/services/audit.services.ts:210-242``) would use in SQL
+    form.  Spark decorrelates the LIMIT-1 lateral into a per-key
+    aggregation/window over one shuffle of orders rather than running
+    the subquery per customer row — same plan family as
+    window_topk_per_group, reached from the SQL-lateral surface."""
+    cat = Catalog(spark, sf_dir)
+    cat.register_views(("customer", "orders"))
+    return spark.sql("""
+      SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      FROM customer c JOIN LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_orderdate DESC, o_orderkey LIMIT 1) o
+    """)
+
+
+@register("join_waiting_suppliers", """
+SELECT s.s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""")
+def join_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped: suppliers SOLELY responsible for a returned line
+    in multi-supplier finished orders — a correlated EXISTS and a
+    correlated NOT EXISTS against the same fact table.  (Q21's
+    receipt>commit lateness predicate maps to the returnflag the fixture
+    has; the join topology is Q21's.)  Spark plans both correlations as
+    LeftSemi/LeftAnti joins on orderkey against a pre-filtered lineitem —
+    three same-key shuffles that AQE co-partitions, no per-row subquery
+    execution; supplier broadcasts and the top-20 is a tie-broken
+    TakeOrderedAndProject."""
+    cat = Catalog(spark, sf_dir)
+    cat.register_views(("supplier", "lineitem", "orders"))
+    return spark.sql("""
+      SELECT s.s_name, count(*) AS numwait
+      FROM supplier s
+      JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY s.s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 20
+    """)

@@ -268,18 +268,39 @@ def pq_adc_score_udf(codebook: np.ndarray):
     return score
 
 
-def query_luts(queries_rows, codebook: np.ndarray):
-    """[(qid, flattened LUT)] for a driver-resident query set."""
+def query_luts(queries_rows, codebook: np.ndarray) -> np.ndarray:
+    """(n_queries, m, ks) LUT stack for a driver-resident query set."""
     m, ks, d_sub = codebook.shape
-    out = []
-    for qid, qv in queries_rows:
+    luts = np.empty((len(queries_rows), m, ks))
+    for i, (_qid, qv) in enumerate(queries_rows):
         q = np.asarray(qv, dtype=np.float64)
         q = q / max(np.linalg.norm(q), 1e-12)
-        lut = np.empty((m, ks))
         for j in range(m):
-            lut[j] = codebook[j] @ q[j * d_sub:(j + 1) * d_sub]
-        out.append((qid, lut.ravel().tolist()))
-    return out
+            luts[i, j] = codebook[j] @ q[j * d_sub:(j + 1) * d_sub]
+    return luts
+
+
+def pq_adc_score_all_udf(luts: np.ndarray):
+    """Pandas UDF: codes -> ADC scores against EVERY query at once.
+
+    The full (n_queries, m, ks) LUT stack rides in the closure — doubles
+    for a few thousand queries are still well under broadcast scale — so
+    the compressed scan is ONE pass over the codes producing all query
+    scores per vector; no crossJoin, and no per-candidate LUT bytes on
+    the wire (shipping the LUT as a join column costs n_corpus*m*ks
+    doubles through Arrow — 64x the codes themselves)."""
+    n_q, m, ks = luts.shape
+
+    @F.pandas_udf("array<double>")
+    def score_all(codes: pd.Series) -> pd.Series:
+        c = np.vstack(codes.to_numpy()).astype(np.int64)       # (batch, m)
+        tot = np.zeros((len(c), n_q))
+        for j in range(m):
+            # luts[:, j, :][:, c[:, j]] -> (n_q, batch): gather then sum
+            tot += luts[:, j, c[:, j]].T
+        return pd.Series(list(tot))
+
+    return score_all
 
 
 def topk_pq(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -290,17 +311,23 @@ def topk_pq(corpus: DataFrame, queries: DataFrame, k: int = 10,
     cosine against the original embeddings.
 
     The two-stage shape is the scale story: stage 1 scans codes (64x
-    smaller than raw vectors, no shuffle — the LUT join is a broadcast),
-    stage 2 touches full vectors for shortlist*n_queries rows only."""
+    smaller than raw vectors) in ONE map-only pass that emits all query
+    scores per vector from closure-resident LUTs, stage 2 touches full
+    vectors for shortlist*n_queries rows only."""
     spark = corpus.sparkSession
     codebook = train_pq_codebook(corpus)
     q_rows = [(r[0], list(r[1])) for r in queries.select("qid", "qv").collect()]
-    luts = spark.createDataFrame(query_luts(q_rows, codebook), "qid long, lut array<double>")
+    q_rows.sort(key=lambda r: r[0])
+    luts = query_luts(q_rows, codebook)
+    qid_arr = F.array(*[F.lit(qid) for qid, _ in q_rows])
 
     encoded = corpus.withColumn("codes", pq_encode_udf(codebook)(F.col("embedding")))
     adc = (
-        encoded.select("vec_id", "codes").crossJoin(F.broadcast(luts))
-        .withColumn("adc", pq_adc_score_udf(codebook)(F.col("codes"), F.col("lut")))
+        encoded.select(
+            "vec_id",
+            F.posexplode(pq_adc_score_all_udf(luts)(F.col("codes")))
+            .alias("qidx", "adc"))
+        .withColumn("qid", qid_arr[F.col("qidx")])
         .filter(F.col("vec_id") != F.col("qid"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("adc").desc(), F.col("vec_id"))
@@ -309,6 +336,59 @@ def topk_pq(corpus: DataFrame, queries: DataFrame, k: int = 10,
              .select("qid", "vec_id"))
 
     # exact re-rank of the shortlist against the raw vectors
+    qv = spark.createDataFrame(q_rows, "qid long, qv array<double>")
+    rer = (
+        short.join(corpus.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qv), "qid")
+        .withColumn("cos_raw", cosine_fixed(F.col("qv"), F.col("embedding"), DIM))
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        rer.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "vec_id", F.round("cos_raw", 6).alias("cosine"), "rnk")
+    )
+
+
+def topk_ivf_pq(corpus: DataFrame, centroids: np.ndarray, queries: DataFrame,
+                k: int = 10, nprobe: int = 2, shortlist: int = 50) -> DataFrame:
+    """Composed IVF+PQ ANN — the full 100 TB retrieval stack: the coarse
+    quantizer prunes WHICH vectors are scored (nprobe inverted lists per
+    query, sub-linear candidate count), PQ-ADC prunes WHAT is read per
+    scored vector (40-bit codes, not 512-byte embeddings), and the exact
+    cosine re-rank touches raw vectors only for the shortlist.  This is
+    the faiss IVFPQ layout expressed as DataFrame ops: list assignment
+    and encoding are one map-only pass each, the probe is a broadcast
+    equi-join on the list id, and every stage after the probe works on
+    candidate-sized data."""
+    spark = corpus.sparkSession
+    codebook = train_pq_codebook(corpus)
+    q_rows = [(r[0], list(r[1])) for r in queries.select("qid", "qv").collect()]
+    q_rows.sort(key=lambda r: r[0])
+    luts = query_luts(q_rows, codebook)
+    qid_of_idx = {qid: i for i, (qid, _) in enumerate(q_rows)}
+
+    assigned = corpus.withColumn(
+        "cid", ivf_assign_udf(centroids, 1)(F.col("embedding"))[0]
+    ).withColumn("codes", pq_encode_udf(codebook)(F.col("embedding")))
+
+    probes = queries.withColumn(
+        "cids", ivf_assign_udf(centroids, nprobe)(F.col("qv"))
+    ).select("qid", F.explode("cids").alias("cid"))
+    probes = probes.withColumn(
+        "qidx", F.udf(lambda q: qid_of_idx[q], "int")(F.col("qid")))
+
+    cand = (
+        assigned.select("vec_id", "cid", "codes")
+        .join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("adc", pq_adc_score_all_udf(luts)(F.col("codes"))[F.col("qidx")])
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc").desc(), F.col("vec_id"))
+    short = (cand.withColumn("srnk", F.row_number().over(w))
+             .filter(F.col("srnk") <= shortlist)
+             .select("qid", "vec_id"))
+
     qv = spark.createDataFrame(q_rows, "qid long, qv array<double>")
     rer = (
         short.join(corpus.select("vec_id", "embedding"), "vec_id")

@@ -1,4 +1,4 @@
-"""Additional interchange formats: CSV and ORC.
+"""Additional interchange formats: CSV, XML and ORC.
 
 The reference ingests only JSON payloads and raw binary
 (src/middleware/audit.middleware.ts:15-41, src/services/s3.service.ts:32-67);
@@ -79,3 +79,38 @@ def write_orc(df: DataFrame, path: str) -> None:
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def read_xml_strict(spark: SparkSession, path: str, schema: T.StructType,
+                    row_tag: str = "record") -> DataFrame:
+    """XML landing (Spark 4 native source) with an explicit schema and
+    corrupt-record capture — the same PERMISSIVE posture as the CSV/JSON
+    readers.  XML is a landing-only format like CSV: no
+    projection/predicate pushdown, so convert at the bronze boundary
+    (`xml_to_parquet`).  Each ``<row_tag>`` element is one record;
+    nested elements map onto struct fields."""
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())])
+    return (
+        spark.read.format("xml")
+        .schema(full)
+        .option("rowTag", row_tag)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .load(path)
+    )
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "record") -> None:
+    """XML export (interchange with XML-consuming systems)."""
+    (df.write.mode("overwrite").format("xml")
+     .option("rowTag", row_tag).save(path))
+
+
+def xml_to_parquet(spark: SparkSession, xml_path: str, schema: T.StructType,
+                   parquet_path: str, row_tag: str = "record") -> DataFrame:
+    """Bronze-boundary conversion for XML landings; returns quarantined
+    raw records for the dead-letter sink (O-27 semantics)."""
+    good, bad = quarantine_split(read_xml_strict(spark, xml_path, schema, row_tag))
+    good.write.mode("overwrite").parquet(parquet_path)
+    return bad

@@ -72,3 +72,40 @@ def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
     plan = (back.filter(F.col("o_orderkey") == 1)
             ._jdf.queryExecution().executedPlan().toString())
     assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,1)]" in plan
+
+
+def test_xml_roundtrip(spark, sf_dir, tmp_path):
+    src = _orders_subset(spark, sf_dir)
+    path = str(tmp_path / "orders_xml")
+    FM.write_xml(src, path, row_tag="order")
+    good, bad = FM.quarantine_split(
+        FM.read_xml_strict(spark, path, ORDERS_CSV_SCHEMA, row_tag="order"))
+    assert bad.count() == 0
+    assert sorted(map(tuple, good.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_xml_corrupt_records_quarantined(spark, tmp_path):
+    d = tmp_path / "xml_land"
+    d.mkdir()
+    (d / "batch.xml").write_text(
+        "<root>"
+        "<order><o_orderkey>1</o_orderkey><o_custkey>7</o_custkey>"
+        "<o_orderstatus>F</o_orderstatus><o_totalprice>10.5</o_totalprice></order>"
+        "<order><o_orderkey>not_a_number</o_orderkey><o_custkey>8</o_custkey>"
+        "<o_orderstatus>O</o_orderstatus><o_totalprice>1.0</o_totalprice></order>"
+        "</root>")
+    good, bad = FM.quarantine_split(
+        FM.read_xml_strict(spark, str(d), ORDERS_CSV_SCHEMA, row_tag="order"))
+    assert [r.o_orderkey for r in good.collect()] == [1]
+    assert bad.count() == 1  # type-mismatched record lands in quarantine
+
+
+def test_xml_to_parquet_bronze(spark, sf_dir, tmp_path):
+    src = _orders_subset(spark, sf_dir)
+    xml_path = str(tmp_path / "xml_in")
+    pq_path = str(tmp_path / "pq_out")
+    FM.write_xml(src, xml_path, row_tag="order")
+    bad = FM.xml_to_parquet(spark, xml_path, ORDERS_CSV_SCHEMA, pq_path,
+                            row_tag="order")
+    assert bad.count() == 0
+    assert spark.read.parquet(pq_path).count() == 200

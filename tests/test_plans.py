@@ -296,3 +296,16 @@ def test_tfidf_no_global_sort_and_partial_counts(spark, sf_dir):
     assert "Sort [tfidf" not in plan.replace("Sort [doc_id", "")  # no global sort on score
     assert "rangepartitioning" not in plan  # orderBy would introduce one
     assert "Window" in plan
+
+
+def test_waiting_suppliers_semi_anti_pushdown(spark, sf_dir):
+    """Q21 shape: the correlated EXISTS plans as LeftSemi, the NOT EXISTS
+    as LeftAnti (no per-row subquery re-execution), all three status/flag
+    filters reach their scans, and the final order+limit is a distributed
+    top-20."""
+    plan = plan_of(spark, sf_dir, "join_waiting_suppliers")
+    assert plan.count("LeftSemi") == 1
+    assert plan.count("LeftAnti") == 1
+    assert "EqualTo(o_orderstatus,F)" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "TakeOrderedAndProject" in plan

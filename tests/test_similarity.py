@@ -133,3 +133,44 @@ def test_pq_codebook_deterministic(spark, sf_dir):
     b = train_pq_codebook(corpus)
     assert a.shape[0] == 8 and a.shape[1] == 32
     assert np.array_equal(a, b)
+
+
+def test_ivf_pq_recall_vs_ivf(spark, sf_dir):
+    """The composed IVF+PQ stack returns valid ranked results whose
+    recall@10 tracks plain IVF (the PQ shortlist+re-rank may lose only a
+    little on top of the probe's own recall)."""
+    from data_ingestion_system_spark.catalog import Catalog
+    from data_ingestion_system_spark.operators.similarity import (
+        label_centroids,
+        topk_ivf,
+        topk_ivf_pq,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    corpus, queries = _load(spark, sf_dir)
+    cents = label_centroids(cat.embeddings.select("label", "embedding"))
+    exact = topk_bruteforce(corpus, queries, k=10).collect()
+    ivf = topk_ivf(corpus, cents, queries, k=10, nprobe=2).collect()
+    ivfpq = topk_ivf_pq(corpus, cents, queries, k=10, nprobe=2,
+                        shortlist=50).collect()
+
+    def recall(rows):
+        exact_sets, hit, tot = {}, 0, 0
+        for r in exact:
+            exact_sets.setdefault(r.qid, set()).add(r.vec_id)
+        got = {}
+        for r in rows:
+            assert r.vec_id != r.qid
+            got.setdefault(r.qid, set()).add(r.vec_id)
+        for qid, s in exact_sets.items():
+            hit += len(s & got.get(qid, set()))
+            tot += len(s)
+        return hit / tot
+
+    r_ivf, r_ivfpq = recall(ivf), recall(ivfpq)
+    # the probe stage bounds recall for both (the fixture's random
+    # near-orthogonal vectors make nprobe=2 inherently lossy — same bar
+    # the plain-IVF test uses); PQ shortlist+re-rank may cost a little
+    # extra on top, never most of it
+    assert r_ivfpq >= r_ivf - 0.15, (r_ivf, r_ivfpq)
+    assert r_ivfpq >= 0.2, (r_ivf, r_ivfpq)

@@ -209,3 +209,64 @@ def test_windowed_counts_update_mode_emits_open_windows(spark, tmp_path):
     got2 = {(str(r.w_start), r.action): r.n
             for r in spark.sql("SELECT * FROM upd_counts2").collect()}
     assert got2[("2024-03-01 01:00:00", "create")] == 3
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join: each micro-batch of the request stream enriches
+    against a STATIC dimension table (app_id -> owner/tier) without any
+    stream-side state — the static side broadcasts into every batch, and
+    a dimension update is visible to the NEXT batch because stream-static
+    joins re-resolve the static plan per micro-batch."""
+    import json as _json
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    dim_dir = str(tmp_path / "dim")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [("app1", "alice", "gold"), ("app2", "bob", "basic")],
+        "app_id string, owner string, tier string",
+    ).write.mode("overwrite").parquet(dim_dir)
+
+    schema = "transaction_id string, app_id string, ts string"
+
+    def drain():
+        # re-resolve the dimension per drain: a long-lived production query
+        # would instead re-read inside foreachBatch (or use a Delta-style
+        # table whose snapshot re-resolves); a parquet DataFrame captured
+        # once pins its file listing forever
+        dim = spark.read.parquet(dim_dir)
+        stream = spark.readStream.schema(schema).json(str(landing))
+        enriched = stream.join(F.broadcast(dim), "app_id", "left").select(
+            "transaction_id", "app_id", "owner", "tier")
+        q = (enriched.writeStream.outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start(path=out, format="parquet"))
+        q.awaitTermination(120)
+
+    (landing / "b1.json").write_text("\n".join(_json.dumps(r) for r in [
+        {"transaction_id": "t1", "app_id": "app1", "ts": "2024-03-01T10:00:00Z"},
+        {"transaction_id": "t2", "app_id": "app2", "ts": "2024-03-01T10:00:01Z"},
+        {"transaction_id": "t3", "app_id": "ghost", "ts": "2024-03-01T10:00:02Z"},
+    ]))
+    drain()
+    got = {r.transaction_id: (r.owner, r.tier)
+           for r in spark.read.parquet(out).collect()}
+    assert got == {"t1": ("alice", "gold"), "t2": ("bob", "basic"),
+                   "t3": (None, None)}  # unmatched keys survive (left join)
+
+    # dimension update lands; the next micro-batch sees the new row
+    spark.createDataFrame(
+        [("app1", "alice", "gold"), ("app2", "bob", "basic"),
+         ("ghost", "casper", "trial")],
+        "app_id string, owner string, tier string",
+    ).write.mode("overwrite").parquet(dim_dir)
+    (landing / "b2.json").write_text(_json.dumps(
+        {"transaction_id": "t4", "app_id": "ghost", "ts": "2024-03-01T11:00:00Z"}))
+    drain()
+    got2 = {r.transaction_id: (r.owner, r.tier)
+            for r in spark.read.parquet(out).collect()}
+    assert got2["t4"] == ("casper", "trial")
+    assert got2["t3"] == (None, None)  # history not rewritten
