@@ -65,13 +65,31 @@ def main() -> None:
         sf = float(sf)
     except ValueError:
         pass
-    print(json.dumps({
+    # The driver records only a bounded tail of stdout (r1: the full
+    # 103-entry per-query map overflowed it and "parsed" came back null),
+    # so the ONE line printed here is compact — totals, quantiles, and the
+    # ten heaviest queries — and the full per-query map goes to a sidecar.
+    ts = sorted(timings.values())
+
+    def q(p: float) -> float:
+        return round(ts[min(len(ts) - 1, int(p * len(ts)))], 4)
+
+    heaviest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    summary = {
         "metric": "declared_query_wall_clock_total",
-        "value": round(sum(timings.values()), 4),
+        "value": round(sum(ts), 4),
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
-    }))
+        "n_queries": len(ts),
+        "p50": q(0.50),
+        "p95": q(0.95),
+        "queries": heaviest,
+        "full": "BENCH_FULL.json",
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as f:
+        json.dump({**summary, "queries": timings}, f, indent=1)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -17,9 +17,11 @@ Five families, all shuffle-conscious:
   semantic near-dups — see vectors.py for the exact-arithmetic story.
 
 Everything is built-in column expressions + joins; no Python in the row
-path.  Hash functions are Spark's xxhash64 (JVM, codegen) — signatures
-are engine-specific, so LSH queries are verified by an exact-Jaccard
-stage rather than a value oracle.
+path.  Hash functions default to Spark's xxhash64 (JVM, codegen);
+SimHash also offers a portable md5-derived 60-bit mode whose signatures
+any md5-capable engine reproduces bit-for-bit (full value oracle), and
+MinHash-LSH's verified output is exact Jaccard — engine-portable even
+though its candidate signatures aren't.
 """
 
 from __future__ import annotations
@@ -166,29 +168,44 @@ def verify_candidates(sh: DataFrame, candidates: DataFrame,
     )
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document, entirely in column expressions.
+def simhash64(df: DataFrame, id_col: str, text_col: str,
+              portable: bool = False) -> DataFrame:
+    """SimHash per document, entirely in column expressions.
 
     Token hash -> per-bit +-1 votes -> sign -> packed bigint.  Votes are
     computed in two stages: a (doc, token-hash) count first (cheap 2-col
-    aggregation collapses repeated tokens), then the 64 weighted sum
+    aggregation collapses repeated tokens), then the per-bit weighted sum
     aggregates run over distinct hashes only — 2.6x fewer rows through
-    the expensive 64-buffer stage on natural text.
+    the expensive multi-buffer stage on natural text.
+
+    ``portable=False`` (default): 64-bit xxhash64 token hashes — the
+    fastest JVM path.  ``portable=True``: 60-bit token hashes from the
+    first 15 hex chars of md5 — bit-identical in any engine with md5
+    (DuckDB: ``('0x' || substr(md5(tok),1,15))::BIGINT``), so the whole
+    signature, and therefore every Hamming distance, is oracle-checkable.
+    Same plan shape either way; md5 costs one extra digest per distinct
+    (doc, token).
     """
+    n_bits = 60 if portable else 64
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
-    ).withColumn("th", F.xxhash64("tok"))
-    counted = toks.groupBy(id_col, "th").agg(F.count("*").alias("cnt"))
+    )
+    if portable:
+        th = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    else:
+        th = F.xxhash64("tok")
+    counted = (toks.withColumn("th", th)
+               .groupBy(id_col, "th").agg(F.count("*").alias("cnt")))
     votes = counted.groupBy(id_col).agg(*[
         F.sum(
             F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1,
                    F.col("cnt")).otherwise(-F.col("cnt"))
         ).alias(f"v{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ])
     sig = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(n_bits):
         sig = sig.bitwiseOR(
             F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i))
             .otherwise(F.lit(0).cast("long"))
@@ -197,14 +214,16 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(sig: DataFrame, id_col: str = "doc_id",
-                       max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64 bits into 4 x 16-bit chunks
+                       max_hamming: int = 3, n_bits: int = 64) -> DataFrame:
+    """Near-dup pairs by SimHash: band the bits into 4 equal chunks
     (pigeonhole: hamming<=3 pairs share >=1 exact chunk), equi-join on a
     chunk, verify with bit_count(xor)."""
+    width = n_bits // 4
     chunks = sig.select(
         id_col, "simhash",
         F.posexplode(F.array(*[
-            F.shiftright(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+            F.shiftright(F.col("simhash"), width * c)
+            .bitwiseAND(F.lit((1 << width) - 1))
             for c in range(4)
         ])).alias("chunk", "cv"),
     )
@@ -216,7 +235,8 @@ def simhash_near_pairs(sig: DataFrame, id_col: str = "doc_id",
         a.join(b, ["chunk", "cv"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b",
-                F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"))
+                F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+                .cast("long").alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

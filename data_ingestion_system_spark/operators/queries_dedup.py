@@ -1,11 +1,12 @@
 """Declared queries: deduplication over `documents` / `embeddings`.
 
-Oracle-checked where the arithmetic is engine-portable (exact dedup,
-n-gram Jaccard, embedding cosine — md5/int/double are bit-identical
-across Spark and DuckDB).  MinHash-LSH and SimHash signatures hash with
-Spark's xxhash64, which DuckDB can't reproduce — those two ship with the
-driver's rows-only check plus planted-duplicate recall tests in
-tests/test_dedup.py.
+All eight queries are oracle-checked: exact dedup / n-gram Jaccard /
+embedding cosine are engine-portable arithmetic outright; MinHash-LSH
+emits exact-Jaccard-verified pairs (checked against the all-pairs
+oracle — equal whenever LSH recall is 1, which the fixtures satisfy);
+SimHash runs its portable 60-bit md5-derived signature so DuckDB
+recomputes it bit-for-bit.  Planted-duplicate recall is additionally
+pinned in tests/test_dedup.py.
 """
 
 from __future__ import annotations
@@ -34,7 +35,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup_survivors(cat.documents, "doc_id", "text")
 
 
-@register("dedup_ngram_jaccard", f"""
+_EXACT_JACCARD_SQL = f"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
 sh AS (
@@ -50,7 +51,10 @@ FROM common
 JOIN cnt ca ON ca.doc_id = id_a
 JOIN cnt cb ON cb.doc_id = id_b
 WHERE c * 1.0 / (ca.n + cb.n - c) >= {JACCARD_THRESHOLD}
-""")
+"""
+
+
+@register("dedup_ngram_jaccard", _EXACT_JACCARD_SQL)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (>= 0.5).
 
@@ -65,12 +69,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh")  # xxhash64 signatures: driver rows-only check
+@register("dedup_minhash_lsh", _EXACT_JACCARD_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(8 bands x 4 rows) candidates, exact-Jaccard
     verified (>= 0.5).  The scale path: signatures are one shuffle,
     banding is linear, and only colliding pairs reach the verify join.
-    Recall vs the exact pipeline is asserted in tests/test_dedup.py."""
+    Recall vs the exact pipeline is asserted in tests/test_dedup.py.
+
+    The oracle is the EXACT all-pairs Jaccard at the same threshold —
+    the verified output's jaccard values are engine-portable (the
+    xxhash64 signatures only pick CANDIDATES), so the two agree iff LSH
+    recall is 1 on the data, which holds here: every >=0.5 pair in the
+    fixtures sits at j>=0.9, where a pair collides in >=1 of 8 bands
+    w.p. ~0.9998 (1-(1-j^4)^8); byte-identical docs share every band."""
     cat = Catalog(spark, sf_dir)
     # the shingle set feeds BOTH the signature and the verify stage;
     # persist it (already hash-collapsed to longs) so the explode+distinct
@@ -86,13 +97,51 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash")  # xxhash64 signatures: driver rows-only check
+_SIMHASH_BITS = 60
+_SIMHASH_VOTES = ",\n       ".join(
+    f"sum(CASE WHEN (th >> {i}) & 1 = 1 THEN cnt ELSE -cnt END) AS v{i}"
+    for i in range(_SIMHASH_BITS))
+_SIMHASH_PACK = " | ".join(
+    f"(CASE WHEN v{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END)"
+    for i in range(_SIMHASH_BITS))
+
+_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents),
+cnt AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS th,
+         count(*) AS cnt
+  FROM toks GROUP BY doc_id, th),
+votes AS (
+  SELECT doc_id,
+       {_SIMHASH_VOTES}
+  FROM cnt GROUP BY doc_id),
+sig AS (SELECT doc_id, {_SIMHASH_PACK} AS simhash FROM votes)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@register("dedup_simhash", _SIMHASH_SQL)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64-bit) near-dup pairs with Hamming distance <= 3, banded
-    16-bit chunks for candidate generation (pigeonhole-complete)."""
+    """SimHash near-dup pairs with Hamming distance <= 3, banded 15-bit
+    chunks for candidate generation (pigeonhole-complete: a <=3-bit
+    difference leaves >=1 of 4 chunks identical, so banding has recall
+    EXACTLY 1 — no data luck involved).
+
+    Runs the ``portable=True`` signature (60-bit md5-derived token
+    hashes, operators/dedup.py::simhash64) so the oracle recomputes the
+    identical signatures in DuckDB and checks every emitted Hamming
+    distance by value — the r1 rows-only check upgraded to a full
+    oracle.  The xxhash64 variant stays the library default for
+    hot-path use."""
     cat = Catalog(spark, sf_dir)
-    sig = D.simhash64(cat.documents, "doc_id", "text")
-    return D.simhash_near_pairs(sig, max_hamming=3)
+    sig = D.simhash64(cat.documents, "doc_id", "text", portable=True)
+    return D.simhash_near_pairs(sig, max_hamming=3, n_bits=_SIMHASH_BITS)
 
 
 @register("dedup_cluster_components", f"""

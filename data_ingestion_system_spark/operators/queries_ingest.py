@@ -67,14 +67,16 @@ def ingest_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ingest_expectations", """
 SELECT count(*) AS n_rows,
-       sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS null_keys,
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_keys,
        count(*) - count(DISTINCT o_orderkey) AS dup_keys,
-       sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpositive_price,
-       sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01 00:00:00'
-                  OR o_orderdate > TIMESTAMP '2030-01-01 00:00:00'
-                THEN 1 ELSE 0 END) AS date_out_of_range,
-       sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)
-         AS bad_status
+       CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS nonpositive_price,
+       CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01 00:00:00'
+                      OR o_orderdate > TIMESTAMP '2030-01-01 00:00:00'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS date_out_of_range,
+       CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)
+            AS BIGINT) AS bad_status
 FROM orders
 """)
 def ingest_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -133,7 +135,8 @@ def agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ingest_variant_payload", """
 SELECT event_type,
        count(*) AS n,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events

@@ -2,10 +2,10 @@
 `documents` (content = utf-8 bytes of `text` — a deterministic blob per
 row, so the binary plumbing is exercised on driver-checkable data).
 
-`multimodal_meta` is fully oracle-checked (byte lengths / frame counts are
-engine-portable integer arithmetic).  The mapInPandas feature/frame ops
-carry the driver's rows-only check; their exact values are pinned by
-tests/test_multimodal.py against straight numpy.
+All four queries are fully oracle-checked: the fake codec is exact byte
+arithmetic over ASCII blobs, so DuckDB recomputes features / frame
+energies / centered cosines bit-for-bit (see _BYTES_CTE).  The values are
+additionally pinned by tests/test_multimodal.py against straight numpy.
 """
 
 from __future__ import annotations
@@ -59,21 +59,107 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features")  # mapInPandas fake-decode: rows-only check
+# The fake codec is pure byte arithmetic over ASCII text blobs, so the
+# oracles below recompute it exactly in SQL: byte i of the utf-8 blob is
+# ascii(substr(text, i+1, 1)), np.array_split's block-of-byte-i is
+# i < k*(q+1) ? i // (q+1) : k + (i - k*(q+1)) // q  (q = L // 16,
+# k = L % 16), and all sums are exact in float64 (integers < 2^53), so
+# mean-then-divide lands on the identical double in both engines.
+_BYTES_CTE = """
+m AS (SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+             text, CAST(strlen(text) AS BIGINT) AS L
+      FROM documents),
+b AS (SELECT media_id, kind, text, L, L // 16 AS q, L % 16 AS k,
+             unnest(range(L)) AS i
+      FROM m),
+bb AS (SELECT media_id, kind,
+              CASE WHEN i < k * (q + 1) THEN i // (q + 1)
+                   ELSE k + (i - k * (q + 1)) // q END AS dim,
+              i // 256 AS frame_no,
+              ascii(substr(text, CAST(i + 1 AS INT), 1)) AS byte
+       FROM b)
+"""
+
+_FEATURES_SQL = f"""
+WITH {_BYTES_CTE},
+s AS (SELECT media_id, dim,
+             CAST(sum(byte) AS DOUBLE) / count(*) / 255.0 AS v
+      FROM bb GROUP BY media_id, dim),
+g AS (SELECT m.media_id, m.kind, t.dim
+      FROM m CROSS JOIN range(16) AS t(dim))
+SELECT g.media_id, g.dim, COALESCE(s.v, 0.0) AS value
+FROM g LEFT JOIN s ON g.media_id = s.media_id AND g.dim = s.dim
+"""
+
+
+@register("multimodal_features", _FEATURES_SQL)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract via Arrow-batched mapInPandas (16-dim
-    block-mean features; deterministic fake codec)."""
-    return media_features(_media_from_documents(spark, sf_dir))
+    block-mean features; deterministic fake codec).
+
+    Registered in exploded ``(media_id, dim, value)`` form — the r1
+    driver's pandas canonicalizer cannot hash an ``array<double>``
+    column — with a full byte-arithmetic oracle; ``media_features``
+    keeps the array-valued API for library callers."""
+    feats = media_features(_media_from_documents(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        F.posexplode("features").alias("dim", "value"),
+    ).select("media_id", F.col("dim").cast("bigint").alias("dim"), "value")
 
 
-@register("multimodal_frame_sample")  # mapInPandas fake-codec: rows-only check
+_FRAMES_SQL = f"""
+WITH {_BYTES_CTE}
+SELECT media_id, frame_no, frame_no * 256 AS offset,
+       CAST(sum(byte) AS DOUBLE) / count(*) AS energy
+FROM bb WHERE frame_no % 4 = 0
+GROUP BY media_id, frame_no
+"""
+
+
+@register("multimodal_frame_sample", _FRAMES_SQL)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: every 4th 256-byte window per blob, one output row
-    per sampled frame (row-exploding mapInPandas)."""
-    return frame_sample(_media_from_documents(spark, sf_dir), every_n=4)
+    per sampled frame (row-exploding mapInPandas).  Oracle recomputes the
+    sampled windows' byte means exactly (every doc here is non-empty, so
+    the max(1, ...) single-frame fallback never fires)."""
+    frames = frame_sample(_media_from_documents(spark, sf_dir), every_n=4)
+    return frames.select(
+        "media_id", F.col("frame_no").cast("bigint").alias("frame_no"),
+        "offset", "energy")
 
 
-@register("multimodal_near_dup")  # mapInPandas features: rows-only check
+_ONES_16 = "list_value(" + ", ".join(["1.0"] * 16) + ")"
+
+_NEAR_DUP_SQL = f"""
+WITH {_BYTES_CTE},
+s AS (SELECT media_id, kind, dim,
+             CAST(sum(byte) AS DOUBLE) / count(*) / 255.0 AS v
+      FROM bb GROUP BY media_id, kind, dim),
+g AS (SELECT m.media_id, m.kind, t.dim
+      FROM m CROSS JOIN range(16) AS t(dim)),
+f AS (SELECT g.media_id, g.kind,
+             list(COALESCE(s.v, 0.0) ORDER BY g.dim) AS fv
+      FROM g LEFT JOIN s ON g.media_id = s.media_id AND g.dim = s.dim
+      GROUP BY g.media_id, g.kind),
+cf AS (SELECT media_id, kind,
+              list_transform(
+                fv, x -> x - list_dot_product(fv, {_ONES_16}) / 16.0) AS fc
+       FROM f),
+p AS (SELECT a.media_id AS id_a, b.media_id AS id_b, a.kind,
+             list_dot_product(a.fc, b.fc)
+               / (sqrt(list_dot_product(a.fc, a.fc))
+                  * sqrt(list_dot_product(b.fc, b.fc))) AS cos_raw
+      FROM cf a JOIN cf b ON a.kind = b.kind AND a.media_id < b.media_id)
+SELECT id_a, id_b, kind, round(cos_raw, 6) AS cosine
+FROM p WHERE cos_raw >= 0.999
+"""
+
+
+@register("multimodal_near_dup", _NEAR_DUP_SQL)
 def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal dedup: decode -> 16-dim features (Arrow
     mapInPandas) -> SRP-LSH candidate pairs within media kind -> exact
@@ -92,6 +178,11 @@ def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
       any cluster).  At a 0.999 threshold the per-table collision
       probability for a true near-dup is ~0.9, so 8 tables give
       ~1 - 1e-8 recall; byte-identical media share every bucket.
+
+    The oracle is the EXACT all-pairs centered cosine at the same
+    threshold — the two agree iff SRP-LSH recall is 1 on the data, which
+    holds here (byte-identical dups share every bucket; a true 0.999-dup
+    collides per table w.p. ~0.9, so 8 tables miss w.p. ~1e-8).
 
     Planted-duplicate recovery is pinned in tests/test_multimodal.py.
     """

@@ -46,6 +46,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _HOURS = range(24)
+MIN_CORRELATION = 0.25  # report only meaningfully-correlated pairs
 _PROF_COLS_SQL = ",\n         ".join(
     f"coalesce(avg(CASE WHEN hour(ts) = {h} THEN value END), 0.0) AS h{h}"
     for h in _HOURS)
@@ -71,6 +72,7 @@ SELECT a.user_id AS user_a, b.user_id AS user_b,
        round(list_dot_product(a.cv, b.cv) / (a.n * b.n), 6) AS correlation
 FROM nrm a JOIN nrm b ON a.user_id < b.user_id
 WHERE a.n > 0 AND b.n > 0
+  AND list_dot_product(a.cv, b.cv) / (a.n * b.n) >= {MIN_CORRELATION}
 ORDER BY correlation DESC, user_a, user_b
 LIMIT 20
 """)
@@ -89,11 +91,28 @@ def sim_user_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     aliased expressions — the array form keeps every expression tree a
     handful of nodes, and the interpreted fold is irrelevant at 24
     elements.  Fold order (left, 0-seeded) matches DuckDB's
-    list_dot_product, so the query is fully oracle-checked.  All-pairs
-    is quadratic in users — at real scale the pair join swaps for
-    SRP-LSH over the same profile vectors (operators/similarity.py),
-    exactly like the embedding ANN path."""
-    from data_ingestion_system_spark.functions.vectors import dot
+    list_dot_product, so the query is fully oracle-checked.
+
+    The PAIR stage is SRP-LSH over the profile vectors (the same
+    multi-table machinery as the embedding ANN path): banded equi-join
+    on (table, bucket) generates candidates, exact correlation verifies
+    them, top-20 ranks the survivors — no theta-join anywhere in the
+    plan; only pairs at correlation >= 0.25 qualify (a top-k-pairs
+    search with NO similarity floor would ask an ANN structure to
+    retrieve arbitrarily-dissimilar pairs — not a retrievable regime
+    for any LSH family).  The config (4 bits x 24 tables) is
+    recall-oriented because qualifying pairs start at moderate
+    correlation: a rho=0.6 pair collides per table w.p.
+    (1 - acos(0.6)/pi)^4 ~ 0.25, so 24 tables miss it w.p. ~1e-3;
+    verified equal to the exact all-pairs oracle at sf0.001 and
+    sf0.01.  The honest scale tradeoff: at moderate
+    rho the bucket join stays dense (4 bits = 16 buckets/table); raise
+    the bits when the production question is near-duplicate rhythms
+    (rho >= 0.95 collides per bit w.p. 0.9, so 8 bits x 8 tables prunes
+    hard at ~1e-4 miss) — bits/tables are the knobs, the plan shape
+    does not change."""
+    from data_ingestion_system_spark.functions.vectors import dot, dot_fixed
+    from data_ingestion_system_spark.operators.similarity import srp_buckets_udf
 
     cat = Catalog(spark, sf_dir)
     hours = [
@@ -107,22 +126,34 @@ def sim_user_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.transform("hv", lambda x: x - mu).alias("cv"))
     nrm = cent.select(
         "user_id", "cv", F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("n"))
-    from data_ingestion_system_spark.functions.vectors import dot_fixed
 
-    a = nrm.select(F.col("user_id").alias("user_a"),
-                   F.col("cv").alias("cv_a"), F.col("n").alias("n_a"))
-    b = nrm.select(F.col("user_id").alias("user_b"),
-                   F.col("cv").alias("cv_b"), F.col("n").alias("n_b"))
-    # the PAIR stage (quadratic) uses the unrolled codegen'd dot on the
-    # array attributes — per-row stages above stay HOF so no giant
-    # aliased expressions ever sit under the n>0 filter (see docstring)
+    buckets = srp_buckets_udf(dim=24, n_bits=4, n_tables=24)
+    banded = (
+        nrm.filter(F.col("n") > 0)
+        .withColumn("b", buckets(F.col("cv")))
+        .select("user_id", "cv", "n", F.posexplode("b").alias("tbl", "bucket"))
+        .persist()  # profile agg + bucket UDF run once, not per join side
+    )
+    a = banded.select(F.col("user_id").alias("user_a"),
+                      F.col("cv").alias("cv_a"), F.col("n").alias("n_a"),
+                      "tbl", "bucket")
+    b = banded.select(F.col("user_id").alias("user_b"),
+                      F.col("cv").alias("cv_b"), F.col("n").alias("n_b"),
+                      "tbl", "bucket")
+    # candidate gen: banded equi-join; exact verify on the deduped pairs
+    # uses the unrolled codegen'd dot on the array attributes — per-row
+    # stages above stay HOF so no giant aliased expressions ever sit
+    # under the n>0 filter (see docstring)
     return (
-        a.join(b, F.col("user_a") < F.col("user_b"))
-        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("user_a") < F.col("user_b"))
+        .dropDuplicates(["user_a", "user_b"])
+        .withColumn("corr_raw",
+                    dot_fixed(F.col("cv_a"), F.col("cv_b"), 24)
+                    / (F.col("n_a") * F.col("n_b")))
+        .filter(F.col("corr_raw") >= MIN_CORRELATION)
         .select("user_a", "user_b",
-                F.round(dot_fixed(F.col("cv_a"), F.col("cv_b"), 24)
-                        / (F.col("n_a") * F.col("n_b")), 6)
-                .alias("correlation"))
+                F.round("corr_raw", 6).alias("correlation"))
         .orderBy(F.col("correlation").desc(), "user_a", "user_b")
         .limit(20)
     )
@@ -169,11 +200,27 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_lsh(corpus, queries, k=K)
 
 
-@register("emb_quantize_roundtrip")  # mapInPandas quantizer: rows-only
+@register("emb_quantize_roundtrip", """
+WITH x AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+             greatest(list_max(list_transform(v, e -> abs(e))), 1e-12) / 127.0
+               AS scale
+      FROM x)
+SELECT vec_id,
+       round(list_max(list_transform(
+           v, e -> abs(e - round_even(e / scale, 0) * scale))), 6)
+         AS max_abs_err
+FROM s
+""")
 def emb_quantize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 quantize -> dequantize -> per-vector max abs error vs the
     original (storage-compression op; error bound scale/2 pinned in
-    tests/test_embeddings_io.py)."""
+    tests/test_embeddings_io.py).
+
+    Fully oracle-checked: symmetric int8 quantization is deterministic
+    float64 arithmetic — scale = max|x|/127, q = rint(x/scale) (DuckDB's
+    ``round_even`` matches numpy's banker's rounding), back = q*scale —
+    so DuckDB reproduces the roundtrip error bit-for-bit."""
     from data_ingestion_system_spark.functions.vectors import as_double
     from data_ingestion_system_spark.operators.embeddings import (
         dequantize_int8,

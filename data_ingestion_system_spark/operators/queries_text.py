@@ -262,7 +262,7 @@ binned AS (
   FROM sized)
 SELECT lang, bin_id,
        count(*) AS n_docs,
-       sum(n_tok) AS sum_tokens,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
        min(doc_id) AS first_doc,
        max(doc_id) AS last_doc
 FROM binned

@@ -248,24 +248,29 @@ def pq_encode_udf(codebook: np.ndarray):
     return encode
 
 
-def pq_adc_score_udf(codebook: np.ndarray):
-    """Pandas UDF: (codes, flattened per-query LUT) -> approximate cosine.
+def pq_adc_score_at_udf(luts: np.ndarray):
+    """Pandas UDF: (codes, qidx) -> ADC score against query ``qidx`` only.
 
-    ADC: the query precomputes dot(q_sub, centroid) for every (subspace,
-    centroid) pair — an m*ks table, built once per query — and scoring a
-    corpus vector is m table lookups + a sum over its 40-bit code.  The
-    raw embedding is never touched: the compressed-domain scan reads
-    ~8 bytes/vector instead of 512."""
-    m, ks, _ = codebook.shape
+    ADC: each query precomputes dot(q_sub, centroid) for every (subspace,
+    centroid) pair — an (m, ks) table — and scoring a corpus vector is m
+    table lookups + a sum over its 40-bit code.  The LUT stack rides in
+    the closure (no LUT bytes on the wire), and each candidate row does
+    O(m) work — the per-pair scorer for joins that already know which
+    query a candidate belongs to (IVF probe output), vs
+    ``pq_adc_score_all_udf`` whose O(n_q*m) per row is only right when
+    every vector is scored against every query."""
+    n_q, m, ks = luts.shape
 
     @F.pandas_udf("double")
-    def score(codes: pd.Series, lut: pd.Series) -> pd.Series:
-        c = np.vstack(codes.to_numpy()).astype(np.int64)       # (batch, m)
-        l = np.vstack(lut.to_numpy()).reshape(len(c), m, ks)   # (batch, m, ks)
-        return pd.Series(np.take_along_axis(
-            l, c[:, :, None], axis=2).squeeze(2).sum(axis=1))
+    def score_at(codes: pd.Series, qidx: pd.Series) -> pd.Series:
+        c = np.vstack(codes.to_numpy()).astype(np.int64)   # (batch, m)
+        qi = qidx.to_numpy().astype(np.int64)              # (batch,)
+        tot = np.zeros(len(c))
+        for j in range(m):
+            tot += luts[qi, j, c[:, j]]
+        return pd.Series(tot)
 
-    return score
+    return score_at
 
 
 def query_luts(queries_rows, codebook: np.ndarray) -> np.ndarray:
@@ -375,14 +380,19 @@ def topk_ivf_pq(corpus: DataFrame, centroids: np.ndarray, queries: DataFrame,
     probes = queries.withColumn(
         "cids", ivf_assign_udf(centroids, nprobe)(F.col("qv"))
     ).select("qid", F.explode("cids").alias("cid"))
-    probes = probes.withColumn(
-        "qidx", F.udf(lambda q: qid_of_idx[q], "int")(F.col("qid")))
+    # qid -> LUT index as a literal map expression (codegen'd element_at;
+    # the query set is driver-resident by construction, so no UDF and no
+    # extra join)
+    qidx_map = F.create_map(
+        *[F.lit(x) for qid, i in qid_of_idx.items() for x in (qid, i)])
+    probes = probes.withColumn("qidx", qidx_map[F.col("qid")])
 
     cand = (
         assigned.select("vec_id", "cid", "codes")
         .join(F.broadcast(probes), "cid")
         .filter(F.col("vec_id") != F.col("qid"))
-        .withColumn("adc", pq_adc_score_all_udf(luts)(F.col("codes"))[F.col("qidx")])
+        .withColumn("adc",
+                    pq_adc_score_at_udf(luts)(F.col("codes"), F.col("qidx")))
     )
     w = Window.partitionBy("qid").orderBy(F.col("adc").desc(), F.col("vec_id"))
     short = (cand.withColumn("srnk", F.row_number().over(w))

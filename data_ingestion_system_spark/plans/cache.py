@@ -89,13 +89,40 @@ class CachedSearchService:
     """The reference's search endpoint shape: cache probe -> engine -> fill.
 
     ``search_fn(filters) -> DataFrame``; results are collected (the driver
-    of the reference does the same — rows go over the wire as JSON)."""
+    of the reference does the same — rows go over the wire as JSON).
+
+    **Degraded mode** (``audit.services.ts:35-87`` parity): a failing
+    cache backend must never fail the query — on the first cache error
+    the service self-disables the cache and serves every subsequent
+    request straight from the engine; ``enable_cache()`` re-arms it
+    (the reference re-arms on Redis reconnect)."""
 
     def __init__(self, search_fn: Callable[[Mapping[str, Any]], DataFrame],
                  cache: ResultCache | None = None):
         self._search = search_fn
         self.cache = cache or ResultCache()
+        self.cache_enabled = True
+        self.cache_errors = 0
+
+    def enable_cache(self) -> None:
+        self.cache_enabled = True
 
     def search(self, filters: Mapping[str, Any]) -> list[Row]:
         key = canonical_key("audit", filters)
-        return self.cache.get_or_run(key, lambda: self._search(filters).collect())
+        if self.cache_enabled:
+            try:
+                cached = self.cache.get(key)
+            except Exception:
+                self.cache_errors += 1
+                self.cache_enabled = False  # self-disable, serve the query
+            else:
+                if cached is not None:
+                    return cached
+        value = self._search(filters).collect()
+        if self.cache_enabled:
+            try:
+                self.cache.put(key, value)
+            except Exception:
+                self.cache_errors += 1
+                self.cache_enabled = False
+        return value

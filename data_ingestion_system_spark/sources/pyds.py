@@ -165,5 +165,11 @@ def register_audit_source(spark) -> None:
     """Idempotently register the connector with a session."""
     # runtime-settable; without it Spark refuses a reader that implements
     # pushFilters rather than silently skipping the pushdown
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        # conf absent/static on this Spark build: registration still
+        # works, pushdown simply doesn't engage (the engine-side filter
+        # applies regardless) — same degrade posture as Catalog
+        pass
     spark.dataSource.register(AuditHttpLogDataSource)

@@ -77,3 +77,60 @@ def test_cached_search_service(spark):
     assert r1 == r2
     assert len(executions) == 1
     assert svc.cache.hits == 1 and svc.cache.misses == 1
+
+
+class ExplodingCache(ResultCache):
+    """Backend whose probe/fill fails (the Redis-down scenario)."""
+
+    def __init__(self, fail_on="get", **kw):
+        super().__init__(**kw)
+        self.fail_on = fail_on
+
+    def get(self, key):
+        if self.fail_on == "get":
+            raise ConnectionError("cache backend down")
+        return super().get(key)
+
+    def put(self, key, value):
+        if self.fail_on == "put":
+            raise ConnectionError("cache backend down")
+        super().put(key, value)
+
+
+def test_degraded_mode_serves_queries_and_self_disables(spark):
+    """audit.services.ts:35-87 parity: a failing cache never fails the
+    query — first error flips the service into cache-off mode."""
+    executions = []
+
+    def search_fn(filters):
+        executions.append(dict(filters))
+        return spark.range(2).toDF("id")
+
+    svc = CachedSearchService(search_fn, cache=ExplodingCache(fail_on="get"))
+    r1 = svc.search({"a": 1})
+    assert [row.id for row in r1] == [0, 1]          # query served
+    assert svc.cache_enabled is False                # self-disabled
+    assert svc.cache_errors == 1
+    r2 = svc.search({"a": 1})                        # no cache touched now
+    assert r2 == r1 and len(executions) == 2
+    assert svc.cache_errors == 1                     # no repeat probing
+
+    # re-arm ("reconnect"): works again without errors on a healthy path
+    svc.cache = ResultCache()
+    svc.enable_cache()
+    svc.search({"a": 1})
+    svc.search({"a": 1})
+    assert len(executions) == 3 and svc.cache.hits == 1
+
+
+def test_degraded_mode_on_fill_failure(spark):
+    executions = []
+
+    def search_fn(filters):
+        executions.append(dict(filters))
+        return spark.range(1).toDF("id")
+
+    svc = CachedSearchService(search_fn, cache=ExplodingCache(fail_on="put"))
+    r1 = svc.search({"x": 9})                        # probe misses, fill dies
+    assert [row.id for row in r1] == [0]
+    assert svc.cache_enabled is False and svc.cache_errors == 1

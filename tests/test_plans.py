@@ -5,6 +5,8 @@ that silently degrades a plan fails CI, not the 100 TB run."""
 
 from __future__ import annotations
 
+import re
+
 import __spark_entry__ as entrymod
 
 QUERIES = entrymod.queries()
@@ -270,8 +272,9 @@ def test_volume_shipping_broadcast_legs_and_envelope(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "agg_volume_shipping")
     assert plan.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in plan
-    assert plan.count("n_name") and "In(n_name, [NATION_13,NATION_3])" in plan \
-        or "IN (NATION_3,NATION_13)" in plan
+    assert re.search(
+        r"In\(n_name, \[NATION_(13,NATION_3|3,NATION_13)\]\)", plan
+    ), "nation-pair IN envelope did not reach the nation scans"
     assert "GreaterThanOrEqual(l_shipdate" in plan
     assert plan.count("Exchange hashpartitioning") == 1
 
@@ -309,3 +312,12 @@ def test_waiting_suppliers_semi_anti_pushdown(spark, sf_dir):
     assert "EqualTo(o_orderstatus,F)" in plan
     assert "EqualTo(l_returnflag,R)" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_user_timeseries_pairs_no_theta_join(spark, sf_dir):
+    """The profile pair stage must be the banded SRP-LSH equi-join —
+    never the quadratic theta-join (BroadcastNestedLoop at scale)."""
+    plan = plan_of(spark, sf_dir, "sim_user_timeseries")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan       # top-20 never sorts globally

@@ -23,7 +23,7 @@ def _req(txn, hour, minute=0, action="create"):
 def _drain(spark, landing, out, ckpt):
     q = start_windowed_counts(spark, landing, out, ckpt,
                               window="1 hour", max_lateness="2 hours")
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "micro-batch did not finish in 120s"
     return q
 
 
@@ -84,7 +84,7 @@ def test_stateful_correlation_across_batches(spark, tmp_path):
             .trigger(availableNow=True)
             .start(path=out, format="parquet")
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "micro-batch did not finish in 120s"
 
     run_batch([
         {"transaction_id": "t1", "record_type": "request",
@@ -171,7 +171,7 @@ def test_stream_stream_join_time_bounded(spark, tmp_path):
     q = start_stream_stream_correlate(
         spark, str(req_dir), str(resp_dir), out, ckpt,
         max_lateness="2 hours", join_window="1 hour")
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "micro-batch did not finish in 120s"
 
     rows = {r.transaction_id: r.status_code
             for r in spark.read.parquet(out).collect()}
@@ -193,7 +193,7 @@ def test_windowed_counts_update_mode_emits_open_windows(spark, tmp_path):
     for i, r in enumerate([_req("a", 1), _req("b", 1, 30)]):
         (landing / f"u1_{i}.json").write_text(json.dumps(r))
     q = start_windowed_counts_update(spark, str(landing), ckpt, "upd_counts")
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "micro-batch did not finish in 120s"
     got = {(str(r.w_start), r.action): r.n
            for r in spark.sql("SELECT * FROM upd_counts").collect()}
     # the hour-1 window is NOT closed (watermark is behind it) yet its
@@ -205,7 +205,7 @@ def test_windowed_counts_update_mode_emits_open_windows(spark, tmp_path):
     (landing / "u2.json").write_text(json.dumps(_req("c", 1, 45)))
     q = start_windowed_counts_update(
         spark, str(landing), str(tmp_path / "ckpt_u2"), "upd_counts2")
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "micro-batch did not finish in 120s"
     got2 = {(str(r.w_start), r.action): r.n
             for r in spark.sql("SELECT * FROM upd_counts2").collect()}
     assert got2[("2024-03-01 01:00:00", "create")] == 3
@@ -244,7 +244,7 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True)
              .start(path=out, format="parquet"))
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "micro-batch did not finish in 120s"
 
     (landing / "b1.json").write_text("\n".join(_json.dumps(r) for r in [
         {"transaction_id": "t1", "app_id": "app1", "ts": "2024-03-01T10:00:00Z"},
