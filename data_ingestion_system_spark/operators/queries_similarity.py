@@ -22,6 +22,38 @@ def _corpus_queries(spark: SparkSession, sf_dir: str):
     return corpus, queries
 
 
+# Trained quantizers are METADATA (faiss posture: train once, serve many
+# queries) — cache per dataset so the PQ k-means / centroid aggregation
+# runs once even when several ANN queries execute in one session.  Both
+# derivations are deterministic (seeded init, fixed iterations), so a
+# cache hit returns bit-identical structures.
+_PQ_CODEBOOKS: dict[str, object] = {}
+_IVF_CENTROIDS: dict[str, object] = {}
+
+
+def _pq_codebook(spark: SparkSession, sf_dir: str):
+    if sf_dir not in _PQ_CODEBOOKS:
+        from data_ingestion_system_spark.operators.similarity import (
+            train_pq_codebook,
+        )
+
+        corpus, _ = _corpus_queries(spark, sf_dir)
+        _PQ_CODEBOOKS[sf_dir] = train_pq_codebook(corpus)
+    return _PQ_CODEBOOKS[sf_dir]
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str):
+    if sf_dir not in _IVF_CENTROIDS:
+        from data_ingestion_system_spark.operators.similarity import (
+            label_centroids,
+        )
+
+        cat = Catalog(spark, sf_dir)
+        _IVF_CENTROIDS[sf_dir] = label_centroids(
+            cat.embeddings.select("label", "embedding"))
+    return _IVF_CENTROIDS[sf_dir]
+
+
 @register("sim_topk_bruteforce", f"""
 WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id < {N_QUERIES}),
@@ -242,15 +274,11 @@ def emb_quantize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via IVF inverted lists (per-label-mean codebook,
     nprobe=2); recall vs brute force asserted in tests/test_similarity.py."""
-    from data_ingestion_system_spark.operators.similarity import (
-        label_centroids,
-        topk_ivf,
-    )
+    from data_ingestion_system_spark.operators.similarity import topk_ivf
 
-    cat = Catalog(spark, sf_dir)
     corpus, queries = _corpus_queries(spark, sf_dir)
-    cents = label_centroids(cat.embeddings.select("label", "embedding"))
-    return topk_ivf(corpus, cents, queries, k=K, nprobe=2)
+    return topk_ivf(corpus, _ivf_centroids(spark, sf_dir), queries,
+                    k=K, nprobe=2)
 
 
 @register("sim_topk_pq")  # compressed-domain ADC scan: rows-only
@@ -265,7 +293,8 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_ingestion_system_spark.operators.similarity import topk_pq
 
     corpus, queries = _corpus_queries(spark, sf_dir)
-    return topk_pq(corpus, queries, k=K, shortlist=50)
+    return topk_pq(corpus, queries, k=K, shortlist=50,
+                   codebook=_pq_codebook(spark, sf_dir))
 
 
 @register("sim_topk_ivf_pq")  # composed coarse+fine quantization: rows-only
@@ -274,12 +303,9 @@ def sim_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-list probe prunes candidates sub-linearly, PQ-ADC scores the
     probed candidates from 40-bit codes, exact re-rank on the shortlist.
     Recall vs brute force pinned in tests/test_similarity.py."""
-    from data_ingestion_system_spark.operators.similarity import (
-        label_centroids,
-        topk_ivf_pq,
-    )
+    from data_ingestion_system_spark.operators.similarity import topk_ivf_pq
 
-    cat = Catalog(spark, sf_dir)
     corpus, queries = _corpus_queries(spark, sf_dir)
-    cents = label_centroids(cat.embeddings.select("label", "embedding"))
-    return topk_ivf_pq(corpus, cents, queries, k=K, nprobe=2, shortlist=50)
+    return topk_ivf_pq(corpus, _ivf_centroids(spark, sf_dir), queries,
+                       k=K, nprobe=2, shortlist=50,
+                       codebook=_pq_codebook(spark, sf_dir))

@@ -298,16 +298,40 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_stratified_sample")  # engine-RNG sampling: rows-only check
+SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.1, "zh": 0.1}
+
+_FRAC_CASE_SQL = ("CASE " + " ".join(
+    f"WHEN lang = '{k}' THEN {v}" for k, v in SAMPLE_FRACTIONS.items())
+    + " ELSE 0.0 END")
+
+_STRATIFIED_SQL = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+      / 4503599627370496.0 < {_FRAC_CASE_SQL}
+"""
+
+
+@register("text_stratified_sample", _STRATIFIED_SQL)
 def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling by language (training-data mix control):
-    ``sampleBy`` keeps each stratum's fraction with a fixed seed —
-    per-partition Bernoulli, no shuffle.  Mix proportions are asserted in
-    tests/test_text_ops.py."""
+    """Stratified sampling by language (training-data mix control) via
+    DETERMINISTIC hash thresholding: keep a doc iff
+    uniform(doc_id) < fraction(lang), where uniform() is the first 52
+    bits of md5(doc_id) scaled to [0, 1).  Map-only, no shuffle, and —
+    unlike engine-RNG ``sampleBy`` — the decision is a pure function of
+    the ROW, so the sample is reproducible across runs, engines,
+    repartitions, and incremental re-ingests (a re-run on appended data
+    keeps exactly the docs it kept before).  That stability is what a
+    training-mix pipeline actually needs at 100 TB; it also makes the
+    query fully oracle-checkable (md5 is engine-portable).  Mix
+    proportions are asserted in tests/test_text_ops.py."""
     cat = Catalog(spark, sf_dir)
-    fractions = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.1, "zh": 0.1}
-    return cat.documents.sampleBy("lang", fractions, seed=42).select(
-        "doc_id", "lang")
+    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13),
+                16, 10).cast("long") / F.lit(float(1 << 52)))
+    frac = F.lit(0.0)
+    for k, v in SAMPLE_FRACTIONS.items():
+        frac = F.when(F.col("lang") == k, F.lit(v)).otherwise(frac)
+    return cat.documents.filter(u < frac).select("doc_id", "lang")
 
 
 @register("text_winnow_fingerprint", """

@@ -309,7 +309,7 @@ def pq_adc_score_all_udf(luts: np.ndarray):
 
 
 def topk_pq(corpus: DataFrame, queries: DataFrame, k: int = 10,
-            shortlist: int = 50) -> DataFrame:
+            shortlist: int = 50, codebook: np.ndarray | None = None) -> DataFrame:
     """PQ-ADC ANN: encode the corpus to 40-bit codes (map-only), score
     every (query, vector) pair in the compressed domain, take a
     per-query ADC shortlist, then re-rank ONLY the shortlist with exact
@@ -320,7 +320,8 @@ def topk_pq(corpus: DataFrame, queries: DataFrame, k: int = 10,
     scores per vector from closure-resident LUTs, stage 2 touches full
     vectors for shortlist*n_queries rows only."""
     spark = corpus.sparkSession
-    codebook = train_pq_codebook(corpus)
+    if codebook is None:
+        codebook = train_pq_codebook(corpus)
     q_rows = [(r[0], list(r[1])) for r in queries.select("qid", "qv").collect()]
     q_rows.sort(key=lambda r: r[0])
     luts = query_luts(q_rows, codebook)
@@ -356,7 +357,8 @@ def topk_pq(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
 
 def topk_ivf_pq(corpus: DataFrame, centroids: np.ndarray, queries: DataFrame,
-                k: int = 10, nprobe: int = 2, shortlist: int = 50) -> DataFrame:
+                k: int = 10, nprobe: int = 2, shortlist: int = 50,
+                codebook: np.ndarray | None = None) -> DataFrame:
     """Composed IVF+PQ ANN — the full 100 TB retrieval stack: the coarse
     quantizer prunes WHICH vectors are scored (nprobe inverted lists per
     query, sub-linear candidate count), PQ-ADC prunes WHAT is read per
@@ -367,7 +369,8 @@ def topk_ivf_pq(corpus: DataFrame, centroids: np.ndarray, queries: DataFrame,
     equi-join on the list id, and every stage after the probe works on
     candidate-sized data."""
     spark = corpus.sparkSession
-    codebook = train_pq_codebook(corpus)
+    if codebook is None:
+        codebook = train_pq_codebook(corpus)
     q_rows = [(r[0], list(r[1])) for r in queries.select("qid", "qv").collect()]
     q_rows.sort(key=lambda r: r[0])
     luts = query_luts(q_rows, codebook)

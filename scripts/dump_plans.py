@@ -102,8 +102,10 @@ HEADLINERS = {
         "Daily-rhythm correlation search: per-row profile stages stay "
         "higher-order-function array math (tiny expression trees — the "
         "unrolled-column form drove Catalyst constraint inference into "
-        "a quadratic OOM), while the quadratic pair stage unrolls the "
-        "24-term dot inside codegen; top-20 is `TakeOrderedAndProject`."
+        "a quadratic OOM); the pair stage is a banded SRP-LSH equi-join "
+        "on (table, bucket) — no BroadcastNestedLoopJoin/theta-join "
+        "anywhere — with the exact 24-term dot verifying candidates "
+        "inside codegen; top-20 is `TakeOrderedAndProject`."
     ),
     "agg_funnel": (
         "Conversion funnel: conditional-min aggregation collapses each "
