@@ -191,6 +191,48 @@ def sim_user_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sim_topk_filtered", f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+      WHERE label IN (2, 5, 7) AND vec_id % 2 = 0),
+scored AS (
+  SELECT q.qid, c.vec_id,
+         list_dot_product(qv, cv) /
+           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+  FROM q CROSS JOIN c
+  WHERE c.vec_id != q.qid),
+ranked AS (
+  SELECT qid, vec_id, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+  FROM scored)
+SELECT qid, vec_id, round(cos, 6) AS cosine, rnk
+FROM ranked WHERE rnk <= {K}
+""")
+def sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — the vector-store feature class where a
+    metadata predicate constrains the ANN candidate set (label allowlist
+    + even-id here, standing in for tenant/date/quality predicates).
+
+    This is the PRE-filter strategy: the predicate applies at the parquet
+    scan (pushed filters, so irrelevant row groups never read) and exact
+    cosine + distributed top-k run on survivors only.  Pre-filtering is
+    the correct default at 100 TB whenever the predicate is selective —
+    post-filtering an ANN shortlist (the alternative) under-fills k when
+    the filter removes shortlist members, and the selective scan keeps
+    the exact path cheap (cost ~ survivors x queries, map-only).  For
+    low-selectivity predicates the same predicate composes with the
+    IVF/LSH candidate joins instead (filter the banded/assigned side —
+    plans unchanged)."""
+    cat = Catalog(spark, sf_dir)
+    corpus = cat.embeddings.filter(
+        F.col("label").isin(2, 5, 7) & (F.col("vec_id") % 2 == 0)
+    ).select("vec_id", "embedding")
+    queries = cat.embeddings.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    return topk_bruteforce(corpus, queries, k=K)
+
+
 @register("emb_norm_stats", """
 WITH n AS (
   SELECT label,
@@ -224,10 +266,69 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_topk_lsh")  # bucket assignment uses engine RNG-derived planes: rows-only
+def _lsh_oracle_sql() -> str:
+    """Full SQL recomputation of the multi-table SRP-LSH ANN: the
+    hyperplanes are DATA-INDEPENDENT (seeded RNG), so they embed as
+    float literals (%.17g round-trips float64 exactly) and DuckDB
+    replays bucket assignment, the banded candidate join, and the
+    exact-cosine re-rank."""
+    from data_ingestion_system_spark.operators.similarity import (
+        DIM,
+        N_BITS,
+        N_TABLES,
+        _hyperplanes,
+    )
+
+    planes = _hyperplanes(DIM, N_BITS, N_TABLES)
+
+    def lit(row) -> str:
+        return "[" + ", ".join(f"{x:.17g}" for x in row) + "]"
+
+    bucket_cols = []
+    for t in range(N_TABLES):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {lit(planes[t * N_BITS + b])})"
+            f" > 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(N_BITS))
+        bucket_cols.append(f"({bits}) AS b{t}")
+    banded = "\nUNION ALL\n".join(
+        f"SELECT vec_id, v, {t} AS tbl, b{t} AS bucket FROM bk"
+        for t in range(N_TABLES))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bk AS (SELECT vec_id, v, {", ".join(bucket_cols)} FROM e),
+bl AS ({banded}),
+q AS (SELECT vec_id AS qid, tbl, bucket FROM bl WHERE vec_id < {N_QUERIES}),
+cand AS (
+  SELECT DISTINCT q.qid, b.vec_id
+  FROM bl b JOIN q ON b.tbl = q.tbl AND b.bucket = q.bucket
+  WHERE b.vec_id <> q.qid),
+scored AS (
+  SELECT c.qid, c.vec_id,
+         list_dot_product(qe.v, t.v)
+           / (sqrt(list_dot_product(qe.v, qe.v))
+              * sqrt(list_dot_product(t.v, t.v))) AS cos
+  FROM cand c
+  JOIN e qe ON qe.vec_id = c.qid
+  JOIN e t ON t.vec_id = c.vec_id),
+ranked AS (
+  SELECT qid, vec_id, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+  FROM scored)
+SELECT qid, vec_id, round(cos, 6) AS cosine, rnk FROM ranked WHERE rnk <= {K}
+"""
+
+
+@register("sim_topk_lsh", _lsh_oracle_sql())
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via sign-random-projection buckets (Pandas-UDF matmul);
-    recall vs brute force asserted in tests/test_similarity.py."""
+    recall vs brute force asserted in tests/test_similarity.py.
+
+    Fully oracle-checked via literal-plane SQL replay (_lsh_oracle_sql):
+    the only cross-engine divergence is last-ulp sum order in the
+    projection dot products, which flips a bucket bit only on a
+    near-exact zero projection — none exist in the fixtures (verified
+    at sf0.001 and sf0.01)."""
     corpus, queries = _corpus_queries(spark, sf_dir)
     return topk_lsh(corpus, queries, k=K)
 
@@ -270,10 +371,61 @@ def emb_quantize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("vec_id", F.round(err, 6).alias("max_abs_err"))
 
 
-@register("sim_topk_ivf")  # codebook-derived inverted lists: rows-only
+_CENT_AVGS = ", ".join(f"avg(v[{i + 1}])" for i in range(64))
+
+_IVF_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT label AS cid, [{_CENT_AVGS}] AS c FROM e GROUP BY label),
+sims AS (
+  SELECT e.vec_id, x.cid,
+         list_dot_product(e.v, x.c)
+           / (sqrt(list_dot_product(e.v, e.v))
+              * sqrt(list_dot_product(x.c, x.c))) AS s
+  FROM e CROSS JOIN cent x),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS r
+    FROM sims) WHERE r = 1),
+probes AS (
+  SELECT vec_id AS qid, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS r
+    FROM sims WHERE vec_id < {N_QUERIES}) WHERE r <= 2),
+cand AS (
+  SELECT p.qid, a.vec_id
+  FROM assign a JOIN probes p ON a.cid = p.cid
+  WHERE a.vec_id <> p.qid),
+scored AS (
+  SELECT c.qid, c.vec_id,
+         list_dot_product(q.v, t.v)
+           / (sqrt(list_dot_product(q.v, q.v))
+              * sqrt(list_dot_product(t.v, t.v))) AS cos
+  FROM cand c
+  JOIN e q ON q.vec_id = c.qid
+  JOIN e t ON t.vec_id = c.vec_id),
+ranked AS (
+  SELECT qid, vec_id, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+  FROM scored)
+SELECT qid, vec_id, round(cos, 6) AS cosine, rnk FROM ranked WHERE rnk <= {K}
+"""
+
+
+@register("sim_topk_ivf", _IVF_SQL)
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via IVF inverted lists (per-label-mean codebook,
-    nprobe=2); recall vs brute force asserted in tests/test_similarity.py."""
+    nprobe=2); recall vs brute force asserted in tests/test_similarity.py.
+
+    Fully oracle-checked: unlike k-means-trained indexes, the per-label
+    coarse codebook is a plain aggregation, so DuckDB recomputes the
+    ENTIRE pipeline — centroids, nearest-centroid assignment (stable
+    tie-break on centroid id, mirroring numpy's stable argsort), nprobe=2
+    probe lists, candidate join, exact-cosine re-rank.  Ulp-level caveat:
+    centroid sums and the normalized-matmul vs dot/(|v||c|) forms can
+    differ in the last float64 bit between engines, which would only
+    surface on a near-exact assignment tie — none exist in the fixtures
+    (verified at sf0.001 and sf0.01)."""
     from data_ingestion_system_spark.operators.similarity import topk_ivf
 
     corpus, queries = _corpus_queries(spark, sf_dir)

@@ -321,3 +321,12 @@ def test_user_timeseries_pairs_no_theta_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan       # top-20 never sorts globally
+
+
+def test_filtered_ann_pushes_metadata_predicate(spark, sf_dir):
+    """Filtered vector search: the label allowlist must reach the parquet
+    scan as a pushed filter (row-group pruning at scale); top-k stays a
+    distributed TakeOrderedAndProject-free window (per-query rank)."""
+    plan = plan_of(spark, sf_dir, "sim_topk_filtered")
+    assert re.search(r"In\(label, \[2,5,7\]\)", plan), "label IN not pushed"
+    assert "CartesianProduct" not in plan  # broadcast cross, never cartesian
