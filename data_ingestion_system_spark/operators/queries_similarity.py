@@ -433,7 +433,125 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     k=K, nprobe=2)
 
 
-@register("sim_topk_pq")  # compressed-domain ADC scan: rows-only
+def _pq_train_ctes() -> str:
+    """CTE chain that replays PQ training + encoding exactly in SQL:
+    normalize, take the deterministic sample, init each subspace's 32
+    centroids from its first 32 sample rows, run the 10 fixed k-means
+    iterations (assign on L2 with stable cid tie-break, recenter with
+    empty-cluster carry-over), then encode EVERY corpus vector.
+    MATERIALIZED hints stop DuckDB inlining the centroid chain
+    exponentially.  Verified to reproduce the numpy codes bit-for-bit
+    at sf0.001 and sf0.01 (0 code mismatches)."""
+    from data_ingestion_system_spark.operators.similarity import (
+        DIM,
+        PQ_ITERS,
+        PQ_KS,
+        PQ_M,
+        PQ_SAMPLE,
+    )
+
+    d_sub = DIM // PQ_M
+    d2 = (f"list_sum(list_transform(range({d_sub}), "
+          "i -> (p.sub[i+1] - c.c[i+1]) * (p.sub[i+1] - c.c[i+1])))")
+    mean_cols = ", ".join(f"avg(sub[{i + 1}])" for i in range(d_sub))
+    ctes = f"""
+norm AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding::DOUBLE[],
+      x -> x / greatest(sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[])),
+                        1e-12)) AS v
+  FROM embeddings),
+samp AS MATERIALIZED (SELECT vec_id, v FROM norm ORDER BY vec_id LIMIT {PQ_SAMPLE}),
+pts AS MATERIALIZED (
+  SELECT vec_id AS pid, t.j, v[t.j * {d_sub} + 1 : t.j * {d_sub} + {d_sub}] AS sub
+  FROM samp CROSS JOIN range({PQ_M}) t(j)),
+init AS MATERIALIZED (
+  SELECT j, row_number() OVER (PARTITION BY j ORDER BY pid) - 1 AS cid, sub AS c
+  FROM pts QUALIFY row_number() OVER (PARTITION BY j ORDER BY pid) <= {PQ_KS})"""
+    prev = "init"
+    for k in range(1, PQ_ITERS + 1):
+        ctes += f""",
+a{k} AS MATERIALIZED (
+  SELECT pid, j, sub, cid FROM (
+    SELECT p.pid, p.j, p.sub, c.cid,
+           row_number() OVER (PARTITION BY p.pid, p.j
+                              ORDER BY {d2}, c.cid) AS r
+    FROM pts p JOIN {prev} c ON c.j = p.j) WHERE r = 1),
+it{k} AS MATERIALIZED (
+  SELECT c.j, c.cid, COALESCE(m.mc, c.c) AS c
+  FROM {prev} c LEFT JOIN (
+    SELECT j, cid, [{mean_cols}] AS mc FROM a{k} GROUP BY j, cid) m
+    ON m.j = c.j AND m.cid = c.cid)"""
+        prev = f"it{k}"
+    ctes += f""",
+book AS MATERIALIZED (SELECT j, cid, c FROM {prev}),
+allpts AS (
+  SELECT vec_id, t.j, v[t.j * {d_sub} + 1 : t.j * {d_sub} + {d_sub}] AS sub
+  FROM norm CROSS JOIN range({PQ_M}) t(j)),
+codes AS MATERIALIZED (
+  SELECT vec_id, j, cid FROM (
+    SELECT p.vec_id, p.j, c.cid,
+           row_number() OVER (PARTITION BY p.vec_id, p.j
+                              ORDER BY {d2}, c.cid) AS r
+    FROM allpts p JOIN book c ON c.j = p.j) WHERE r = 1)"""
+    return ctes
+
+
+def _pq_adc_rerank_sql(cand_src: str) -> str:
+    """ADC shortlist + exact re-rank over a (qid, vec_id) candidate CTE.
+
+    The per-pair ADC sums the 8 subspace LUT dot products in j order
+    (list(s ORDER BY j) then list_sum — matching the UDF's sequential
+    accumulation), shortlists 50 per query, and re-ranks the shortlist
+    with exact cosine on the RAW embeddings."""
+    from data_ingestion_system_spark.operators.similarity import DIM, PQ_M
+
+    d_sub = DIM // PQ_M
+    return f"""
+qn AS (SELECT vec_id AS qid, v FROM norm WHERE vec_id < {N_QUERIES}),
+sc AS (
+  SELECT cd.qid, cd.vec_id, k.j,
+         list_dot_product(b.c,
+             q.v[k.j * {d_sub} + 1 : k.j * {d_sub} + {d_sub}]) AS s
+  FROM {cand_src} cd
+  JOIN codes k ON k.vec_id = cd.vec_id
+  JOIN book b ON b.j = k.j AND b.cid = k.cid
+  JOIN qn q ON q.qid = cd.qid),
+adc AS (
+  SELECT qid, vec_id, list_sum(list(s ORDER BY j)) AS adc
+  FROM sc GROUP BY qid, vec_id),
+short AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS r
+    FROM adc) WHERE r <= 50),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+scored AS (
+  SELECT s.qid, s.vec_id,
+         list_dot_product(q.ev, t.ev)
+           / (sqrt(list_dot_product(q.ev, q.ev))
+              * sqrt(list_dot_product(t.ev, t.ev))) AS cos
+  FROM short s
+  JOIN e q ON q.vec_id = s.qid
+  JOIN e t ON t.vec_id = s.vec_id),
+ranked AS (
+  SELECT qid, vec_id, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+  FROM scored)
+SELECT qid, vec_id, round(cos, 6) AS cosine, rnk FROM ranked WHERE rnk <= {K}
+"""
+
+
+_PQ_SQL = f"""WITH {_pq_train_ctes()},
+allcand AS (
+  SELECT q.vec_id AS qid, c.vec_id
+  FROM (SELECT vec_id FROM embeddings WHERE vec_id < {N_QUERIES}) q
+  CROSS JOIN (SELECT vec_id FROM embeddings) c
+  WHERE c.vec_id <> q.vec_id),
+{_pq_adc_rerank_sql("allcand")}"""
+
+
+@register("sim_topk_pq", _PQ_SQL)
 def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via product quantization: 40-bit codes (8 subspaces x
     32 centroids trained on a deterministic sample), asymmetric-distance
@@ -441,7 +559,13 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist only.  The 100 TB posture: the hot scan reads ~8 bytes per
     vector instead of 512, and only shortlist*n_queries raw vectors are
     ever touched.  Recall vs brute force pinned in
-    tests/test_similarity.py."""
+    tests/test_similarity.py.
+
+    Fully oracle-checked: deterministic training init makes the whole
+    k-means replayable, so the oracle re-trains the codebook (10
+    unrolled iterations in SQL CTEs), re-encodes the corpus (codes match
+    numpy bit-for-bit), re-runs the j-ordered ADC accumulation, and
+    re-ranks the shortlist exactly — see _pq_train_ctes."""
     from data_ingestion_system_spark.operators.similarity import topk_pq
 
     corpus, queries = _corpus_queries(spark, sf_dir)
@@ -449,12 +573,44 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                    codebook=_pq_codebook(spark, sf_dir))
 
 
-@register("sim_topk_ivf_pq")  # composed coarse+fine quantization: rows-only
+_IVF_PQ_SQL = f"""WITH {_pq_train_ctes()},
+e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT label AS ccid, [{_CENT_AVGS}] AS c
+         FROM e0 GROUP BY label),
+sims AS (
+  SELECT e0.vec_id, x.ccid,
+         list_dot_product(e0.v, x.c)
+           / (sqrt(list_dot_product(e0.v, e0.v))
+              * sqrt(list_dot_product(x.c, x.c))) AS s
+  FROM e0 CROSS JOIN cent x),
+assign AS (
+  SELECT vec_id, ccid FROM (
+    SELECT vec_id, ccid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ccid) AS r
+    FROM sims) WHERE r = 1),
+probes AS (
+  SELECT vec_id AS qid, ccid FROM (
+    SELECT vec_id, ccid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ccid) AS r
+    FROM sims WHERE vec_id < {N_QUERIES}) WHERE r <= 2),
+ivfcand AS (
+  SELECT p.qid, a.vec_id
+  FROM assign a JOIN probes p ON a.ccid = p.ccid
+  WHERE a.vec_id <> p.qid),
+{_pq_adc_rerank_sql("ivfcand")}"""
+
+
+@register("sim_topk_ivf_pq", _IVF_PQ_SQL)
 def sim_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via the composed IVF+PQ stack (faiss-IVFPQ shape):
     inverted-list probe prunes candidates sub-linearly, PQ-ADC scores the
     probed candidates from 40-bit codes, exact re-rank on the shortlist.
-    Recall vs brute force pinned in tests/test_similarity.py."""
+    Recall vs brute force pinned in tests/test_similarity.py.
+
+    Fully oracle-checked end to end: the SQL replays BOTH quantizers —
+    label-mean coarse centroids + probe lists (as in sim_topk_ivf) and
+    the k-means PQ codebook + codes (as in sim_topk_pq) — then the ADC
+    shortlist and exact re-rank over the probed candidates only."""
     from data_ingestion_system_spark.operators.similarity import topk_ivf_pq
 
     corpus, queries = _corpus_queries(spark, sf_dir)

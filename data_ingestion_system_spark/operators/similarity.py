@@ -204,18 +204,20 @@ def train_pq_codebook(corpus: DataFrame, dim: int = DIM,
     small sample driver-side and shipped to executors in a closure —
     at 100 TB the sample stays a few thousand rows (one cheap
     head-scan), while encoding and scoring remain map-only passes over
-    the full corpus.  Seeded init + fixed iteration count make the
-    codebook bit-reproducible."""
+    the full corpus.  Deterministic init (the first ``ks`` sample rows
+    per subspace — the sample is already an arbitrary slice of the
+    corpus, so slicing it again loses nothing) + fixed iteration count
+    make the codebook bit-reproducible AND exactly replayable by the
+    SQL oracle (a seeded numpy ``rng.choice`` init would not be)."""
     rows = (corpus.select("vec_id", "embedding").orderBy("vec_id")
             .limit(PQ_SAMPLE).collect())
     x = np.array([r.embedding for r in rows], dtype=np.float64)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     d_sub = dim // m
-    rng = np.random.default_rng(SEED)
     books = []
     for j in range(m):
         sub = x[:, j * d_sub:(j + 1) * d_sub]
-        cents = sub[rng.choice(len(sub), ks, replace=False)]
+        cents = sub[:ks].copy()
         for _ in range(PQ_ITERS):
             # assign to nearest centroid (L2), then recenter
             d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)

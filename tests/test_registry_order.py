@@ -34,6 +34,6 @@ def test_every_query_has_oracle_or_documented_rows_only():
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     rows_only = sorted(set(qs) - set(oracles))
     # every remaining rows-only query is one whose value surface is
-    # genuinely engine-specific (trained PQ codes, sketch estimates)
-    assert rows_only == ["agg_approx_distinct", "agg_hll_sketch",
-                         "sim_topk_ivf_pq", "sim_topk_pq"], rows_only
+    # genuinely engine-specific (sketch ESTIMATES differ by HLL
+    # implementation even at identical accuracy targets)
+    assert rows_only == ["agg_approx_distinct", "agg_hll_sketch"], rows_only
