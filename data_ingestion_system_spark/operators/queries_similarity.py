@@ -132,12 +132,13 @@ def sim_user_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan; only pairs at correlation >= 0.25 qualify (a top-k-pairs
     search with NO similarity floor would ask an ANN structure to
     retrieve arbitrarily-dissimilar pairs — not a retrievable regime
-    for any LSH family).  The config (4 bits x 24 tables) is
+    for any LSH family).  The config (4 bits x 16 tables) is
     recall-oriented because qualifying pairs start at moderate
     correlation: a rho=0.6 pair collides per table w.p.
-    (1 - acos(0.6)/pi)^4 ~ 0.25, so 24 tables miss it w.p. ~1e-3;
+    (1 - acos(0.6)/pi)^4 ~ 0.25, so 16 tables miss it w.p. ~1e-2;
     verified equal to the exact all-pairs oracle at sf0.001 and
-    sf0.01.  The honest scale tradeoff: at moderate
+    sf0.01 (every qualifying pair lands in >=1 bucket on both
+    fixtures).  The honest scale tradeoff: at moderate
     rho the bucket join stays dense (4 bits = 16 buckets/table); raise
     the bits when the production question is near-duplicate rhythms
     (rho >= 0.95 collides per bit w.p. 0.9, so 8 bits x 8 tables prunes
@@ -159,7 +160,7 @@ def sim_user_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrm = cent.select(
         "user_id", "cv", F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("n"))
 
-    buckets = srp_buckets_udf(dim=24, n_bits=4, n_tables=24)
+    buckets = srp_buckets_udf(dim=24, n_bits=4, n_tables=16)
     banded = (
         nrm.filter(F.col("n") > 0)
         .withColumn("b", buckets(F.col("cv")))
