@@ -119,5 +119,3 @@ def _iso_to_ns(iso: str) -> int:
     return int(dt.timestamp()) * 1_000_000_000 + dt.microsecond * 1_000
 
 
-def load_tables(spark: SparkSession, sf_dir: str) -> Catalog:
-    return Catalog(spark, sf_dir)

@@ -324,14 +324,11 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps exactly the docs it kept before).  That stability is what a
     training-mix pipeline actually needs at 100 TB; it also makes the
     query fully oracle-checkable (md5 is engine-portable).  Mix
-    proportions are asserted in tests/test_text_ops.py."""
+    proportions are asserted in tests/test_text_ops.py; monotone-subset
+    and partition-invariance properties in the same file."""
     cat = Catalog(spark, sf_dir)
-    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13),
-                16, 10).cast("long") / F.lit(float(1 << 52)))
-    frac = F.lit(0.0)
-    for k, v in SAMPLE_FRACTIONS.items():
-        frac = F.when(F.col("lang") == k, F.lit(v)).otherwise(frac)
-    return cat.documents.filter(u < frac).select("doc_id", "lang")
+    return X.hash_stratified_sample(
+        cat.documents, SAMPLE_FRACTIONS).select("doc_id", "lang")
 
 
 @register("text_winnow_fingerprint", """

@@ -109,3 +109,33 @@ def fingerprint_md5(col: Column) -> Column:
     """Content fingerprint: md5 of the normalized text (md5 is identical
     across engines, unlike xxhash64, so this one is oracle-checkable)."""
     return F.md5(normalized_text(col))
+
+
+def hash_uniform(col: Column) -> Column:
+    """Deterministic uniform in [0, 1) from a key: the first 52 bits of
+    md5(key) scaled down.  A pure function of the ROW — the sampling
+    primitive that is reproducible across runs, engines, partitionings,
+    and incremental appends (engine-RNG sampling is none of these)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 13), 16, 10)
+        .cast("long") / F.lit(float(1 << 52))
+    )
+
+
+def hash_stratified_sample(df, fractions: dict, id_col: str = "doc_id",
+                           stratum_col: str = "lang"):
+    """Stratified sample: keep a row iff hash_uniform(id) < fraction of
+    its stratum.  Map-only (the predicate evaluates at the scan), and
+    the threshold form gives two guarantees RNG sampling cannot:
+
+    * **monotone**: raising any fraction only ADDS rows — the f=0.1
+      sample is a subset of the f=0.2 sample (top-up sampling without
+      resampling the corpus);
+    * **stable**: the kept set is independent of partitioning, row
+      order, and what other rows exist (append-safe incremental runs).
+    """
+    u = hash_uniform(F.col(id_col))
+    frac = F.lit(0.0)
+    for k, v in fractions.items():
+        frac = F.when(F.col(stratum_col) == k, F.lit(v)).otherwise(frac)
+    return df.filter(u < frac)

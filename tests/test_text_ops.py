@@ -177,3 +177,28 @@ def test_zscore_grouped_map_matches_builtin(spark, sf_dir):
             assert a[k] == b[k]
         else:
             assert abs(a[k] - b[k]) <= 1e-4
+
+
+def test_hash_sample_monotone_and_partition_invariant(spark, sf_dir):
+    """The two guarantees the hash-threshold sampler makes that RNG
+    sampling cannot: halving fractions yields a SUBSET, and the kept set
+    ignores partitioning/row order entirely."""
+    from data_ingestion_system_spark.operators.text import (
+        hash_stratified_sample,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    full = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.1, "zh": 0.1}
+    half = {k: v / 2 for k, v in full.items()}
+
+    keep_full = {r.doc_id for r in
+                 hash_stratified_sample(cat.documents, full).collect()}
+    keep_half = {r.doc_id for r in
+                 hash_stratified_sample(cat.documents, half).collect()}
+    assert keep_half <= keep_full              # monotone top-up
+    assert len(keep_half) < len(keep_full)
+
+    shuffled = cat.documents.repartition(7, "source")
+    keep_shuffled = {r.doc_id for r in
+                     hash_stratified_sample(shuffled, full).collect()}
+    assert keep_shuffled == keep_full          # partitioning-invariant
