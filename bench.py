@@ -50,6 +50,7 @@ def main() -> None:
     # for each query's plan, so a single co-located stall in pass 2
     # would otherwise leave no clean measurement at all.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    load_start = os.getloadavg()
     timings: dict[str, float] = {}
     for _ in range(runs):
         for name, fn in sorted(qs.items()):
@@ -75,6 +76,8 @@ def main() -> None:
         return round(ts[min(len(ts) - 1, int(p * len(ts)))], 4)
 
     heaviest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    # co-tenant host noise inflates wall clocks 2-4x in bursts; the load
+    # averages date a run as clean or contended (quiet host: < 1)
     summary = {
         "metric": "declared_query_wall_clock_total",
         "value": round(sum(ts), 4),
@@ -84,6 +87,8 @@ def main() -> None:
         "p50": q(0.50),
         "p95": q(0.95),
         "queries": heaviest,
+        "loadavg_start": round(load_start[0], 2),
+        "loadavg_end": round(os.getloadavg()[0], 2),
         "full": "BENCH_FULL.json",
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
