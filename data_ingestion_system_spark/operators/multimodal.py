@@ -196,20 +196,30 @@ def near_dup_pairs(feats: DataFrame, threshold: float = 0.999,
         F.transform("features", lambda x: x - mean).alias("fc"),
     ).withColumn("b", buckets(F.col("fc"))).persist()
 
+    # candidate gen on BARE IDS: banding and the pair dedup shuffle
+    # (id, block, table, bucket) rows only; the 16-double feature
+    # vectors rejoin after dedup, once per surviving pair
     banded = centered.select(
-        "media_id", block_col, "fc", F.posexplode("b").alias("tbl", "bucket"))
-    a = banded.select(F.col("media_id").alias("id_a"), block_col,
-                      F.col("fc").alias("fa"), "tbl", "bucket")
-    b = banded.select(F.col("media_id").alias("id_b"), block_col,
-                      F.col("fc").alias("fb"), "tbl", "bucket")
+        "media_id", block_col, F.posexplode("b").alias("tbl", "bucket"))
     cand = (
-        a.join(b, [block_col, "tbl", "bucket"])
+        banded.select(F.col("media_id").alias("id_a"), block_col,
+                      "tbl", "bucket")
+        .join(banded.select(F.col("media_id").alias("id_b"), block_col,
+                            "tbl", "bucket"),
+              [block_col, "tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", block_col)
         .dropDuplicates(["id_a", "id_b"])
     )
+    fc = centered.select("media_id", "fc")
     return (
-        cand.withColumn("cos_raw",
-                        cosine_fixed(F.col("fa"), F.col("fb"), FEATURE_DIM))
+        cand
+        .join(fc.select(F.col("media_id").alias("id_a"),
+                        F.col("fc").alias("fa")), "id_a")
+        .join(fc.select(F.col("media_id").alias("id_b"),
+                        F.col("fc").alias("fb")), "id_b")
+        .withColumn("cos_raw",
+                    cosine_fixed(F.col("fa"), F.col("fb"), FEATURE_DIM))
         .filter(F.col("cos_raw") >= threshold)
         .select("id_a", "id_b", block_col,
                 F.round("cos_raw", 6).alias("cosine"))

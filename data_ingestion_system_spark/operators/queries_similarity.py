@@ -161,26 +161,34 @@ def sim_user_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "cv", F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("n"))
 
     buckets = srp_buckets_udf(dim=24, n_bits=4, n_tables=16)
-    banded = (
-        nrm.filter(F.col("n") > 0)
-        .withColumn("b", buckets(F.col("cv")))
-        .select("user_id", "cv", "n", F.posexplode("b").alias("tbl", "bucket"))
-        .persist()  # profile agg + bucket UDF run once, not per join side
-    )
-    a = banded.select(F.col("user_id").alias("user_a"),
-                      F.col("cv").alias("cv_a"), F.col("n").alias("n_a"),
-                      "tbl", "bucket")
-    b = banded.select(F.col("user_id").alias("user_b"),
-                      F.col("cv").alias("cv_b"), F.col("n").alias("n_b"),
-                      "tbl", "bucket")
-    # candidate gen: banded equi-join; exact verify on the deduped pairs
-    # uses the unrolled codegen'd dot on the array attributes — per-row
-    # stages above stay HOF so no giant aliased expressions ever sit
-    # under the n>0 filter (see docstring)
-    return (
-        a.join(b, ["tbl", "bucket"])
+    # profile agg + bucket UDF run once, not per join side
+    prof_b = (nrm.filter(F.col("n") > 0)
+              .withColumn("b", buckets(F.col("cv"))).persist())
+    # candidate gen on BARE IDS: the banded self-join and the pair dedup
+    # shuffle (user, table, bucket) longs only — the 24-double profile
+    # vectors (~25x the bytes) rejoin AFTER dedup, touching each
+    # surviving pair once.  Exact verify uses the unrolled codegen'd dot
+    # on the array attributes — per-row stages above stay HOF so no
+    # giant aliased expressions ever sit under the n>0 filter (see
+    # docstring)
+    bids = prof_b.select("user_id", F.posexplode("b").alias("tbl", "bucket"))
+    pairs = (
+        bids.select(F.col("user_id").alias("user_a"), "tbl", "bucket")
+        .join(bids.select(F.col("user_id").alias("user_b"), "tbl", "bucket"),
+              ["tbl", "bucket"])
         .filter(F.col("user_a") < F.col("user_b"))
+        .select("user_a", "user_b")
         .dropDuplicates(["user_a", "user_b"])
+    )
+    prof = prof_b.select("user_id", "cv", "n")
+    return (
+        pairs
+        .join(prof.select(F.col("user_id").alias("user_a"),
+                          F.col("cv").alias("cv_a"), F.col("n").alias("n_a")),
+              "user_a")
+        .join(prof.select(F.col("user_id").alias("user_b"),
+                          F.col("cv").alias("cv_b"), F.col("n").alias("n_b")),
+              "user_b")
         .withColumn("corr_raw",
                     dot_fixed(F.col("cv_a"), F.col("cv_b"), 24)
                     / (F.col("n_a") * F.col("n_b")))

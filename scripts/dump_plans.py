@@ -103,9 +103,11 @@ HEADLINERS = {
         "higher-order-function array math (tiny expression trees — the "
         "unrolled-column form drove Catalyst constraint inference into "
         "a quadratic OOM); the pair stage is a banded SRP-LSH equi-join "
-        "on (table, bucket) — no BroadcastNestedLoopJoin/theta-join "
-        "anywhere — with the exact 24-term dot verifying candidates "
-        "inside codegen; top-20 is `TakeOrderedAndProject`."
+        "on (table, bucket) over BARE IDS — no BroadcastNestedLoopJoin/"
+        "theta-join anywhere, and the 24-double profile vectors rejoin "
+        "only AFTER the pair dedup (~25x fewer shuffle bytes) — with "
+        "the exact 24-term dot verifying candidates inside codegen; "
+        "top-20 is `TakeOrderedAndProject`."
     ),
     "agg_funnel": (
         "Conversion funnel: conditional-min aggregation collapses each "
