@@ -290,6 +290,85 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
     return labels
 
 
+def connected_components_star(pairs: DataFrame, a_col: str = "id_a",
+                              b_col: str = "id_b",
+                              max_iter: int = 20) -> DataFrame:
+    """Connected components by alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") ->
+    (node, cluster_id) with cluster_id = min node id in the component.
+
+    Replaces min-label propagation's diameter-many rounds with
+    O(log^2 n) rounds: each round every node re-points its neighbors at
+    its neighborhood minimum —
+
+    * **large-star**: for each node u emit (v, m) for every neighbor
+      v > u, where m = min(N(u) + {u});
+    * **small-star**: emit (v, m) for every neighbor v <= u, plus
+      (u, m) itself.
+
+    Both rounds are one groupBy + one join on the node key.  This is the
+    right form when the pair graph can contain LONG CHAINS (adversarial
+    diameters): a 200-link chain finishes in a handful of rounds where
+    capped min-label propagation would stop early with wrong labels
+    (pinned in tests/test_dedup_star.py).  Convergence = the edge set's
+    order-insensitive checksum stops changing; ``localCheckpoint`` after
+    each round truncates lineage exactly as in ``connected_components``.
+    """
+    e = (pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+         .filter(F.col("u") != F.col("v")).distinct().localCheckpoint())
+
+    def checksum(edges: DataFrame):
+        # order-insensitive fingerprint; bit_xor never overflows (a sum
+        # of 64-bit hashes would, under ANSI arithmetic)
+        row = edges.agg(
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+            F.count("*").alias("n")).collect()[0]
+        return (row.h or 0, row.n)
+
+    def large_star(edges: DataFrame) -> DataFrame:
+        # neighborhoods over the SYMMETRIZED adjacency; every strictly
+        # larger neighbor re-points at min(N(u) + {u})
+        sym = edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (sym.groupBy("u").agg(F.min("v").alias("mv"))
+             .select("u", F.least(F.col("mv"), F.col("u")).alias("m")))
+        return (sym.filter(F.col("v") > F.col("u"))
+                .join(m, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct().localCheckpoint())
+
+    def small_star(edges: DataFrame) -> DataFrame:
+        # canonical (larger -> smaller) orientation; every smaller
+        # neighbor and u itself re-point at the neighborhood minimum
+        canon = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        m = canon.groupBy("u").agg(F.min("v").alias("m"))
+        out = (canon.join(m, "u")
+               .select(F.col("v").alias("u"), F.col("m").alias("v"))
+               .unionAll(m.select("u", F.col("m").alias("v"))))
+        return (out.filter(F.col("u") != F.col("v"))
+                .distinct().localCheckpoint())
+
+    prev = checksum(e)
+    for _ in range(max_iter):
+        e = small_star(large_star(e))
+        cur = checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    # converged: every edge points a node at its component minimum
+    labels = e.groupBy("u").agg(F.min("v").alias("mn")).select(
+        F.col("u").alias("node"),
+        F.least(F.col("mn"), F.col("u")).alias("cluster_id"))
+    # isolated-after-rewrite minima label themselves
+    all_nodes = (pairs.select(F.col(a_col).alias("node"))
+                 .unionAll(pairs.select(F.col(b_col).alias("node"))).distinct())
+    return (all_nodes.join(labels, "node", "left")
+            .select("node",
+                    F.coalesce("cluster_id", F.col("node")).alias("cluster_id")))
+
+
 def cross_corpus_overlap(docs: DataFrame, id_col: str, text_col: str,
                          source_col: str, bench_value: str,
                          n: int = 5) -> DataFrame:

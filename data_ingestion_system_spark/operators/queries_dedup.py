@@ -1,6 +1,6 @@
 """Declared queries: deduplication over `documents` / `embeddings`.
 
-All eight queries are oracle-checked: exact dedup / n-gram Jaccard /
+All nine queries are oracle-checked: exact dedup / n-gram Jaccard /
 embedding cosine are engine-portable arithmetic outright; MinHash-LSH
 emits exact-Jaccard-verified pairs (checked against the all-pairs
 oracle — equal whenever LSH recall is 1, which the fixtures satisfy);
@@ -144,7 +144,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(sig, max_hamming=3, n_bits=_SIMHASH_BITS)
 
 
-@register("dedup_cluster_components", f"""
+_CLUSTER_ORACLE_SQL = f"""
 WITH RECURSIVE toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
 sh AS (
@@ -168,7 +168,10 @@ reach(node, root) AS (
   UNION
   SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node)
 SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
-""")
+"""
+
+
+@register("dedup_cluster_components", _CLUSTER_ORACLE_SQL)
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clustering: connected components over the
     word-3-gram Jaccard pair graph (A~B, B~C => one cluster even when
@@ -182,6 +185,25 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                          hashed=True).persist()
     pairs = D.jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     labels = D.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id")
+    sh.unpersist()
+    return labels
+
+
+@register("dedup_cluster_star", _CLUSTER_ORACLE_SQL)
+def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering contract, computed with alternating
+    large-star/small-star rounds (dedup.py::connected_components_star) —
+    O(log^2 n) rounds instead of diameter-many, the robust choice when
+    the pair graph can contain long transitive chains.  The oracle (the
+    recursive-CTE fixpoint) is implementation-agnostic, so both variants
+    check against the identical SQL; the adversarial-chain behavior that
+    motivates this variant is pinned in tests/test_dedup_star.py."""
+    cat = Catalog(spark, sf_dir)
+    sh = D.word_shingles(cat.documents, "doc_id", "text", n=3,
+                         hashed=True).persist()
+    pairs = D.jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    labels = D.connected_components_star(pairs).select(
         F.col("node").alias("doc_id"), "cluster_id")
     sh.unpersist()
     return labels
