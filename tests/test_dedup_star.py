@@ -46,3 +46,36 @@ def test_star_two_chains_do_not_merge(spark):
     got = _labels(connected_components_star(df))
     assert all(v == 0 for k, v in got.items() if k <= 50)
     assert all(v == 100 for k, v in got.items() if k >= 100)
+
+
+def _ground_truth(pairs, nodes):
+    """Plain union-find over the edge list (the oracle-of-oracles)."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_star_matches_union_find_on_random_graphs(spark):
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = 120
+        pairs = sorted({(min(a, b), max(a, b))
+                        for a, b in (sorted(rng.sample(range(n), 2))
+                                     for _ in range(150))})
+        nodes = sorted({x for p in pairs for x in p})
+        want = _ground_truth(pairs, nodes)
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        got = _labels(connected_components_star(df))
+        assert got == want, f"seed {seed}"
