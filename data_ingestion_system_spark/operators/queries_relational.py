@@ -1163,3 +1163,44 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
     ).select(F.lit("__all__").alias("event_type"), "approx_users")
     return est.unionByName(union_all)
+
+
+@register("join_skew_salted", """
+SELECT c.c_nationkey AS nation_key, c.c_mktsegment AS mktsegment,
+       count(*) AS n_events,
+       sum(CAST(round(e.value * 100.0) AS BIGINT)) / 100.0 AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""")
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof fact-to-dimension join via explicit salting
+    (operators/skew.py::salted_join).  At 100 TB a handful of hot
+    user_ids (bots, test accounts) can own a double-digit fraction of an
+    events table; a plain hash join puts each hot key in ONE reducer and
+    the stage runs at the speed of its worst partition.  Salting spreads
+    every probe row over `salt` sub-keys deterministically (hash of the
+    full tuple, retry-idempotent) and replicates the small build side
+    `salt` times, so no (key, salt) partition can exceed ~1/salt of a hot
+    key.  The RESULT is identical to the plain join by construction —
+    which is exactly what the oracle checks — only the partitioning
+    changes; AQE skew-split remains the runtime backstop for sort-merge
+    plans (session.py).  Value sums exact integer cents so the total is
+    order-independent across the salted partitioning."""
+    from data_ingestion_system_spark.operators.skew import salted_join
+
+    cat = Catalog(spark, sf_dir)
+    probe = cat.events.select("user_id", "value")
+    build = cat.customer.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_nationkey").alias("nation_key"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    cents = F.round(F.col("value") * 100.0).cast("bigint")
+    return (
+        salted_join(probe, build, "user_id", salt=8)
+        .groupBy("nation_key", "mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents) / 100.0).alias("total_value"),
+        )
+    )
