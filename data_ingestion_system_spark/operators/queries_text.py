@@ -430,3 +430,49 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tfidf", "rnk")
     )
+
+
+@register("text_heavy_hitters", """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+  FROM documents),
+t AS (SELECT word FROM toks WHERE word <> '')
+SELECT word, count(*) AS freq
+FROM t GROUP BY word
+HAVING count(*) * 256 > (SELECT count(*) FROM t)
+""")
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters (terms above 1/256 of all token occurrences)
+    via Misra-Gries sketch + exact verify — the bounded-memory form of
+    "what dominates my training corpus".
+
+    Two passes, both map-heavy: pass 1 runs the k=512 MG sketch per
+    partition (operators/text.py::misra_gries_sketch) so only <= k rows
+    per partition shuffle — never the vocabulary; with k = 2x the 1/256
+    target the per-partition guarantee makes the candidate union a
+    PROVEN superset of every true heavy hitter.  Pass 2 re-tokenizes
+    with the candidate set broadcast as a left-semi filter (map-side
+    drop of every non-candidate token) and counts exactly; the final
+    integer-arithmetic filter (freq * 256 > N, no float threshold)
+    leaves exactly the true heavy hitters, which is what the oracle's
+    plain GROUP BY ... HAVING computes.  The sentinel rows from pass 1
+    carry per-partition token counts, so N costs no third scan."""
+    from data_ingestion_system_spark.operators.text import misra_gries_sketch
+
+    cat = Catalog(spark, sf_dir)
+    words = cat.documents.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    mg = misra_gries_sketch(words, k=512).persist()
+    n_total = mg.filter(F.col("word") == "").agg(
+        F.sum("cnt").alias("n"))
+    cands = mg.filter(F.col("word") != "").select("word").distinct()
+    exact = (
+        words.join(F.broadcast(cands), "word", "left_semi")
+        .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(n_total))
+        .filter(F.col("freq") * 256 > F.col("n"))
+        .select("word", "freq")
+    )

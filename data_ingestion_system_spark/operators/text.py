@@ -139,3 +139,49 @@ def hash_stratified_sample(df, fractions: dict, id_col: str = "doc_id",
     for k, v in fractions.items():
         frac = F.when(F.col(stratum_col) == k, F.lit(v)).otherwise(frac)
     return df.filter(u < frac)
+
+
+def misra_gries_sketch(words, k: int = 512):
+    """Per-partition Misra-Gries heavy-hitter summary over a one-column
+    (`word`) DataFrame -> rows ``(word, cnt)`` plus one sentinel row
+    ``('', partition_token_count)`` per partition.
+
+    The 100 TB shape for "which terms exceed phi of the corpus": a plain
+    groupBy(term) shuffles the ENTIRE vocabulary (URLs, ids — easily
+    billions of groups) to count items of which only a handful matter.
+    Misra-Gries keeps at most k counters per partition and guarantees
+    every item with partition frequency > n_p/k survives; summing the
+    per-partition guarantee, any item with GLOBAL frequency > N/k is
+    emitted by at least one partition — so the candidate union is a
+    SUPERSET of the true heavy hitters and only candidate-set-sized data
+    (<= k rows/partition) ever shuffles.  An exact second pass, map-side
+    semi-joined against the broadcast candidates, turns the superset
+    into exact counts (see queries_text.text_heavy_hitters).
+
+    Implementation is the MERGE form of MG (Agarwal et al., "Mergeable
+    Summaries"): pandas value_counts per Arrow batch (vectorized — no
+    per-token Python), counter merge, then the k-trim (subtract the
+    (k+1)-th largest count, drop non-positives), which preserves the
+    n_p/k error bound while doing O(batch + k log k) work per batch.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    def mg(batches):
+        acc = None
+        n_tokens = 0
+        for pdf in batches:
+            n_tokens += len(pdf)
+            vc = pdf["word"].value_counts()
+            acc = vc if acc is None else acc.add(vc, fill_value=0)
+            if len(acc) > k:
+                cut = acc.nlargest(k + 1).iloc[-1]
+                acc = acc - cut
+                acc = acc[acc > 0]
+        words_out = [] if acc is None else list(acc.index)
+        cnts_out = [] if acc is None else [int(c) for c in acc]
+        yield pd.DataFrame({
+            "word": words_out + [""],
+            "cnt": cnts_out + [n_tokens],
+        })
+
+    return words.mapInPandas(mg, "word string, cnt long")

@@ -270,3 +270,60 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
             for r in spark.read.parquet(out).collect()}
     assert got2["t4"] == ("casper", "trial")
     assert got2["t3"] == (None, None)  # history not rewritten
+
+
+def test_stateful_correlation_rocksdb_state_store(spark, tmp_path):
+    """Cross-batch correlation on the RocksDB state store provider — the
+    100 TB state posture: state lives off-heap/on-disk (keyed state can
+    exceed executor memory) with changelog checkpointing so a commit
+    ships the delta, not a full snapshot.  The operator itself is
+    provider-agnostic; this pins that switching the provider conf is the
+    ONLY change needed and that RocksDB metrics actually engage."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    chg = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    old = spark.conf.get(conf, None)
+    spark.conf.set(
+        conf,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    spark.conf.set(chg, "true")
+    try:
+        def run_batch(rows):
+            fn = landing / f"batch_{len(list(landing.iterdir()))}.json"
+            fn.write_text("\n".join(json.dumps(r) for r in rows))
+            stream = spark.readStream.schema(EVENTS_SCHEMA).json(str(landing))
+            q = (
+                correlate_with_state(stream)
+                .writeStream.outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start(path=out, format="parquet")
+            )
+            assert q.awaitTermination(120), "micro-batch did not finish in 120s"
+            return q
+
+        run_batch([
+            {"transaction_id": "r1", "record_type": "request",
+             "ts": "2024-03-01T10:00:00Z", "app_id": "a1", "endpoint": "/x",
+             "status_code": None},
+        ])
+        q = run_batch([
+            {"transaction_id": "r1", "record_type": "response",
+             "ts": "2024-03-01T10:00:03Z", "app_id": None, "endpoint": None,
+             "status_code": 200},
+        ])
+        metrics = q.lastProgress["stateOperators"][0]["customMetrics"]
+        assert any(k.startswith("rocksdb") for k in metrics), metrics
+        done = spark.read.parquet(out).filter(
+            F.col("outcome") == "correlated").collect()
+        assert len(done) == 1
+        assert done[0].transaction_id == "r1" and done[0].status_code == 200
+    finally:
+        if old is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, old)
+        spark.conf.unset(chg)

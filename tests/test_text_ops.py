@@ -202,3 +202,43 @@ def test_hash_sample_monotone_and_partition_invariant(spark, sf_dir):
     keep_shuffled = {r.doc_id for r in
                      hash_stratified_sample(shuffled, full).collect()}
     assert keep_shuffled == keep_full          # partitioning-invariant
+
+
+def test_misra_gries_superset_and_exact_verify(spark):
+    """MG candidates must be a superset of every item above N/k even on
+    adversarial partitioning; the exact second pass then equals groupBy."""
+    from data_ingestion_system_spark.operators.text import misra_gries_sketch
+
+    # 10k tokens: one item at ~5%, a handful at ~1%, long uniform tail —
+    # partitioned so the hot item is concentrated in few partitions
+    rows = (["hot"] * 500
+            + [f"warm{i}" for i in range(5) for _ in range(100)]
+            + [f"tail{i}" for i in range(9000)])
+    words = spark.createDataFrame([(w,) for w in rows], "word string") \
+        .repartition(16)
+    mg = misra_gries_sketch(words, k=64).collect()
+    cands = {r.word for r in mg if r.word != ""}
+    n_total = sum(r.cnt for r in mg if r.word == "")
+    assert n_total == len(rows)  # sentinel rows carry exact token count
+    exact = {r.word: r.cnt for r in
+             words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    over = {w for w, c in exact.items() if c > n_total / 64}
+    assert over <= cands          # guarantee: no heavy hitter missed
+    assert len(cands) <= 16 * 64  # bounded output: <= k rows/partition
+
+
+def test_heavy_hitters_equals_plain_groupby(spark, sf_dir):
+    from data_ingestion_system_spark.operators.queries_text import (
+        text_heavy_hitters,
+    )
+
+    got = {(r.word, r.freq) for r in text_heavy_hitters(spark, sf_dir).collect()}
+    cat = Catalog(spark, sf_dir)
+    words = cat.documents.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    n = words.count()
+    expect = {(r.word, r.cnt) for r in
+              words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+              .filter(F.col("cnt") * 256 > n).collect()}
+    assert got == expect and len(got) > 0
