@@ -268,6 +268,18 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
         .withColumn("cluster_id", F.col("node"))
         .localCheckpoint()
     )
+
+    def label_sum(lab: DataFrame):
+        # convergence probe: labels only ever DECREASE (min over self +
+        # neighbors includes self), so an unchanged sum proves every
+        # label is unchanged.  One map-combined aggregate — no shuffle
+        # join per round like a changed-row count would need; decimal
+        # accumulator so billions of 64-bit ids cannot overflow.
+        return lab.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
+        ).collect()[0][0]
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iter):
         neighbor = (
             edges.join(labels, edges.src == labels.node)
@@ -278,14 +290,11 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
             .groupBy("node").agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("cluster_id", "old"), "node")
-            .filter(F.col("cluster_id") != F.col("old"))
-            .limit(1).count()
-        )
+        cur_sum = label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     edges.unpersist()
     return labels
 

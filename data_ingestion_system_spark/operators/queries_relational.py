@@ -1204,3 +1204,46 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents) / 100.0).alias("total_value"),
         )
     )
+
+
+@register("agg_decayed_score", """
+WITH by_day AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         sum(value) AS v, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+mx AS (SELECT max(d) AS anchor FROM by_day)
+SELECT b.user_id,
+       round(sum(b.v * power(0.95, date_diff('day', b.d, mx.anchor))), 4)
+         AS decayed_score,
+       CAST(sum(b.n) AS BIGINT) AS n_events
+FROM by_day b, mx
+GROUP BY b.user_id
+""")
+def agg_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score per user (half-life
+    ~13.5 days at decay 0.95/day) — the standard recency-weighted
+    feature behind "active user" ranking.  Two-stage on purpose: values
+    pre-aggregate per (user, day) FIRST (one map-combined shuffle over
+    the raw events), so the pow() weight is computed once per user-day
+    — at 100 TB that's |users| x |days| weightings instead of one per
+    event, and the second aggregate runs over user-day-sized, not
+    event-sized, data.  The decay anchor is the corpus max date
+    (derived from the same pre-aggregate, broadcast back as one row),
+    keeping the result a pure function of the data — no wall-clock
+    dependence.  The oracle mirrors the two-stage sum structure term
+    for term so float summation order stays comparable; the final
+    4 dp round absorbs sub-ulp engine differences in pow()."""
+    cat = Catalog(spark, sf_dir)
+    by_day = cat.events.groupBy(
+        "user_id", F.to_date("ts").alias("d")).agg(
+        F.sum("value").alias("v"), F.count(F.lit(1)).alias("n"))
+    anchor = by_day.agg(F.max("d").alias("anchor"))
+    w = F.pow(F.lit(0.95), F.datediff(F.col("anchor"), F.col("d")))
+    return (
+        by_day.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("v") * w), 4).alias("decayed_score"),
+            F.sum("n").alias("n_events"),
+        )
+    )
