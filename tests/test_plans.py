@@ -330,3 +330,25 @@ def test_filtered_ann_pushes_metadata_predicate(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "sim_topk_filtered")
     assert re.search(r"In\(label, \[2,5,7\]\)", plan), "label IN not pushed"
     assert "CartesianProduct" not in plan  # broadcast cross, never cartesian
+
+
+def test_skew_salted_join_shape(spark, sf_dir):
+    """join_skew_salted: the replicated build side broadcasts (no
+    shuffle of the salted fact), the salt column never escapes the
+    operator, and the final agg is the only hash exchange."""
+    plan = plan_of(spark, sf_dir, "join_skew_salted")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    # the salt exists only between salting and the join: the plan's
+    # output row (first line) must not carry it
+    assert "__salt" not in plan.splitlines()[0]
+
+
+def test_heavy_hitters_semi_join_broadcast(spark, sf_dir):
+    """text_heavy_hitters: the exact second pass filters tokens with a
+    broadcast left-semi join against the candidate set — the corpus
+    never shuffles on the token; only candidate counts do."""
+    plan = plan_of(spark, sf_dir, "text_heavy_hitters")
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
