@@ -409,3 +409,41 @@ def exact_dedup_survivors(df: DataFrame, id_col: str, text_col: str) -> DataFram
     fp = df.select(F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("fingerprint"))
     keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
     return keep.select(id_col, "fingerprint")
+
+
+def containment_pairs(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Asymmetric near-dup detection: containment = |A∩B| / min(|A|,|B|)
+    for every pair sharing >=1 shingle -> (id_a, id_b, containment,
+    jaccard) with id_a < id_b.
+
+    Containment catches what Jaccard structurally cannot: a short doc
+    quoted inside a much longer one scores |A|/|A| = 1.0 containment but
+    |A|/|B| jaccard — arbitrarily low as the host grows.  Training-data
+    pipelines need this for excerpt/quotation dedup (the subset doc adds
+    no new tokens).  Same physical shape as jaccard_pairs: the
+    common-shingle join shuffles 8-byte hash longs, set sizes rejoin as
+    aggregates; at corpus scale candidate generation goes through
+    MinHash-LSH first, exactly as for the symmetric metric."""
+    h = _hashed_shingles(sh, id_col)
+    a = h.select(F.col(id_col).alias("id_a"), "sh")
+    b = h.select(F.col(id_col).alias("id_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = h.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("n_common") / F.least(F.col("n_a"), F.col("n_b")))
+            .alias("containment"),
+            (F.col("n_common")
+             / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+            .alias("jaccard"),
+        )
+    )

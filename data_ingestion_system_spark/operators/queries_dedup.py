@@ -320,3 +320,44 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") >= COSINE_NEAR_DUP)
         .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@register("dedup_containment", f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+  FROM toks, UNNEST(range(len(w) - 2)) AS t(i)),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(c * 1.0 / least(ca.n, cb.n), 6) AS containment,
+       round(c * 1.0 / (ca.n + cb.n - c), 6) AS jaccard
+FROM common
+JOIN cnt ca ON ca.doc_id = id_a
+JOIN cnt cb ON cb.doc_id = id_b
+WHERE c * 1.0 / least(ca.n, cb.n) >= {CONTAINMENT_THRESHOLD}
+""")
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup pairs: word-3-gram containment >= 0.8 (with
+    the symmetric jaccard alongside for contrast).  Containment scores
+    a short doc embedded in a long host 1.0 where jaccard goes to zero
+    — the excerpt/quotation dedup rule symmetric metrics miss (planted
+    subset-doc behavior pinned in tests/test_dedup.py).  Physical plan
+    is identical to dedup_ngram_jaccard: hashed common-shingle join as
+    the verify primitive, LSH candidate generation upstream at scale."""
+    cat = Catalog(spark, sf_dir)
+    sh = D.word_shingles(cat.documents, "doc_id", "text", n=3, hashed=True)
+    return (
+        D.containment_pairs(sh)
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("id_a", "id_b",
+                F.round("containment", 6).alias("containment"),
+                F.round("jaccard", 6).alias("jaccard"))
+    )

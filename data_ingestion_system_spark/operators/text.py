@@ -167,21 +167,35 @@ def misra_gries_sketch(words, k: int = 512):
     import pandas as pd  # noqa: PLC0415 — worker-side import
 
     def mg(batches):
-        acc = None
-        n_tokens = 0
-        for pdf in batches:
-            n_tokens += len(pdf)
-            vc = pdf["word"].value_counts()
-            acc = vc if acc is None else acc.add(vc, fill_value=0)
-            if len(acc) > k:
-                cut = acc.nlargest(k + 1).iloc[-1]
-                acc = acc - cut
-                acc = acc[acc > 0]
-        words_out = [] if acc is None else list(acc.index)
-        cnts_out = [] if acc is None else [int(c) for c in acc]
+        acc, n_tokens = mg_reduce((pdf["word"] for pdf in batches), k)
         yield pd.DataFrame({
-            "word": words_out + [""],
-            "cnt": cnts_out + [n_tokens],
+            "word": list(acc.index) + [""],
+            "cnt": [int(c) for c in acc] + [n_tokens],
         })
 
     return words.mapInPandas(mg, "word string, cnt long")
+
+
+def mg_reduce(word_batches, k: int):
+    """Pure Misra-Gries merge core (used per partition by
+    misra_gries_sketch; property-tested standalone): consume an iterable
+    of pandas Series of words -> (counters: Series word->count,
+    n_tokens).  Invariants (Agarwal et al.): <= k counters survive;
+    every counter underestimates (acc[w] <= true[w]); the total
+    undercount is bounded (true[w] - acc[w] <= n_tokens/k), hence any
+    item with true count > n_tokens/k is present."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    acc = None
+    n_tokens = 0
+    for s in word_batches:
+        n_tokens += len(s)
+        vc = s.value_counts()
+        acc = vc if acc is None else acc.add(vc, fill_value=0)
+        if len(acc) > k:
+            cut = acc.nlargest(k + 1).iloc[-1]
+            acc = acc - cut
+            acc = acc[acc > 0]
+    if acc is None:
+        acc = pd.Series(dtype="float64")
+    return acc, n_tokens

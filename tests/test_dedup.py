@@ -126,3 +126,26 @@ def test_contamination_planted_overlap(spark):
            for r in cross_corpus_overlap(
                docs, "doc_id", "text", "source", "bench", n=5).collect()}
     assert got == {2: 2}
+
+
+def test_containment_catches_subset_doc(spark):
+    """A short doc quoted verbatim inside a long host: containment 1.0,
+    jaccard far below any near-dup threshold — the asymmetric metric is
+    the only one that flags the pair."""
+    from data_ingestion_system_spark.operators.dedup import (
+        containment_pairs,
+        word_shingles,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    host = " ".join(f"w{i} x{i} y{i}" for i in range(40)) + " " + quote
+    docs = spark.createDataFrame(
+        [(1, quote), (2, host), (3, "unrelated text entirely different")],
+        "doc_id long, text string")
+    sh = word_shingles(docs, "doc_id", "text", n=3, hashed=True)
+    got = {(r.id_a, r.id_b): (r.containment, r.jaccard)
+           for r in containment_pairs(sh).collect()}
+    c, j = got[(1, 2)]
+    assert c == 1.0          # every quote shingle inside the host
+    assert j < 0.1           # symmetric metric misses the pair
+    assert (1, 3) not in got and (2, 3) not in got

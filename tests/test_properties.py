@@ -175,3 +175,37 @@ def test_scd2_batched_equals_sequential(spark, stream, cut):
 
     got = {(r.k, r.valid_from, r.attr): r.valid_to for r in hist.collect()}
     assert got == expect
+
+
+words_strategy = st.lists(
+    st.sampled_from([f"w{i}" for i in range(30)] + ["hot", "hot2"]),
+    min_size=1, max_size=2000,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(words=words_strategy,
+       k=st.integers(min_value=2, max_value=64),
+       n_splits=st.integers(min_value=1, max_value=7))
+def test_misra_gries_invariants(words, k, n_splits):
+    """Pure MG merge core: <= k counters, every counter an
+    underestimate, undercount bounded by n/k — hence no item above the
+    n/k frequency bound can be missing, for any data and any batching."""
+    import pandas as pd
+
+    from data_ingestion_system_spark.operators.text import mg_reduce
+
+    step = max(1, len(words) // n_splits)
+    batches = [pd.Series(words[i:i + step])
+               for i in range(0, len(words), step)]
+    acc, n = mg_reduce(iter(batches), k)
+    true = pd.Series(words).value_counts()
+
+    assert n == len(words)
+    assert len(acc) <= k
+    for w, c in acc.items():
+        assert c <= true[w]                       # never overestimates
+        assert true[w] - c <= n / k               # bounded undercount
+    for w, c in true.items():
+        if c > n / k:
+            assert w in acc.index                 # guarantee: HH present
