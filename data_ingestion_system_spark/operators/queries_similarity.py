@@ -626,3 +626,37 @@ def sim_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_ivf_pq(corpus, _ivf_centroids(spark, sf_dir), queries,
                        k=K, nprobe=2, shortlist=50,
                        codebook=_pq_codebook(spark, sf_dir))
+
+
+@register("emb_dim_stats", """
+WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT i AS dim, v[i + 1] AS x FROM e, UNNEST(range(len(v))) AS t(i))
+SELECT dim, count(*) AS n_vals,
+       round(avg(x), 4) AS mean_x,
+       round(stddev_samp(x), 4) AS sd_x,
+       round(min(x), 6) AS min_x,
+       round(max(x), 6) AS max_x
+FROM d GROUP BY dim
+""")
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION embedding statistics (mean/σ/min/max for each of
+    the d coordinates) — the whitening/anisotropy audit that catches
+    dead dimensions (σ≈0) and dominant ones (|mean| ≫ others) before
+    they poison cosine similarity; complements emb_norm_stats' per-
+    label norm view.  posexplode runs inside codegen and the groupBy
+    key space is just d dims, so the shuffle after the map-side combine
+    is d rows per task no matter the corpus size."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.embeddings
+        .select(F.posexplode(F.col("embedding").cast("array<double>"))
+                .alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vals"),
+            F.round(F.avg("x"), 4).alias("mean_x"),
+            F.round(F.stddev_samp("x"), 4).alias("sd_x"),
+            F.round(F.min("x"), 6).alias("min_x"),
+            F.round(F.max("x"), 6).alias("max_x"),
+        )
+    )

@@ -476,3 +476,36 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("freq") * 256 > F.col("n"))
         .select("word", "freq")
     )
+
+
+@register("text_mix_entropy", """
+WITH c AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+t AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+SELECT c.source, t.tot AS n_docs, count(*) AS n_langs,
+       round(-sum((n * 1.0 / tot) * ln(n * 1.0 / tot)), 6) AS lang_entropy
+FROM c JOIN t USING (source)
+GROUP BY c.source, t.tot
+""")
+def text_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mix monitoring: Shannon entropy of the language distribution
+    within each source — the drift alarm for corpus composition (a
+    source whose entropy collapses has gone monolingual; one that
+    spikes got polluted).  Two tiny aggregations: (source, lang)
+    counts, then entropy over the language-cardinality-sized result —
+    at 100 TB the raw corpus is touched once, map-combined, and
+    everything after the first shuffle is KB-scale."""
+    cat = Catalog(spark, sf_dir)
+    c = cat.documents.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("source").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    return (
+        c.join(t, "source")
+        .groupBy("source", "tot")
+        .agg(
+            F.count(F.lit(1)).alias("n_langs"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("lang_entropy"),
+        )
+        .select("source", F.col("tot").alias("n_docs"),
+                "n_langs", "lang_entropy")
+    )

@@ -122,6 +122,21 @@ HEADLINERS = {
         "scale, and the Python-UDTF twin exists only for cases needing "
         "real tokenizer libraries."
     ),
+    "join_skew_salted": (
+        "Skew-proof salted join: the probe side fans out over 8 "
+        "deterministic salts, the replicated build side broadcasts "
+        "(`BroadcastHashJoin`, never sort-merge), so no hot key can own "
+        "a reducer; the salt column dies inside the operator and the "
+        "one hash exchange in the plan is the final aggregation."
+    ),
+    "text_heavy_hitters": (
+        "Misra-Gries heavy hitters: pass 1 is `MapInPandas` emitting "
+        "<= k rows per partition (the vocabulary never shuffles); pass "
+        "2 re-scans with a broadcast left-semi join on the candidate "
+        "set, so the only aggregation shuffle is candidate-sized. The "
+        "final filter is integer arithmetic against the token total "
+        "carried by pass-1 sentinel rows."
+    ),
 }
 
 
