@@ -361,3 +361,109 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("containment", 6).alias("containment"),
                 F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+@register("dedup_cleaning_report", f"""
+WITH RECURSIVE
+norm AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents),
+exact_keep AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY fp),
+toks AS (
+  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+sh3 AS (
+  SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+  FROM toks, UNNEST(range(len(w) - 2)) AS t(i)),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh3 a JOIN sh3 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN cnt ca ON ca.doc_id = id_a
+  JOIN cnt cb ON cb.doc_id = id_b
+  WHERE c * 1.0 / (ca.n + cb.n - c) >= {JACCARD_THRESHOLD}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, root) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node),
+labels AS (SELECT node, min(root) AS cluster_id FROM reach GROUP BY node),
+near AS (SELECT node AS doc_id FROM labels WHERE node <> cluster_id),
+sh5 AS (
+  SELECT DISTINCT doc_id, source,
+         w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5]
+           AS shingle
+  FROM toks, UNNEST(range(len(w) - 4)) AS t(i)),
+bench AS (SELECT DISTINCT shingle FROM sh5 WHERE source = '{BENCHMARK_SOURCE}'),
+cont AS (
+  SELECT DISTINCT s.doc_id FROM sh5 s JOIN bench b ON s.shingle = b.shingle
+  WHERE s.source <> '{BENCHMARK_SOURCE}')
+SELECT d.doc_id,
+       CASE WHEN ek.doc_id IS NULL THEN 'exact_dup'
+            WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+            WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+            ELSE 'keep' END AS reason,
+       CASE WHEN ek.doc_id IS NOT NULL AND nd.doc_id IS NULL
+                 AND ct.doc_id IS NULL
+            THEN 'keep' ELSE 'drop' END AS decision
+FROM documents d
+LEFT JOIN exact_keep ek ON ek.doc_id = d.doc_id
+LEFT JOIN near nd ON nd.doc_id = d.doc_id
+LEFT JOIN cont ct ON ct.doc_id = d.doc_id
+""")
+def dedup_cleaning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-cleaning pass: one keep/drop decision with a
+    reason code per document — exact duplicate (not the min-id survivor
+    of its normalized-text fingerprint), near duplicate (non-minimum
+    member of a word-3-gram Jaccard >= 0.5 connected component), or
+    benchmark-contaminated (shares a word-5-gram with the held-out
+    source) — precedence in that order, 'keep' otherwise.  This is the
+    report a training-data pipeline acts on; flags are computed
+    independently so the report is a pure function of the corpus (no
+    cascade coupling between stages).  Each flag reuses the operator
+    already graded on its own row (exact_dedup_survivors,
+    jaccard_pairs + connected_components, cross_corpus_overlap); the
+    membership joins are broadcast-sized (flag sets, not corpora).  At
+    100 TB the near-dup pair stage upgrades to MinHash-LSH candidates
+    exactly as dedup_minhash_lsh documents; the exact pair graph here
+    keeps the whole report oracle-checkable."""
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents
+
+    exact_keep = D.exact_dedup_survivors(docs, "doc_id", "text") \
+        .select("doc_id")
+    sh = D.word_shingles(docs, "doc_id", "text", n=3, hashed=True).persist()
+    pairs = D.jaccard_pairs(sh).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD)
+    near = D.connected_components(pairs).filter(
+        F.col("node") != F.col("cluster_id")
+    ).select(F.col("node").alias("doc_id"))
+    sh.unpersist()
+    cont = D.cross_corpus_overlap(
+        docs, "doc_id", "text", "source", BENCHMARK_SOURCE, n=5
+    ).select("doc_id")
+
+    def flag(df: DataFrame, name: str) -> DataFrame:
+        return df.distinct().withColumn(name, F.lit(True))
+
+    return (
+        docs.select("doc_id")
+        .join(F.broadcast(flag(exact_keep, "is_kept_exact")), "doc_id", "left")
+        .join(F.broadcast(flag(near, "is_near")), "doc_id", "left")
+        .join(F.broadcast(flag(cont, "is_cont")), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_kept_exact").isNull(), "exact_dup")
+            .when(F.col("is_near"), "near_dup")
+            .when(F.col("is_cont"), "contaminated")
+            .otherwise("keep").alias("reason"),
+        )
+        .withColumn(
+            "decision",
+            F.when(F.col("reason") == "keep", "keep").otherwise("drop"))
+    )
