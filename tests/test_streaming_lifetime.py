@@ -1,0 +1,89 @@
+"""Lifetime (never-expiring) per-key state: running user profiles
+accumulate across micro-batches; the TWS twin is availability-gated."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from data_ingestion_system_spark.streaming.lifetime import (
+    HAS_TWS,
+    lifetime_profiles,
+    lifetime_profiles_tws,
+)
+
+
+def _run_batch(spark, landing, ckpt, out, rows, i, profiles_fn):
+    (landing / f"b{i}.json").write_text(
+        "\n".join(json.dumps(r) for r in rows))
+    stream = spark.readStream.schema("user_id long, value double").json(
+        str(landing))
+
+    def sink(batch_df, batch_id):
+        from pyspark.sql import functions as F
+        batch_df.withColumn("batch_id", F.lit(batch_id)) \
+            .write.mode("append").parquet(out)
+
+    q = (profiles_fn(stream).writeStream.outputMode("update")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .foreachBatch(sink).start())
+    assert q.awaitTermination(120), "micro-batch did not finish in 120s"
+
+
+def test_lifetime_profiles_accumulate_across_batches(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run_batch(spark, landing, ckpt, out,
+               [{"user_id": 1, "value": 10.0}, {"user_id": 1, "value": 5.0},
+                {"user_id": 2, "value": 1.0}], 0, lifetime_profiles)
+    _run_batch(spark, landing, ckpt, out,
+               [{"user_id": 1, "value": 2.0}, {"user_id": 3, "value": 7.0}],
+               1, lifetime_profiles)
+    rows = {(r.batch_id, r.user_id): (r.n_events, r.total_value, r.max_value)
+            for r in spark.read.parquet(out).collect()}
+    assert rows[(0, 1)] == (2, 15.0, 10.0)
+    assert rows[(0, 2)] == (1, 1.0, 1.0)
+    # state carried: user 1's second-batch row includes batch-0 history
+    assert rows[(1, 1)] == (3, 17.0, 10.0)
+    assert rows[(1, 3)] == (1, 7.0, 7.0)
+    # untouched key emits nothing in batch 1
+    assert (1, 2) not in rows
+
+
+@pytest.mark.skipif(not HAS_TWS, reason="google.protobuf not available")
+def test_lifetime_profiles_tws_matches_apply_form(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(conf, None)
+    spark.conf.set(
+        conf,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        _run_batch(spark, landing, ckpt, out,
+                   [{"user_id": 1, "value": 10.0},
+                    {"user_id": 1, "value": 5.0}], 0, lifetime_profiles_tws)
+        _run_batch(spark, landing, ckpt, out,
+                   [{"user_id": 1, "value": 2.0}], 1, lifetime_profiles_tws)
+        rows = {(r.batch_id, r.user_id):
+                (r.n_events, r.total_value, r.max_value)
+                for r in spark.read.parquet(out).collect()}
+        assert rows[(0, 1)] == (2, 15.0, 10.0)
+        assert rows[(1, 1)] == (3, 17.0, 10.0)
+    finally:
+        if old is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, old)
+
+
+def test_tws_unavailable_raises_cleanly(spark):
+    if HAS_TWS:
+        pytest.skip("protobuf present; unavailability path not reachable")
+    with pytest.raises(ImportError, match="applyInPandasWithState"):
+        lifetime_profiles_tws(None)
