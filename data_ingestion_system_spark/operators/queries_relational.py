@@ -1247,3 +1247,74 @@ def agg_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").alias("n_events"),
         )
     )
+
+
+@register("join_asof_tolerance", """
+WITH cand AS (
+  SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e
+  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+       AND o.o_orderdate >= e.ts - INTERVAL 8400 DAY)
+SELECT e.event_id, e.ts, e.user_id,
+       c.o_orderkey AS asof_orderkey, c.o_orderdate AS asof_orderdate
+FROM events e
+LEFT JOIN cand c ON c.event_id = e.event_id AND c.rn = 1
+""")
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT as-of join with a staleness tolerance: each event gets its
+    user's most recent at-or-before order ONLY if that order is within
+    the staleness bound — the point-in-time rule of feature-store
+    joins, where a
+    stale feature is worse than a missing one (training-serving skew).
+    Same linear union+window formulation as join_asof (one shuffle+sort
+    of events+orders, never the quadratic pair materialization); the
+    tolerance is a post-carry null-out, which is sufficient because the
+    carried match is the LATEST candidate — any earlier order is staler
+    still.  Left semantics keep every event row, matched or not.  The
+    8400-day bound is fixture calibration (TPC-H order dates sit ~23
+    years before the synthetic event timestamps; the median gap is
+    ~8371 days, so the bound splits the corpus into fresh and stale) —
+    the tolerance is the knob, the plan shape is the point."""
+    cat = Catalog(spark, sf_dir)
+    e = cat.events.select(
+        "user_id", F.col("ts").alias("t"), F.lit(1).alias("is_event"),
+        "event_id", "ts",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
+    )
+    o = cat.orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"), F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp_ntz").alias("ts"),
+        "o_orderkey", "o_orderdate",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_event", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        e.unionByName(o)
+        .select(
+            "event_id", "ts", "user_id", "is_event",
+            # the struct must be NULL on event rows — struct(NULL, NULL)
+            # is a non-null value that would satisfy ignorenulls
+            F.last(
+                F.when(F.col("is_event") == 0,
+                       F.struct("o_orderkey", "o_orderdate")),
+                ignorenulls=True,
+            ).over(w).alias("m"),
+        )
+        .filter(F.col("is_event") == 1)
+    )
+    fresh = F.when(
+        F.col("m.o_orderdate") >= F.col("ts") - F.expr("INTERVAL 8400 DAYS"),
+        F.col("m"))
+    return carried.select(
+        "event_id", "ts", "user_id",
+        fresh["o_orderkey"].alias("asof_orderkey"),
+        fresh["o_orderdate"].alias("asof_orderdate"),
+    )
