@@ -207,3 +207,34 @@ def bench_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95_value"),
         F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99_value"),
     )
+
+
+_CURSOR_TS = "2024-01-15 00:00:00"
+_CURSOR_ID = 500_000
+
+
+@register("search_keyset_page", _SEARCH_ORACLE.format(
+    where=f"WHERE event_type = 'purchase' AND (ts, -event_id) < "
+          f"(TIMESTAMP '{_CURSOR_TS}', -{_CURSOR_ID})"))
+def search_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (cursor) pagination of the flagship search: the next page
+    after cursor (ts, event_id) in (ts DESC, event_id DESC) order is
+    WHERE (ts, -event_id) < (cursor_ts, -cursor_id) — a pure range
+    predicate that reaches the parquet scan via its implied ts <=
+    cursor envelope, so page N touches only row groups at or below the
+    cursor.  The OFFSET alternative scans and discards N*page_size rows
+    per request — quadratic total work across a paging session and the
+    classic API-pagination scale bug; keyset pages are O(page) each at
+    any depth.  The cursor is a (ts, id) tuple so rows sharing the
+    cursor timestamp are neither skipped nor repeated across pages."""
+    cat = Catalog(spark, sf_dir)
+    cur_ts = F.lit(_CURSOR_TS).cast("timestamp_ntz")
+    after_cursor = (F.col("ts") < cur_ts) | (
+        (F.col("ts") == cur_ts) & (F.col("event_id") < F.lit(_CURSOR_ID)))
+    return (
+        cat.events
+        .filter((F.col("event_type") == "purchase") & after_cursor)
+        .select(*_PROJ)
+        .orderBy(F.col("ts").desc_nulls_last(), F.col("event_id").desc())
+        .limit(100)
+    )

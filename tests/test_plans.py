@@ -352,3 +352,13 @@ def test_heavy_hitters_semi_join_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "text_heavy_hitters")
     assert "LeftSemi" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_keyset_pagination_pushdown(spark, sf_dir):
+    """search_keyset_page: the cursor's ts envelope reaches the parquet
+    scan (page N reads row groups at or below the cursor, not the
+    table) and the page is a distributed top-k, not a global sort."""
+    plan = plan_of(spark, sf_dir, "search_keyset_page")
+    assert "LessThan(ts" in plan or "LessThanOrEqual(ts" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
