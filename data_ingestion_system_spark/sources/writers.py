@@ -141,6 +141,22 @@ def scd2_apply(history: DataFrame, updates: DataFrame, key: str,
     return untouched.unionByName(reversioned)
 
 
+def scd2_as_of(history: DataFrame, as_of) -> DataFrame:
+    """Point-in-time read of an SCD-2 history: the one version of each
+    key that was current at ``as_of`` (valid_from <= as_of < valid_to,
+    open rows unbounded above).  This is the dimension side of a
+    reproducible training snapshot — joining facts against
+    ``scd2_as_of(dim, cutoff)`` replays exactly the attributes a past
+    run saw, where joining the live dimension leaks future updates.
+    Map-only: two scan-pushed range predicates, no shuffle, no window —
+    the version chain already encodes the validity intervals."""
+    ts = F.lit(as_of).cast("timestamp_ntz") if isinstance(as_of, str) else F.lit(as_of)
+    return history.filter(
+        (F.col("valid_from") <= ts)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > ts))
+    )
+
+
 def publish_if_valid(df: DataFrame, path: str,
                      rules: dict[str, "F.Column"]) -> dict[str, int]:
     """Write-audit-publish: stage the dataset, evaluate every expectation

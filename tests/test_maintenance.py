@@ -157,3 +157,36 @@ def test_write_audit_publish(spark, sf_dir, tmp_path):
         publish_if_valid(bad, path, rules)
     # previous publish still intact
     assert {r.k for r in spark.read.parquet(path).collect()} == {1, 2}
+
+
+def test_scd2_as_of_point_in_time(spark):
+    """A point-in-time read returns exactly one version per key — the
+    one current at the cutoff — and an as-of at a boundary timestamp is
+    inclusive of the version opening there."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_system_spark.sources.writers import scd2_apply, scd2_as_of
+
+    t0, t1, t2 = (datetime(2024, 1, d, 0, 0) for d in (1, 5, 9))
+    history = spark.createDataFrame(
+        [(1, "a1", t0, None), (2, "b1", t0, None)],
+        "k int, attr string, valid_from timestamp_ntz, valid_to timestamp_ntz")
+    batch = spark.createDataFrame(
+        [(1, "a2", t1), (1, "a3", t2)],
+        "k int, attr string, ts timestamp_ntz")
+    h = scd2_apply(history, batch, "k", "ts")
+
+    def snap(ts):
+        return {r.k: r.attr for r in scd2_as_of(h, ts).collect()}
+
+    assert snap(datetime(2024, 1, 3)) == {1: "a1", 2: "b1"}   # pre-update
+    assert snap(t1) == {1: "a2", 2: "b1"}                     # boundary incl.
+    assert snap(datetime(2024, 1, 7)) == {1: "a2", 2: "b1"}
+    assert snap(datetime(2024, 2, 1)) == {1: "a3", 2: "b1"}   # open rows
+    assert snap("2024-01-03 00:00:00") == {1: "a1", 2: "b1"}  # string cutoff
+    # every snapshot: exactly one version per key
+    for ts in (t0, t1, t2):
+        one = scd2_as_of(h, ts).groupBy("k").count().collect()
+        assert all(r["count"] == 1 for r in one)
