@@ -1318,3 +1318,65 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         fresh["o_orderkey"].alias("asof_orderkey"),
         fresh["o_orderdate"].alias("asof_orderdate"),
     )
+
+
+@register("agg_sessionize", """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL
+                   OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+           AS new_s
+  FROM ordered),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked),
+grains AS (
+  SELECT user_id, sid, count(*) AS n,
+         CAST(floor(epoch(max(ts)) - epoch(min(ts))) AS BIGINT) AS dur_s
+  FROM sess GROUP BY 1, 2)
+SELECT user_id,
+       count(*) AS n_sessions,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       round(avg(n), 4) AS avg_events_per_session,
+       CAST(max(dur_s) AS BIGINT) AS max_session_s
+FROM grains GROUP BY user_id
+""")
+def agg_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-gap sessionization (per-user session STATISTICS, complementing
+    agg_session_window's per-window grain): a session breaks wherever
+    the gap to the previous event exceeds 30 minutes; session ids are
+    the running count of breaks.  Two windows + two aggregations, all
+    partitioned on user_id — one shuffle of the events, then per-user
+    sorted passes; no self-join, no interval explosion.  The window
+    order tie-breaks on event_id so duplicate timestamps sessionize
+    identically on any engine; durations are whole elapsed seconds
+    (timestampdiff / floored epoch difference — integer on both
+    engines)."""
+    cat = Catalog(spark, sf_dir)
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = cat.events.select(
+        "user_id", "ts", "event_id",
+        F.when(
+            F.lag("ts").over(w_ord).isNull()
+            | (F.col("ts") - F.lag("ts").over(w_ord)
+               > F.expr("INTERVAL 30 MINUTES")), 1
+        ).otherwise(0).alias("new_s"),
+    )
+    sess = marked.select(
+        "user_id", "ts", F.sum("new_s").over(w_run).alias("sid"))
+    grains = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("timestampdiff(SECOND, min(ts), max(ts))").alias("dur_s"))
+    return grains.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+        F.round(F.avg("n"), 4).alias("avg_events_per_session"),
+        F.max("dur_s").alias("max_session_s"),
+    )

@@ -332,3 +332,52 @@ def read_binary_dir(spark: SparkSession, path: str,
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path).filter(F.col("length") <= max_bytes)
+
+
+def advance_rollup(spark: SparkSession, new_slice: DataFrame,
+                   rollup_path: str, group_cols: list[str],
+                   agg_exprs: dict[str, str]) -> int:
+    """Incremental rollup maintenance: fold ONLY the new data into a
+    date-partitioned aggregate table, replacing just the dates the
+    slice touches.
+
+    ``new_slice`` is the newly-arrived raw data with an ``audit_date``
+    column (typically one or a few dates); ``agg_exprs`` maps output
+    column -> SQL aggregate over the slice (e.g. ``{"n": "count(*)",
+    "total": "sum(value)"}``).  The slice is aggregated to
+    (audit_date, *group_cols) grain; if the rollup already holds rows
+    for a touched date (late data), the stored and fresh partial
+    aggregates are RE-AGGREGATED together — which is why the supported
+    aggregates are the decomposable ones (sum/count/min/max; wire
+    avg as sum+count, count-distinct as the HLL sketch rollup in
+    agg_hll_sketch).  Dynamic partition overwrite then replaces only
+    the touched dates.
+
+    This is the 100 TB posture for serving aggregates: history is
+    NEVER rescanned — each advance costs one pass over the new slice
+    plus a rollup-grain merge of the touched dates, so a year of
+    hourly loads does a year of slice-sized work, not a year of
+    table-sized work.  Returns the number of date partitions written."""
+    import os  # noqa: PLC0415
+
+    aggs = [F.expr(sql).alias(name) for name, sql in agg_exprs.items()]
+    fresh = new_slice.groupBy("audit_date", *group_cols).agg(*aggs)
+
+    touched = [r.audit_date for r in
+               fresh.select("audit_date").distinct().collect()]
+    if os.path.exists(rollup_path):
+        stored = spark.read.parquet(rollup_path).filter(
+            F.col("audit_date").isin(touched))
+        merge_aggs = []
+        for name, sql in agg_exprs.items():
+            fn = sql.split("(", 1)[0].strip().lower()
+            refold = {"count": "sum"}.get(fn, fn)  # counts re-fold by sum
+            merge_aggs.append(F.expr(f"{refold}({name})").alias(name))
+        fresh = (
+            stored.unionByName(fresh)
+            .groupBy("audit_date", *group_cols)
+            .agg(*merge_aggs)
+        )
+    _dynamic_overwrite(
+        spark, fresh.repartition(F.col("audit_date")), rollup_path)
+    return len(touched)

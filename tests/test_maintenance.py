@@ -190,3 +190,42 @@ def test_scd2_as_of_point_in_time(spark):
     for ts in (t0, t1, t2):
         one = scd2_as_of(h, ts).groupBy("k").count().collect()
         assert all(r["count"] == 1 for r in one)
+
+
+def test_advance_rollup_matches_full_recompute(spark, tmp_path):
+    """Three incremental advances (including late data for an already-
+    rolled-up date) must equal the one-shot aggregate of all raw data,
+    and each advance must rewrite only the dates its slice touches."""
+    from datetime import date
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_system_spark.sources.writers import advance_rollup
+
+    rollup = str(tmp_path / "rollup")
+    schema = "audit_date date, event_type string, value double"
+    d1, d2, d3 = date(2024, 3, 1), date(2024, 3, 2), date(2024, 3, 3)
+    slices = [
+        [(d1, "a", 1.0), (d1, "a", 2.0), (d1, "b", 5.0)],
+        [(d2, "a", 3.0), (d2, "b", 1.0)],
+        [(d1, "a", 10.0), (d3, "b", 4.0)],   # late data for d1 + new d3
+    ]
+    exprs = {"n": "count(*)", "total": "sum(value)", "mx": "max(value)"}
+    written = []
+    for s in slices:
+        written.append(advance_rollup(
+            spark, spark.createDataFrame(s, schema), rollup,
+            ["event_type"], exprs))
+    assert written == [1, 1, 2]   # slice 3 touches d1 (late) and d3
+
+    got = {(r.audit_date, r.event_type): (r.n, r.total, r.mx)
+           for r in spark.read.parquet(rollup).collect()}
+    all_rows = spark.createDataFrame(
+        [x for s in slices for x in s], schema)
+    expect = {(r.audit_date, r.event_type): (r.n, r.total, r.mx)
+              for r in all_rows.groupBy("audit_date", "event_type").agg(
+                  F.expr("count(*)").alias("n"),
+                  F.expr("sum(value)").alias("total"),
+                  F.expr("max(value)").alias("mx")).collect()}
+    assert got == expect
+    assert got[(d1, "a")] == (3, 13.0, 10.0)   # late data folded in
