@@ -59,3 +59,88 @@ def dequantize_int8(df: DataFrame) -> DataFrame:
             })
 
     return df.mapInPandas(dbatch, DEQUANT_SCHEMA)
+
+
+MOMENTS_SCHEMA = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("s", T.ArrayType(T.DoubleType())),      # sum of x
+    T.StructField("ss", T.ArrayType(T.DoubleType())),     # sum of x x^T, flat
+])
+
+
+def embedding_moments(df: DataFrame, col: str = "embedding"):
+    """Distributed second-moment accumulation for a d-dim embedding
+    column -> (n, mean: d, cov: d x d) numpy results on the driver.
+
+    Each partition folds its Arrow batches into ONE (n, Σx, Σxxᵀ) row
+    (a single BLAS matmul per batch — the d² accumulator is ~32 KB at
+    d=64, trivially driver-mergeable), so the driver combines
+    #partitions rows regardless of corpus size.  This is the classic
+    map-combine moment pattern: at 100 TB the data is touched once,
+    map-only, and everything merged is O(partitions x d²)."""
+    import numpy as np  # noqa: PLC0415
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n, s, ss = 0, None, None
+        for pdf in batches:
+            mat = np.vstack(pdf[col].to_numpy()).astype(np.float64)
+            n += mat.shape[0]
+            s = mat.sum(axis=0) + (s if s is not None else 0.0)
+            ss = mat.T @ mat + (ss if ss is not None else 0.0)
+        if n == 0:
+            return
+        yield pd.DataFrame({
+            "n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()]})
+
+    parts = df.select(col).mapInPandas(fold, MOMENTS_SCHEMA).collect()
+    n = sum(r.n for r in parts)
+    d = len(parts[0].s)
+    s = np.sum([np.asarray(r.s) for r in parts], axis=0)
+    ss = np.sum([np.asarray(r.ss).reshape(d, d) for r in parts], axis=0)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    return n, mean, cov
+
+
+def pca_whitener(df: DataFrame, col: str = "embedding", eps: float = 1e-6):
+    """Fit a ZCA whitening transform on the corpus: returns (mean, W)
+    with W = V diag(1/sqrt(λ+eps)) Vᵀ from the eigendecomposition of
+    the covariance.  ZCA (rather than plain PCA rotation) keeps the
+    whitened axes aligned with the originals, and W is symmetric so
+    the transform is its own documentation.  The eigendecomposition
+    runs on the DRIVER over the d x d covariance — d is model width
+    (64–4096), never data-sized, the same faiss-style train-small/
+    apply-everywhere split as the PQ/IVF quantizers."""
+    import numpy as np  # noqa: PLC0415
+
+    _, mean, cov = embedding_moments(df, col)
+    lam, vec = np.linalg.eigh(cov)
+    w = vec @ np.diag(1.0 / np.sqrt(np.maximum(lam, 0.0) + eps)) @ vec.T
+    return mean, w
+
+
+def whiten(df: DataFrame, mean, w, col: str = "embedding",
+           id_col: str = "vec_id") -> DataFrame:
+    """Apply a fitted whitening transform: (id, embedding) ->
+    (id, white: double[]) with white = W (x - mean).  Map-only, one
+    BLAS matmul per Arrow batch; mean/W ride in the closure (d² floats
+    — broadcast-sized at any model width)."""
+    import numpy as np  # noqa: PLC0415
+
+    mean = np.asarray(mean, dtype=np.float64)
+    wt = np.asarray(w, dtype=np.float64).T
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("white", T.ArrayType(T.DoubleType())),
+    ])
+
+    def apply(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.vstack(pdf[col].to_numpy()).astype(np.float64)
+            white = (mat - mean) @ wt
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "white": [row.tolist() for row in white],
+            })
+
+    return df.select(id_col, col).mapInPandas(apply, out_schema)

@@ -65,13 +65,16 @@ def _load_all() -> None:
     # multimodal/subquery entirely (incl. the r1 hash-fail fixes) and most
     # of text; dedup/relational already carry green r1 rows.
     from data_ingestion_system_spark.operators import (  # noqa: F401
-        queries_search,       # 12 — flagship audit-search parity (1-12)
-        queries_similarity,   # 8  (13-20)
-        queries_ingest,       # 5  (21-25) — r1 HUGEINT fixes must be graded
-        queries_multimodal,   # 4  (26-29) — r1 canonicalizer fix must be graded
-        queries_subquery,     # 14 (30-43)
-        queries_text,         # 12 (44-55)
-        queries_dedup,        # 8  — green in r1
-        queries_relational,   # 40 — green in r1
+        queries_search,       # flagship audit-search parity (+ stats/pagination)
+        queries_similarity,   # ANN family + embedding audits
+        queries_ingest,       # r1 HUGEINT fixes must be graded
+        queries_multimodal,   # r1 canonicalizer fix must be graded
+        queries_subquery,
+        queries_text,
+        queries_dedup,        # green in r1
+        queries_relational,   # green in r1
     )
+    # ordering intent pinned by tests/test_registry_order.py: every
+    # search_/sim_/emb_/ingest_/multimodal_ query must land inside the
+    # driver's 50-entry grading window.
     _LOADED = True

@@ -55,3 +55,45 @@ def test_write_sharded_stable_and_even(spark, sf_dir, tmp_path):
     sizes = [v for _, v in
              spark.read.json(out).groupBy("shard").count().collect()]
     assert max(sizes) < 3 * min(sizes)
+
+def test_moments_match_numpy(spark, sf_dir):
+    """Distributed (n, mean, cov) must equal the single-node numpy
+    computation on the collected corpus."""
+    import numpy as np
+
+    from data_ingestion_system_spark.catalog import Catalog
+    from data_ingestion_system_spark.operators.embeddings import (
+        embedding_moments,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings.select("vec_id", "embedding")
+    n, mean, cov = embedding_moments(emb)
+    local = np.vstack([r.embedding for r in emb.collect()]).astype(np.float64)
+    assert n == local.shape[0]
+    np.testing.assert_allclose(mean, local.mean(axis=0), atol=1e-10)
+    np.testing.assert_allclose(
+        cov, np.cov(local, rowvar=False, bias=True), atol=1e-10)
+
+
+def test_whitened_covariance_is_identity(spark, sf_dir):
+    """ZCA-whitened embeddings must have ~identity covariance (the
+    definition of whitening), verified through the distributed path."""
+    import numpy as np
+
+    from data_ingestion_system_spark.catalog import Catalog
+    from data_ingestion_system_spark.operators.embeddings import (
+        embedding_moments,
+        pca_whitener,
+        whiten,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings.select("vec_id", "embedding")
+    mean, w = pca_whitener(emb)
+    assert np.allclose(w, w.T, atol=1e-10)        # ZCA transform is symmetric
+    white = whiten(emb, mean, w)
+    _, wmean, wcov = embedding_moments(white, col="white")
+    d = len(wmean)
+    np.testing.assert_allclose(wmean, np.zeros(d), atol=1e-8)
+    np.testing.assert_allclose(wcov, np.eye(d), atol=1e-3)  # eps-regularized
