@@ -1380,3 +1380,143 @@ def agg_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n"), 4).alias("avg_events_per_session"),
         F.max("dur_s").alias("max_session_s"),
     )
+
+
+@register("agg_cooccurrence_lift", """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
+tc AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_ab
+  FROM ut a JOIN ut b ON a.user_id = b.user_id
+                     AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b, n_ab,
+       round(n_ab * 1.0 / n.n_users, 6) AS support,
+       round(n_ab * 1.0 * n.n_users / (ta.n_t * tb.n_t), 6) AS lift
+FROM pairs
+JOIN tc ta ON ta.event_type = type_a
+JOIN tc tb ON tb.event_type = type_b, n
+""")
+def agg_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence with support and lift (the first level
+    of association-rule mining): which behaviors travel together across
+    users, normalized by their independent rates.  The self-join runs
+    on the (user, type)-DISTINCT table — per-user sets are bounded by
+    the type domain (not by event counts), so the pair stage is linear
+    in users times a small constant, never events².  Lift compares as
+    an integer ratio (n_ab·n_users / n_a·n_b) rounded at 6 dp on both
+    engines."""
+    cat = Catalog(spark, sf_dir)
+    ut = cat.events.select("user_id", "event_type").distinct()
+    n_users = cat.events.agg(
+        F.countDistinct("user_id").alias("n_users"))
+    tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    return (
+        pairs
+        .join(F.broadcast(tc.select(F.col("event_type").alias("type_a"),
+                                    F.col("n_t").alias("n_a"))), "type_a")
+        .join(F.broadcast(tc.select(F.col("event_type").alias("type_b"),
+                                    F.col("n_t").alias("n_b"))), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a", "type_b", "n_ab",
+            F.round(F.col("n_ab") / F.col("n_users"), 6).alias("support"),
+            F.round(F.col("n_ab") * F.col("n_users")
+                    / (F.col("n_a") * F.col("n_b")), 6).alias("lift"),
+        )
+    )
+
+
+_PSI_EDGES = [5.0, 10.0, 20.0, 40.0, 80.0, 160.0, 320.0]  # 8 buckets
+_PSI_SPLIT = "2024-01-16 00:00:00"
+_PSI_B = len(_PSI_EDGES) + 1
+
+
+def _psi_bucket_sql(col: str) -> str:
+    clauses = " ".join(
+        f"WHEN {col} < {e} THEN {i}" for i, e in enumerate(_PSI_EDGES))
+    return f"CASE {clauses} ELSE {len(_PSI_EDGES)} END"
+
+
+@register("agg_psi_value_drift", f"""
+WITH halves AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' THEN 0 ELSE 1 END AS half,
+         {_psi_bucket_sql('value')} AS bucket
+  FROM events),
+grid AS (
+  SELECT t.event_type, h.half, b.bucket
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT 0 AS half UNION ALL SELECT 1) h,
+       (SELECT UNNEST(range({_PSI_B})) AS bucket) b),
+cnt AS (
+  SELECT g.event_type, g.half, g.bucket,
+         count(hv.event_type) AS n
+  FROM grid g LEFT JOIN halves hv
+    ON hv.event_type = g.event_type AND hv.half = g.half
+   AND hv.bucket = g.bucket
+  GROUP BY 1, 2, 3),
+tot AS (SELECT event_type, half, CAST(sum(n) AS BIGINT) AS tot
+        FROM cnt GROUP BY 1, 2),
+shares AS (
+  SELECT c.event_type, c.bucket,
+         max(CASE WHEN c.half = 0
+                  THEN (c.n + 0.5) / (t.tot + {_PSI_B} * 0.5) END) AS p,
+         max(CASE WHEN c.half = 1
+                  THEN (c.n + 0.5) / (t.tot + {_PSI_B} * 0.5) END) AS q
+  FROM cnt c JOIN tot t ON t.event_type = c.event_type AND t.half = c.half
+  GROUP BY 1, 2)
+SELECT event_type,
+       round(sum((q - p) * ln(q / p)), 6) AS psi
+FROM shares GROUP BY event_type
+""")
+def agg_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor: the value distribution
+    of each event type, bucketed on fixed edges, compared between the
+    first and second half of the month — PSI = Σ (q−p)·ln(q/p), the
+    standard ML-ops alarm for feature drift between a reference and a
+    serving window (rule of thumb: > 0.2 = investigate).  Buckets are
+    Laplace-smoothed (+0.5) over the full (type × half × bucket) grid
+    so empty buckets are well-defined on both engines.  One
+    map-combined count per (type, half, bucket) — the only shuffle is
+    over a grid whose size is types × 16, independent of event
+    volume."""
+    cat = Catalog(spark, sf_dir)
+    halves = cat.events.select(
+        "event_type",
+        F.when(F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp_ntz"), 0)
+        .otherwise(1).alias("half"),
+        F.expr(_psi_bucket_sql("value")).alias("bucket"),
+    )
+    cnt = halves.groupBy("event_type", "half", "bucket").agg(
+        F.count(F.lit(1)).alias("n"))
+    grid = (
+        cat.events.select("event_type").distinct()
+        .crossJoin(spark.range(2).select(F.col("id").cast("int").alias("half")))
+        .crossJoin(spark.range(_PSI_B).select(
+            F.col("id").cast("int").alias("bucket")))
+    )
+    full = grid.join(cnt, ["event_type", "half", "bucket"], "left") \
+        .fillna(0, subset=["n"])
+    tot = full.groupBy("event_type", "half").agg(F.sum("n").alias("tot"))
+    share = (F.col("n") + 0.5) / (F.col("tot") + _PSI_B * 0.5)
+    shares = (
+        full.join(tot, ["event_type", "half"])
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.max(F.when(F.col("half") == 0, share)).alias("p"),
+            F.max(F.when(F.col("half") == 1, share)).alias("q"),
+        )
+    )
+    return shares.groupBy("event_type").agg(
+        F.round(F.sum((F.col("q") - F.col("p"))
+                      * F.log(F.col("q") / F.col("p"))), 6).alias("psi"))
