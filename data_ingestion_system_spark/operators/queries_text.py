@@ -509,3 +509,308 @@ def text_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.col("tot").alias("n_docs"),
                 "n_langs", "lang_entropy")
     )
+
+
+@register("text_boilerplate_ngrams", r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(tk[i:i+4], ' ') AS gram
+  FROM toks, unnest(range(1, greatest(len(tk) - 3, 1))) AS t(i)),
+df AS (
+  SELECT gram, count(DISTINCT doc_id) AS ndocs FROM grams GROUP BY gram),
+boiler AS (SELECT gram FROM df WHERE ndocs >= 3),
+per_doc AS (
+  SELECT g.doc_id,
+         count(*) AS n_grams,
+         sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+  FROM grams g LEFT JOIN boiler b USING (gram)
+  GROUP BY g.doc_id)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_boiler AS BIGINT) AS n_boiler,
+       round(n_boiler / greatest(n_grams, 1), 4) AS boiler_frac
+FROM per_doc
+""")
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (the C4 "three-sentence
+    span seen before" rule re-expressed at 5-gram granularity): any
+    5-gram occurring in >= 3 distinct documents is boilerplate
+    (headers, footers, license blurbs, templated spans), and each doc
+    reports how much of it is covered by such spans — the pruning
+    signal for repeated-content removal in pretraining corpora.
+
+    Scale shape: tokenize + gram expansion is map-only (one
+    whole-stage-codegen'd transform/posexplode per doc, no Python);
+    the gram -> distinct-doc-count table is one map-combined hash agg
+    keyed on the gram string; the rejoin streams grams back through a
+    shuffle join keyed the same way, so the two heavy stages share
+    their partitioning.  Nothing is quadratic: cost is O(total tokens)
+    rows through two shuffles regardless of corpus size.  Docs shorter
+    than 5 tokens produce zero grams and drop out in BOTH engines
+    (explode of an empty array / unnest of an empty range)."""
+    cat = Catalog(spark, sf_dir)
+    tk = F.split(F.trim(F.col("text")), r"\s+")
+    grams = (
+        cat.documents
+        .select("doc_id", tk.alias("tk"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("tk") >= 5,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("tk") - 4),
+                        lambda i: F.array_join(F.slice(F.col("tk"), i, 5), " "),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        )
+    )
+    boiler = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 3)
+        .select("gram", F.lit(1).alias("is_boiler"))
+    )
+    return (
+        grams.join(boiler, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0)))
+            .cast("bigint").alias("n_boiler"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_boiler",
+            F.round(F.col("n_boiler") / F.greatest(F.col("n_grams"), F.lit(1)),
+                    4).alias("boiler_frac"),
+        )
+    )
+
+
+@register("text_bigram_pmi", r"""
+WITH toks AS (
+  SELECT string_split_regex(trim(text), '\s+') AS tk FROM documents),
+uni AS (SELECT unnest(tk) AS w FROM toks),
+uc AS (SELECT w, count(*) AS cw FROM uni GROUP BY w),
+n1 AS (SELECT CAST(sum(cw) AS DOUBLE) AS n FROM uc),
+big AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2
+  FROM toks, unnest(range(1, greatest(len(tk), 1))) AS t(i)),
+n2 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM big),
+bc AS (
+  SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2
+  HAVING count(*) >= 10)
+SELECT w1, w2, CAST(cb AS BIGINT) AS support,
+       round(ln((cb / n2.n) / ((a.cw / n1.n) * (b.cw / n1.n))), 4) AS pmi
+FROM bc
+JOIN uc a ON bc.w1 = a.w
+JOIN uc b ON bc.w2 = b.w
+CROSS JOIN n1 CROSS JOIN n2
+ORDER BY pmi DESC, w1, w2
+LIMIT 20
+""")
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 adjacent word pairs by pointwise
+    mutual information (min support 10) — the classic signal for
+    multi-word expressions ("new york") that should survive tokenizer
+    vocabulary induction as single units.
+
+    Scale shape: unigram and bigram counts are independent
+    map-combined hash aggs over one pass of the corpus; the PMI join
+    touches only the *aggregated* vocab/bigram tables (vocabulary-
+    sized, not corpus-sized), and the two corpus totals ride along as
+    1-row broadcast cross joins.  The final ranking is a distributed
+    top-k (TakeOrderedAndProject), never a global sort."""
+    cat = Catalog(spark, sf_dir)
+    tk = F.split(F.trim(F.col("text")), r"\s+")
+    toks = cat.documents.select(tk.alias("tk"))
+    uni = toks.select(F.explode("tk").alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    n1 = uc.agg(F.sum("cw").cast("double").alias("n1"))
+    big = (
+        toks.select(
+            "tk",
+            F.explode(
+                F.when(F.size("tk") >= 2,
+                       F.sequence(F.lit(1), F.size("tk") - 1))
+                .otherwise(F.array().cast("array<int>"))).alias("i"),
+        )
+        .select(F.element_at("tk", F.col("i")).alias("w1"),
+                F.element_at("tk", F.col("i") + 1).alias("w2"))
+    )
+    n2 = big.agg(F.count(F.lit(1)).cast("double").alias("n2"))
+    bc = (big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+          .filter(F.col("cb") >= 10))
+    return (
+        bc.join(uc.select(F.col("w").alias("w1"), F.col("cw").alias("cw1")),
+                "w1")
+        .join(uc.select(F.col("w").alias("w2"), F.col("cw").alias("cw2")),
+              "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "w1", "w2", F.col("cb").cast("bigint").alias("support"),
+            F.round(
+                F.log((F.col("cb") / F.col("n2"))
+                      / ((F.col("cw1") / F.col("n1"))
+                         * (F.col("cw2") / F.col("n1")))), 4).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+_TEMP_ALPHA = 0.3       # sampling temperature (XLM-R style alpha)
+_HASH_MOD = 1000003     # prime modulus for the deterministic unit hash
+_HASH_MULT = 2654435761  # Knuth multiplicative constant
+
+
+@register("text_temperature_sample", f"""
+WITH lc AS (
+  SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM lc),
+q AS (
+  SELECT lang, n, pow(n / t, {_TEMP_ALPHA}) AS ql FROM lc CROSS JOIN tot),
+mx AS (SELECT max(ql / n) AS peak FROM q),
+rate AS (
+  SELECT lang, n, round((ql / n) / peak, 6) AS keep_prob
+  FROM q CROSS JOIN mx),
+kept AS (
+  SELECT d.lang,
+         sum(CASE WHEN ((d.doc_id * {_HASH_MULT}) % {_HASH_MOD})
+                       / CAST({_HASH_MOD} AS DOUBLE) < r.keep_prob
+                  THEN 1 ELSE 0 END) AS n_kept
+  FROM documents d JOIN rate r USING (lang)
+  GROUP BY d.lang)
+SELECT r.lang, CAST(r.n AS BIGINT) AS n_docs, r.keep_prob,
+       CAST(k.n_kept AS BIGINT) AS n_kept
+FROM rate r JOIN kept k USING (lang)
+""")
+def text_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (the XLM-R / mT5 data-mix
+    rule): target language share q_l ∝ p_l^alpha flattens the
+    distribution toward low-resource languages; each language gets a
+    per-DOC keep probability proportional to q_l / n_l (normalized so
+    the most up-weighted language keeps everything), and docs are
+    kept by a deterministic integer hash of doc_id — reproducible
+    sampling with no RNG state, so reruns and retries select the same
+    corpus (critical for training-data lineage).
+
+    Scale shape: language counts are one map-combined agg over a
+    KB-sized result; the keep/drop pass is map-only (the per-lang rate
+    table broadcasts), and the hash is pure integer arithmetic in
+    whole-stage codegen.  The oracle replays the identical modular
+    hash, so selection parity is exact, not statistical."""
+    cat = Catalog(spark, sf_dir)
+    lc = cat.documents.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n"))
+    tot = lc.agg(F.sum("n").alias("t"))
+    q = lc.crossJoin(F.broadcast(tot)).select(
+        "lang", "n", F.pow(F.col("n") / F.col("t"), F.lit(_TEMP_ALPHA))
+        .alias("ql"))
+    mx = q.agg(F.max(F.col("ql") / F.col("n")).alias("peak"))
+    rate = q.crossJoin(F.broadcast(mx)).select(
+        "lang", "n",
+        F.round((F.col("ql") / F.col("n")) / F.col("peak"), 6)
+        .alias("keep_prob"))
+    u = ((F.col("doc_id") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)) \
+        / F.lit(float(_HASH_MOD))
+    kept = (
+        cat.documents.join(F.broadcast(rate), "lang")
+        .groupBy("lang")
+        .agg(F.sum(F.when(u < F.col("keep_prob"), 1).otherwise(0))
+             .alias("n_kept"))
+    )
+    return (
+        rate.join(kept, "lang")
+        .select("lang", F.col("n").cast("bigint").alias("n_docs"),
+                "keep_prob", F.col("n_kept").cast("bigint").alias("n_kept"))
+    )
+
+
+@register("text_zipf_slope", r"""
+WITH uni AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+uc AS (SELECT w, count(*) AS cw FROM uni GROUP BY w),
+ranked AS (
+  SELECT cw, row_number() OVER (ORDER BY cw DESC, w) AS rnk FROM uc),
+top AS (SELECT * FROM ranked WHERE rnk <= 1000)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       round(regr_slope(ln(CAST(cw AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4)
+         AS zipf_slope,
+       round(regr_r2(ln(CAST(cw AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4)
+         AS zipf_r2
+FROM top
+""")
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health check: fit log(frequency) ~ log(rank) over the top
+    1000 vocabulary terms.  Natural text follows Zipf's law with slope
+    ≈ -1; a much flatter slope flags synthetic/templated text, a
+    cliff flags boilerplate domination — a one-row monitor worth
+    running on every ingested crawl shard.
+
+    Scale shape: vocab counts are one map-combined agg; the top 1000
+    terms come out of a distributed top-k (TakeOrderedAndProject —
+    never a global sort of the vocabulary), the rank window then runs
+    over that 1000-row bounded set, and the regression is a single
+    co-moment aggregate.  The corpus is touched exactly once."""
+    cat = Catalog(spark, sf_dir)
+    tk = F.split(F.trim(F.col("text")), r"\s+")
+    uc = (cat.documents.select(F.explode(tk).alias("w"))
+          .groupBy("w").agg(F.count(F.lit(1)).alias("cw")))
+    # top-k FIRST (distributed), then rank within the bounded result:
+    # row_number's unpartitioned window only ever sees <= 1000 rows
+    top1000 = uc.orderBy(F.col("cw").desc(), "w").limit(1000)
+    wnd = Window.orderBy(F.col("cw").desc(), "w")
+    top = top1000.withColumn("rnk", F.row_number().over(wnd))
+    lc = F.log(F.col("cw").cast("double"))
+    lr = F.log(F.col("rnk").cast("double"))
+    return top.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.round(F.regr_slope(lc, lr), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(lc, lr), 4).alias("zipf_r2"),
+    )
+
+
+_STRATUM_N = 20  # fixed sample size per (source, lang) stratum
+
+
+@register("text_sample_per_stratum", f"""
+WITH h AS (
+  SELECT doc_id, source, lang,
+         (doc_id * 2654435761) % 1000003 AS hkey
+  FROM documents),
+r AS (
+  SELECT doc_id, source, lang, hkey,
+         row_number() OVER (PARTITION BY source, lang
+                            ORDER BY hkey, doc_id) AS rnk
+  FROM h)
+SELECT source, lang, doc_id, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= {_STRATUM_N}
+""")
+def text_sample_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-stratum sampling: exactly min(N, 20) docs from
+    every (source, lang) cell, selected by ranking a deterministic
+    integer hash — the eval-set builder (same cells, same docs, every
+    run) complementing `text_stratified_sample`'s fractional mix
+    control.
+
+    Scale shape: one window partitioned on the stratum key; rows
+    beyond rank 20 are discarded by the WindowGroupLimit pushdown
+    (Spark 3.5+ stops ranking a partition after the limit), so state
+    per partition is O(20), not O(stratum).  The hash makes the
+    selection engine-portable, unlike TABLESAMPLE whose RNG is
+    engine-specific."""
+    cat = Catalog(spark, sf_dir)
+    h = cat.documents.select(
+        "doc_id", "source", "lang",
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1000003))
+        .alias("hkey"))
+    wnd = Window.partitionBy("source", "lang").orderBy("hkey", "doc_id")
+    return (
+        h.withColumn("rnk", F.row_number().over(wnd))
+        .filter(F.col("rnk") <= _STRATUM_N)
+        .select("source", "lang", "doc_id",
+                F.col("rnk").cast("bigint").alias("rnk"))
+    )
