@@ -1520,3 +1520,138 @@ def agg_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shares.groupBy("event_type").agg(
         F.round(F.sum((F.col("q") - F.col("p"))
                       * F.log(F.col("q") / F.col("p"))), 6).alias("psi"))
+
+
+@register("agg_winsorized_stats", """
+WITH pct AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p05,
+         quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY event_type),
+w AS (
+  SELECT e.event_type, p.p05, p.p95,
+         least(greatest(e.value, p.p05), p.p95) AS wv
+  FROM events e JOIN pct p USING (event_type))
+SELECT event_type, count(*) AS n,
+       round(max(p05), 4) AS clip_lo,
+       round(max(p95), 4) AS clip_hi,
+       round(avg(wv), 4) AS winsor_mean,
+       round(stddev_samp(wv), 4) AS winsor_sd
+FROM w GROUP BY event_type
+""")
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (winsorized) statistics per group: clip each metric to its
+    group's [p05, p95] before computing mean/sd — the outlier-immune
+    summary used for feature QA where a single corrupt value would
+    otherwise poison the mean.
+
+    Two passes over the fact table: (1) per-group clip boundaries,
+    (2) map-side clip + co-moment agg, with the KB-sized boundary
+    table broadcast into pass 2 — no row ever shuffles twice.  Exact
+    `percentile` keeps the query oracle-checkable at test scale; the
+    100 TB path swaps in `percentile_approx` (one-pass mergeable
+    KLL-style sketch, same plan shape, bounded memory per group)
+    without touching anything downstream of the clip expression."""
+    cat = Catalog(spark, sf_dir)
+    pct = cat.events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    wv = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        cat.events.join(F.broadcast(pct), "event_type")
+        .select("event_type", "p05", "p95", wv.alias("wv"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("p05"), 4).alias("clip_lo"),
+            F.round(F.max("p95"), 4).alias("clip_hi"),
+            F.round(F.avg("wv"), 4).alias("winsor_mean"),
+            F.round(F.stddev_samp("wv"), 4).alias("winsor_sd"),
+        )
+    )
+
+
+_PR_D = 0.85   # damping
+_PR_ITERS = 3  # fixed iterations (unrolled in the oracle)
+
+
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT e.dst AS node,
+         (1.0 - {_PR_D}) / max(n.n) + {_PR_D} * sum(p.pr / d.d) AS pr
+  FROM edges e
+  JOIN {prev} p ON e.src = p.node
+  JOIN deg d ON d.src = e.src
+  CROSS JOIN n
+  GROUP BY e.dst)"""
+
+
+@register("graph_pagerank", f"""
+WITH pairs AS (
+  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pairs),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+p0 AS (SELECT src AS node, 1.0 / n.n AS pr FROM deg CROSS JOIN n),
+{_pagerank_iter_sql('p0', 'p1')},
+{_pagerank_iter_sql('p1', 'p2')},
+{_pagerank_iter_sql('p2', 'p3')}
+SELECT node, round(pr, 6) AS pagerank
+FROM p3
+ORDER BY pagerank DESC, node
+LIMIT 20
+""")
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer–supplier interaction graph (who
+    trades with whom, via orders ⋈ lineitem), 3 synchronous
+    iterations at damping 0.85 — the iterative-graph-analytics
+    capability class (importance/influence ranking) alongside the
+    connected-components family in `operators/dedup.py`.
+
+    Scale shape: the edge list is built once (distinct on the pair,
+    both directions materialized) and every iteration is one shuffle —
+    join rank onto edge source, hash-agg on destination — i.e. Pregel's
+    message pass expressed as join+groupBy, the same plan GraphX lowers
+    to.  Degrees and ranks are O(nodes); only the edge relation is
+    O(edges), and it re-partitions on `src` once then reuses that
+    layout every round.  The oracle unrolls the same 3
+    iterations as chained CTEs, so convergence math is checked
+    term-for-term, not just in shape."""
+    cat = Catalog(spark, sf_dir)
+    pairs = (
+        cat.orders.join(cat.lineitem,
+                        cat.orders.o_orderkey == cat.lineitem.l_orderkey)
+        .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+                F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"))
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(pairs.select(F.col("b").alias("src"),
+                               F.col("a").alias("dst")))
+        .repartition("src")
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).persist()
+    n_nodes = deg.count()  # tiny: node-cardinality agg, also warms the caches
+    pr = deg.select(F.col("src").alias("node"),
+                    (F.lit(1.0) / F.lit(float(n_nodes))).alias("pr"))
+    for _ in range(_PR_ITERS):
+        pr = (
+            edges.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg((F.lit((1.0 - _PR_D) / n_nodes)
+                  + F.lit(_PR_D) * F.sum(F.col("pr") / F.col("d")))
+                 .alias("pr"))
+        )
+    return (
+        pr.select("node", F.round("pr", 6).alias("pagerank"))
+        .orderBy(F.col("pagerank").desc(), "node")
+        .limit(20)
+    )

@@ -137,6 +137,21 @@ HEADLINERS = {
         "final filter is integer arithmetic against the token total "
         "carried by pass-1 sentinel rows."
     ),
+    "text_boilerplate_ngrams": (
+        "Cross-doc boilerplate: gram expansion is whole-stage-codegen'd "
+        "transform/posexplode (map-only, no Python); the distinct-doc "
+        "count and the rejoin both key on the gram string, so AQE reuses "
+        "one hash partitioning across the agg and the join — two "
+        "shuffles total, each O(total tokens), nothing quadratic."
+    ),
+    "graph_pagerank": (
+        "PageRank as Pregel-in-DataFrames: the edge relation is "
+        "repartitioned on `src` once and persisted; every iteration is "
+        "join(rank)+join(degree)+hash-agg on `dst`, i.e. exactly one "
+        "shuffle per round over edge-sized data. Ranks and degrees stay "
+        "node-sized. The plan contains no nested-loop join and no "
+        "global sort — the final top-20 is TakeOrderedAndProject."
+    ),
 }
 
 
