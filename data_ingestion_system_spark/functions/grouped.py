@@ -52,3 +52,61 @@ def zscore_builtin(events: DataFrame) -> DataFrame:
         F.round((F.col("value") - F.avg("value").over(w))
                 / F.stddev_samp("value").over(w), 4).alias("zscore"),
     )
+
+
+_INTERP_SCHEMA = "user_id long, ts timestamp_ntz, v_interp double"
+
+
+def align_interpolate(a: DataFrame, b: DataFrame) -> DataFrame:
+    """COGROUPED_MAP: per-key alignment of two time series —
+    ``a.cogroup(b).applyInPandas`` hands each key's slice of BOTH
+    relations to one Python function, the API for logic that needs two
+    whole groups side by side (merge-asof, interpolation, per-key
+    reconciliation) where a row-at-a-time join cannot express the
+    positional semantics.
+
+    Here: linearly interpolate the `a` series (user_id, ts, value)
+    onto the timestamps of the `b` series (user_id, ts) via
+    ``np.interp`` — resampling one sensor onto another's clock.
+    Outside the known range np.interp clamps to the boundary value;
+    a-side duplicate timestamps collapse to their mean so the
+    interpolation grid is strictly increasing; users present in only
+    one relation emit nothing.
+
+    Scale notes: one shuffle on the cogroup key; each task sees one
+    user's two slices as pandas frames (bounded by design — a user's
+    events, never corpus-scale), and the arithmetic is one vectorized
+    np.interp per group.  Timestamps convert ns→µs by INTEGER division
+    before becoming float64: µs epochs (~1.7e15) are exact in a
+    double, ns epochs (~1.7e18) are not, and that 512 ns quantization
+    would corrupt the interpolation weights."""
+    import numpy as np
+
+    def interp(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype="int64"),
+                 "ts": pd.Series(dtype="datetime64[us]"),
+                 "v_interp": pd.Series(dtype="float64")})
+        grid = (left.groupby("ts", as_index=False)["value"].mean()
+                .sort_values("ts"))
+        def us(s: pd.Series) -> "np.ndarray":
+            # normalize to µs REGARDLESS of the incoming resolution
+            # (Arrow may hand datetime64[ns] or [us] depending on
+            # version) — µs epochs are exact in float64, ns are not
+            return (s.to_numpy().astype("datetime64[us]").astype("int64")
+                    .astype("float64"))
+
+        xp = us(grid["ts"])
+        fp = grid["value"].to_numpy(dtype="float64")
+        out = right.sort_values("ts")
+        x = us(out["ts"])
+        return pd.DataFrame({
+            "user_id": out["user_id"].to_numpy(),
+            "ts": out["ts"].to_numpy(),
+            "v_interp": np.round(np.interp(x, xp, fp), 4),
+        })
+
+    return (a.select("user_id", "ts", "value").groupBy("user_id")
+            .cogroup(b.select("user_id", "ts").groupBy("user_id"))
+            .applyInPandas(interp, _INTERP_SCHEMA))

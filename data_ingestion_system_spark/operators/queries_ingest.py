@@ -166,3 +166,45 @@ def ingest_variant_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("k").alias("min_k"),
              F.max("k").alias("max_k"))
     )
+
+
+@register("ingest_try_safe_exprs", """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CASE WHEN TRY_CAST(json_extract_string(props, '$.k')
+                                   AS BIGINT) IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_payload,
+       CAST(sum(CASE WHEN TRY_CAST(event_type AS BIGINT) IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_nonnumeric_type,
+       round(avg(value / nullif(TRY_CAST(json_extract_string(props, '$.k')
+                                         AS BIGINT), 0)), 4) AS avg_ratio
+FROM events
+GROUP BY event_type
+""")
+def ingest_try_safe_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression family (the ANSI-mode answer to O-36/O-37's
+    blind casts): `try_cast` yields NULL instead of an exception on a
+    malformed payload field, `try_divide` absorbs the k=0 rows that a
+    plain division would blow up on under ANSI mode, and the counts
+    quantify how much of the feed is malformed — per-batch data-quality
+    telemetry that never kills the job.  Everything stays in
+    whole-stage codegen; the oracle mirrors with DuckDB's TRY_CAST and
+    NULLIF-guarded division (NULL results fall out of `avg` in both
+    engines)."""
+    cat = Catalog(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("bigint")
+    return (
+        cat.events
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(k.isNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_bad_payload"),
+            F.sum(F.when(F.col("event_type").try_cast("bigint").isNull(),
+                         1).otherwise(0))
+            .cast("bigint").alias("n_nonnumeric_type"),
+            F.round(F.avg(F.try_divide(F.col("value"),
+                                       F.nullif(k, F.lit(0)))), 4)
+            .alias("avg_ratio"),
+        )
+    )

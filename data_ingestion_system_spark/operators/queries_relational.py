@@ -1655,3 +1655,104 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pagerank").desc(), "node")
         .limit(20)
     )
+
+
+@register("align_cogroup_interp", """
+WITH a AS (
+  SELECT user_id, ts, avg(value) AS av FROM events
+  WHERE event_type = 'click' GROUP BY user_id, ts),
+b AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+pts AS (
+  SELECT user_id, ts, av, 1 AS is_a FROM a
+  UNION ALL
+  SELECT user_id, ts, NULL, 0 FROM b),
+fwd AS (
+  SELECT user_id, ts, av, is_a,
+    last_value(av IGNORE NULLS) OVER w AS prev_val,
+    last_value(CASE WHEN is_a = 1 THEN ts END IGNORE NULLS) OVER w AS prev_ts
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_a DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+bwd AS (
+  SELECT user_id, ts, is_a, prev_val, prev_ts,
+    last_value(av IGNORE NULLS) OVER w2 AS next_val,
+    last_value(CASE WHEN is_a = 1 THEN ts END IGNORE NULLS) OVER w2 AS next_ts
+  FROM fwd
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts DESC, is_a DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT user_id, ts,
+  round(CASE
+    WHEN prev_ts IS NULL THEN next_val
+    WHEN next_ts IS NULL THEN prev_val
+    WHEN next_ts = prev_ts THEN prev_val
+    ELSE prev_val + (next_val - prev_val)
+         * ((epoch_us(ts) - epoch_us(prev_ts))
+            / CAST(epoch_us(next_ts) - epoch_us(prev_ts) AS DOUBLE))
+  END, 4) AS v_interp
+FROM bwd
+WHERE is_a = 0 AND coalesce(prev_ts, next_ts) IS NOT NULL
+""")
+def align_cogroup_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped series alignment: resample each user's 'click' value
+    series onto the timestamps of their 'view' events by linear
+    interpolation (boundary-clamped) — the COGROUPED_MAP member of the
+    Python-function API family (see functions/grouped.py), exercising
+    `groupBy().cogroup().applyInPandas` end to end.
+
+    The oracle replays np.interp's exact semantics relationally: a
+    union of both series, ignore-nulls window passes in each direction
+    for the bracketing grid points (ties order the grid point before
+    the sample so an exact-timestamp hit returns the grid value), and
+    the same µs-epoch float ratio."""
+    from data_ingestion_system_spark.functions.grouped import (
+        align_interpolate,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    a = cat.events.filter(F.col("event_type") == "click")
+    b = cat.events.filter(F.col("event_type") == "view")
+    return align_interpolate(a, b)
+
+
+@register("agg_attribution_last_touch", """
+WITH w AS (
+  SELECT user_id, ts, event_type, value,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS touch
+  FROM events)
+SELECT coalesce(touch, '(none)') AS touch_type,
+       count(*) AS n_conversions,
+       round(sum(value), 2) AS attributed_value
+FROM w
+WHERE event_type = 'purchase'
+GROUP BY coalesce(touch, '(none)')
+""")
+def agg_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: every purchase credits the
+    user's most recent preceding engagement touch (click or view;
+    '(none)' for cold conversions) — the standard marketing-analytics
+    join-free attribution model.
+
+    One window pass (ignore-nulls last_value over the user's ordered
+    stream, event_id as the deterministic tie-break) and one
+    map-combined agg over the touch-type domain — the per-user
+    partition is the only shuffle, and state per row is a single
+    carried string, so the pass is O(events) regardless of history
+    depth."""
+    cat = Catalog(spark, sf_dir)
+    touch = F.when(F.col("event_type").isin("click", "view"),
+                   F.col("event_type"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        cat.events
+        .withColumn("touch", F.last(touch, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("touch"), F.lit("(none)"))
+                 .alias("touch_type"))
+        .agg(F.count(F.lit(1)).alias("n_conversions"),
+             F.round(F.sum("value"), 2).alias("attributed_value"))
+    )

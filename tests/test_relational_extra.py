@@ -81,3 +81,97 @@ def test_volume_shipping_directional(spark, sf_dir):
         assert {r["supp_nation"], r["cust_nation"]} == {"NATION_3", "NATION_13"}
         assert r["revenue"] > 0
         assert 1996 <= r["l_year"] <= 1997
+
+
+def test_align_interpolate_edge_semantics(spark):
+    """COGROUPED_MAP interpolation: exact-hit returns the grid value,
+    out-of-range clamps to the boundary, duplicate grid timestamps
+    average, and a user present in only one relation emits nothing."""
+    from datetime import datetime
+
+    from data_ingestion_system_spark.functions.grouped import (
+        align_interpolate,
+    )
+
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    a = spark.createDataFrame(
+        [
+            (1, t("2024-01-01T00:00:00"), 10.0),
+            (1, t("2024-01-01T00:00:00"), 30.0),   # dup ts -> mean 20
+            (1, t("2024-01-01T04:00:00"), 40.0),
+            (3, t("2024-01-01T00:00:00"), 5.0),    # user 3: no b rows
+        ],
+        "user_id long, ts timestamp_ntz, value double",
+    )
+    b = spark.createDataFrame(
+        [
+            (1, t("2023-12-31T12:00:00")),  # before grid -> clamp 20
+            (1, t("2024-01-01T00:00:00")),  # exact hit   -> 20
+            (1, t("2024-01-01T01:00:00")),  # quarter way -> 25
+            (1, t("2024-01-01T23:00:00")),  # after grid  -> clamp 40
+            (2, t("2024-01-01T00:00:00")),  # user 2: no a rows
+        ],
+        "user_id long, ts timestamp_ntz",
+    )
+    rows = {(r["user_id"], r["ts"]): r["v_interp"]
+            for r in align_interpolate(a, b).collect()}
+    assert rows == {
+        (1, t("2023-12-31T12:00:00")): 20.0,
+        (1, t("2024-01-01T00:00:00")): 20.0,
+        (1, t("2024-01-01T01:00:00")): 25.0,
+        (1, t("2024-01-01T23:00:00")): 40.0,
+    }
+
+
+def test_pagerank_star_graph_known_values(spark, tmp_path):
+    """PageRank on a hand-built star: hub connected to 3 spokes.  With
+    symmetric edges and d=0.85 the hub must outrank every spoke, the
+    3 spokes tie exactly (graph symmetry), and each iteration
+    preserves total mass = 1 (up to fp)."""
+    import shutil
+
+    from data_ingestion_system_spark.operators.queries_relational import (
+        graph_pagerank,
+    )
+
+    # orders: one customer (hub) per order; lineitem: supplier spokes
+    orders = spark.createDataFrame(
+        [(i, 1) for i in range(1, 4)], "o_orderkey long, o_custkey long")
+    lineitem = spark.createDataFrame(
+        [(1, 11), (2, 12), (3, 13)], "l_orderkey long, l_suppkey long")
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    orders.write.parquet(f"{sf}/orders.parquet")
+    lineitem.write.parquet(f"{sf}/lineitem.parquet")
+    rows = graph_pagerank(spark, sf).collect()
+    pr = {r["node"]: r["pagerank"] for r in rows}
+    assert set(pr) == {"c1", "s11", "s12", "s13"}
+    assert pr["s11"] == pr["s12"] == pr["s13"]
+    assert pr["c1"] > pr["s11"]
+    assert abs(sum(pr.values()) - 1.0) < 1e-4   # mass conservation
+    shutil.rmtree(sf, ignore_errors=True)
+
+
+def test_boilerplate_ngrams_planted_span(spark, tmp_path):
+    """Plant one 6-token span into several otherwise-unique docs: every
+    planted doc reports its shared 5-grams as boilerplate, the unique
+    docs report zero."""
+    from data_ingestion_system_spark.operators.queries_text import (
+        text_boilerplate_ngrams,
+    )
+
+    span = "alpha beta gamma delta epsilon zeta"
+    docs = [(i, f"u{i}a u{i}b u{i}c {span} u{i}d u{i}e") for i in range(4)]
+    docs += [(9, "only unique tokens here nothing shared at all ok")]
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    spark.createDataFrame(docs, "doc_id long, text string") \
+        .write.parquet(f"{sf}/documents.parquet")
+    rows = {r["doc_id"]: r for r in
+            text_boilerplate_ngrams(spark, sf).collect()}
+    # planted docs: 11 tokens -> 7 grams; the 2 fully-shared grams are
+    # the span's interior windows ("alpha..epsilon", "beta..zeta")
+    for i in range(4):
+        assert rows[i]["n_grams"] == 7
+        assert rows[i]["n_boiler"] == 2
+    assert rows[9]["n_boiler"] == 0
