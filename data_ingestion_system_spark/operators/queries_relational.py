@@ -1756,3 +1756,53 @@ def agg_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_conversions"),
              F.round(F.sum("value"), 2).alias("attributed_value"))
     )
+
+
+@register("agg_rolling_median_anomaly", """
+WITH hc AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT event_type, h, n,
+         median(n) OVER (PARTITION BY event_type ORDER BY h
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS med
+  FROM hc)
+SELECT event_type, h AS hour_ts, CAST(n AS BIGINT) AS n_events,
+       round(med, 2) AS rolling_med,
+       round(n / med, 4) AS spike_ratio
+FROM r
+WHERE n > 2 * med
+""")
+def agg_rolling_median_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly detection: flag hours whose event count
+    exceeds 2× the 7-hour centered rolling MEDIAN for that type —
+    median, not mean, so one spike can't mask itself by inflating its
+    own baseline (the standard robust burst detector for ops
+    dashboards and abuse monitoring).
+
+    Spark's `median` refuses a window frame, so the rolling median is
+    `sort_array(collect_list(...))` over the ±3-row frame plus exact
+    midpoint arithmetic — per-row state is the 7-element frame, never
+    the partition, and the window key (event_type) bounds each
+    partition to its hour count.  The upstream hourly rollup is one
+    map-combined agg; everything downstream operates on the
+    hours × types table, independent of raw event volume."""
+    cat = Catalog(spark, sf_dir)
+    hc = (cat.events
+          .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+          .agg(F.count(F.lit(1)).cast("double").alias("n")))
+    w = (Window.partitionBy("event_type").orderBy("h").rowsBetween(-3, 3))
+    arr = F.sort_array(F.collect_list("n").over(w))
+    sz = F.size(arr)
+    lo = F.element_at(arr, ((sz + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (sz / 2).cast("int") + F.lit(1))
+    med = (lo + hi) / 2.0
+    return (
+        hc.withColumn("med", med)
+        .filter(F.col("n") > 2 * F.col("med"))
+        .select("event_type", F.col("h").alias("hour_ts"),
+                F.col("n").cast("bigint").alias("n_events"),
+                F.round("med", 2).alias("rolling_med"),
+                F.round(F.col("n") / F.col("med"), 4).alias("spike_ratio"))
+    )

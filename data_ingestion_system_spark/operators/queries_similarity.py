@@ -16,9 +16,14 @@ N_QUERIES = 5  # vec_id < 5 are the query vectors
 def _corpus_queries(spark: SparkSession, sf_dir: str):
     cat = Catalog(spark, sf_dir)
     corpus = cat.embeddings.select("vec_id", "embedding")
-    queries = cat.embeddings.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
-    )
+    # the filter selects exactly N_QUERIES rows; the explicit limit is a
+    # no-op on the result but makes the bound PROVABLE to Catalyst
+    # (maxRows), so the broadcast cross-score plan passes the
+    # plans/audit.py bounded-theta-join proof mechanically
+    queries = (cat.embeddings.filter(F.col("vec_id") < N_QUERIES)
+               .limit(N_QUERIES)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qv")))
     return corpus, queries
 
 
@@ -237,8 +242,10 @@ def sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = cat.embeddings.filter(
         F.col("label").isin(2, 5, 7) & (F.col("vec_id") % 2 == 0)
     ).select("vec_id", "embedding")
-    queries = cat.embeddings.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    queries = (cat.embeddings.filter(F.col("vec_id") < N_QUERIES)
+               .limit(N_QUERIES)   # provable bound, see _corpus_queries
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qv")))
     return topk_bruteforce(corpus, queries, k=K)
 
 

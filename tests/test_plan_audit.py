@@ -1,0 +1,98 @@
+"""Plan linter: flags scale-hostile shapes, passes the engine's own
+declared queries (which are written to avoid them)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.plans.audit import (
+    assert_scale_safe,
+    audit_plan,
+)
+
+
+@pytest.fixture(scope="module")
+def pair(spark):
+    # big enough that maxRows exceeds the linter's bounded-side proof
+    a = spark.range(5000).withColumnRenamed("id", "x")
+    b = spark.range(5000).withColumnRenamed("id", "y")
+    return a, b
+
+
+def test_flags_cartesian(pair):
+    a, b = pair
+    # small side broadcasts (BroadcastNestedLoopJoin); with broadcast
+    # suppressed it renders CartesianProduct -- both are error-level
+    audit = audit_plan(a.crossJoin(b))
+    assert audit.codes() & {"cartesian-product", "nested-loop-join"}
+    assert not audit.ok
+    audit2 = audit_plan(a.hint("shuffle_replicate_nl").crossJoin(b))
+    assert "cartesian-product" in audit2.codes()
+
+
+def test_flags_nested_loop_theta_join(pair):
+    a, b = pair
+    audit = audit_plan(a.join(b, a.x < b.y))
+    assert "nested-loop-join" in audit.codes()
+
+
+def test_flags_unpartitioned_window(spark):
+    df = spark.range(100).withColumn(
+        "r", F.row_number().over(Window.orderBy("id")))
+    # rank with no limit: global window, single task
+    audit = audit_plan(df.filter(F.col("r") > 1))
+    assert "global-window" in audit.codes()
+    with pytest.raises(ValueError, match="global-window"):
+        assert_scale_safe(df.filter(F.col("r") > 1))
+
+
+def test_top_k_group_limit_is_exempt(spark):
+    # rank <= k: WindowGroupLimit bounds the state -> no error
+    df = spark.range(100).withColumn(
+        "r", F.row_number().over(Window.orderBy("id"))).filter("r <= 5")
+    assert audit_plan(df).ok
+
+
+def test_scalar_attach_crossjoin_downgraded(spark):
+    # corpus-total pattern: crossJoin with a 1-row aggregate is the
+    # documented safe shape -- warn (bounded-theta-join), never error
+    big = spark.range(5000).withColumnRenamed("id", "x")
+    tot = big.agg(F.sum("x").alias("t"))
+    audit = audit_plan(big.crossJoin(F.broadcast(tot)))
+    assert audit.ok
+    assert "bounded-theta-join" in audit.codes()
+
+
+def test_flags_row_python_udf(spark):
+    plus = F.udf(lambda v: v + 1, "bigint")
+    audit = audit_plan(spark.range(10).select(plus("id").alias("v")))
+    assert "python-row-udf" in audit.codes()
+    assert audit.ok  # warn-level only
+
+
+def test_partitioned_window_passes(spark):
+    df = spark.range(100).withColumn("g", F.col("id") % 5).withColumn(
+        "r", F.row_number().over(Window.partitionBy("g").orderBy("id")))
+    assert audit_plan(df).ok
+
+
+def test_declared_queries_scale_safe(spark, sf_dir):
+    """Every declared query passes the error-level gate — the linter
+    encodes the engine's own design rules, so its queries must clear
+    it. (Brute-force cosine uses a broadcasted equality-free scorer,
+    not a cartesian plan; the LSH families are banded equi-joins.)"""
+    import __spark_entry__ as entrymod
+
+    # documented exceptions, each citing its in-code justification:
+    #   agg_equidepth_histogram -- exact ntile semantics pin; docstring
+    #   states the percentile_approx range-bucket swap as the scale path
+    allow = {"agg_equidepth_histogram": {"global-window"}}
+    failures = {}
+    for name, fn in entrymod.queries().items():
+        audit = audit_plan(fn(spark, sf_dir))
+        codes = {f.code for f in audit.errors} - allow.get(name, set())
+        if codes:
+            failures[name] = sorted(codes)
+    assert not failures, f"declared queries failing plan audit: {failures}"
