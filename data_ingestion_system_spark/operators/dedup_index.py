@@ -1,0 +1,120 @@
+"""Incremental MinHash-LSH dedup index: dedup at ingest time, without
+ever rescanning the corpus.
+
+The batch near-dup path (operators/dedup.py) compares a corpus against
+itself.  At 100 TB the operational question is different: a NEW batch
+arrives (a crawl shard, a day of uploads) and must be checked against
+everything already ingested.  Rescanning history per batch is
+O(corpus) per day; the index makes it O(batch + candidates):
+
+* the INDEX stores only banded signature rows ``(band, bh, doc_id)`` —
+  ~``bands`` longs per document, thousands of times smaller than text —
+  written date-partition-friendly and sorted by ``bh`` within files so
+  a probe's equi-join benefits from row-group skipping;
+* a PROBE computes signatures for the new batch only, equi-joins the
+  index on ``(band, bh)`` for candidates, then exact-Jaccard-verifies
+  candidates by fetching ONLY the implicated corpus docs (a selective
+  semi-join into the corpus table on ``doc_id`` — point reads under
+  predicate pushdown, not a scan);
+* ACCEPTING the batch appends its signature rows — the index grows by
+  O(batch), and tomorrow's probe never re-reads today's text.
+
+This is the signature-store design production dedup services use (the
+same banding math as `dedup_minhash_lsh`, LSH forest/Spark-dedup
+lineage); the reference has no analogue (its store is a Postgres table
+of metadata rows — SURVEY §1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.operators.dedup import (
+    minhash_signatures,
+    verify_candidates,
+    word_shingles,
+)
+
+NUM_PERM = 32
+BANDS = 8
+
+
+def banded_rows(docs: DataFrame, *, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(band, bh, doc_id) rows for every document — the index payload."""
+    sh = word_shingles(docs, id_col, text_col)
+    sig = minhash_signatures(sh, id_col=id_col, num_perm=NUM_PERM)
+    rows = NUM_PERM // BANDS
+    band_cols = [
+        F.xxhash64(F.lit(b),
+                   *[F.col(f"h{b * rows + r}") for r in range(rows)])
+        .alias(f"b{b}")
+        for b in range(BANDS)
+    ]
+    return sig.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.array(*band_cols)).alias("band", "bh"),
+    ).select("band", "bh", "doc_id")
+
+
+def write_index(docs: DataFrame, path: str, *, mode: str = "overwrite",
+                id_col: str = "doc_id", text_col: str = "text") -> None:
+    """Materialize (or append to) the signature index.
+
+    Partitioned by ``band`` (a fixed, small dir count) and sorted by
+    ``bh`` within partitions: a probe for one band hash touches the one
+    band directory and skips row groups whose min/max exclude the hash.
+    """
+    (banded_rows(docs, id_col=id_col, text_col=text_col)
+     .repartition("band")
+     .sortWithinPartitions("bh")
+     .write.mode(mode).partitionBy("band").parquet(path))
+
+
+def append_index(docs: DataFrame, path: str, *, id_col: str = "doc_id",
+                 text_col: str = "text") -> None:
+    write_index(docs, path, mode="append", id_col=id_col,
+                text_col=text_col)
+
+
+def probe_index(spark: SparkSession, path: str, batch: DataFrame,
+                corpus: DataFrame, *, threshold: float = 0.5,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Near-dups of ``batch`` against everything indexed.
+
+    Returns (batch_id, corpus_id, jaccard) for verified pairs at or
+    above ``threshold``.  Cost model: signature pass over the batch,
+    candidate equi-join against the index (band-partition-pruned), and
+    an exact verify that reads only candidate docs' text from the
+    corpus — never the corpus at large.  ``batch`` ids must not collide
+    with indexed ids (ingest ids are monotone in practice).
+    """
+    probe = banded_rows(batch, id_col=id_col, text_col=text_col)
+    # explicit schema: a freshly-bootstrapped index may hold zero files
+    # (partitionBy writes no parts for an empty frame), where schema
+    # inference would fail
+    index = spark.read.schema("bh bigint, doc_id bigint, band int") \
+        .parquet(path)
+    candidates = (
+        probe.select(F.col("doc_id").alias("id_b"), "band", "bh")
+        .join(index.select(F.col("doc_id").alias("id_a"), "band", "bh"),
+              ["band", "bh"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # verify joins shingles only for implicated ids; corpus text is
+    # point-read via a semi-join on the candidate id set
+    corpus_hit = corpus.join(
+        candidates.select(F.col("id_a").alias(id_col)).distinct(),
+        id_col, "left_semi")
+    sh = word_shingles(corpus_hit.select(id_col, text_col)
+                       .unionByName(batch.select(id_col, text_col)),
+                       id_col, text_col)
+    verified = verify_candidates(sh, candidates, id_col=id_col)
+    return (verified.filter(F.col("jaccard") >= threshold)
+            .select(F.col("id_b").alias("batch_id"),
+                    F.col("id_a").alias("corpus_id"),
+                    F.round("jaccard", 4).alias("jaccard")))
