@@ -1,0 +1,71 @@
+"""Streaming ingest-time dedup: the curation stream rejects near-dups of
+previously-ACCEPTED docs across micro-batch and restart boundaries,
+with state carried by the signature index, not streaming state."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.streaming.curation import (
+    start_curation_stream,
+)
+
+DOC_A = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi "
+         "omega red green blue cyan magenta yellow")
+
+
+def _perturb(text: str) -> str:
+    w = text.split()
+    return " ".join(w[:2] + w[3:])
+
+
+def _drain(q):
+    assert q.awaitTermination(120), "curation micro-batch did not finish"
+
+
+def test_curation_stream_rejects_cross_batch_dups(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    paths = {k: str(tmp_path / k)
+             for k in ("clean", "rejects", "index", "ck")}
+
+    def run():
+        _drain(start_curation_stream(
+            spark, str(landing), paths["clean"], paths["rejects"],
+            paths["index"], paths["ck"], threshold=0.7,
+            available_now=True))
+
+    # batch 1: two distinct docs + one EXACT within-batch dup of A
+    (landing / "b1.json").write_text("\n".join([
+        json.dumps({"doc_id": 1, "text": DOC_A, "lang": "en"}),
+        json.dumps({"doc_id": 2, "text": "totally different tokens "
+                    "one two three four five six seven eight nine ten "
+                    "eleven twelve thirteen fourteen fifteen sixteen",
+                    "lang": "en"}),
+        json.dumps({"doc_id": 3, "text": DOC_A, "lang": "en"}),
+    ]))
+    run()
+    clean = spark.read.parquet(paths["clean"])
+    assert {r["doc_id"] for r in clean.collect()} == {1, 2}
+
+    # batch 2: a near-dup of accepted doc 1 + one genuinely new doc
+    (landing / "b2.json").write_text("\n".join([
+        json.dumps({"doc_id": 10, "text": _perturb(DOC_A), "lang": "en"}),
+        json.dumps({"doc_id": 11, "text": "fresh corpus material qq ww "
+                    "ee rr tt yy uu ii oo pp aa ss dd ff gg hh jj kk",
+                    "lang": "en"}),
+    ]))
+    run()
+    clean = spark.read.parquet(paths["clean"])
+    assert {r["doc_id"] for r in clean.collect()} == {1, 2, 11}
+    rejects = spark.read.parquet(paths["rejects"])
+    rej = {(r["batch_id"], r["corpus_id"]) for r in rejects.collect()}
+    assert (10, 1) in rej
+    assert rejects.filter(F.col("jaccard") < 0.7).count() == 0
+
+    # restart with no new files: checkpoint prevents reprocessing
+    run()
+    assert spark.read.parquet(paths["clean"]).count() == 3
