@@ -1806,3 +1806,236 @@ def agg_rolling_median_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("med", 2).alias("rolling_med"),
                 F.round(F.col("n") / F.col("med"), 4).alias("spike_ratio"))
     )
+
+
+@register("diag_key_skew", """
+WITH kc AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot, avg(n) AS mean FROM kc)
+SELECT user_id, CAST(n AS BIGINT) AS n_rows,
+       round(n / tot, 6) AS share,
+       round(n / mean, 4) AS skew_factor
+FROM kc CROSS JOIN t
+ORDER BY n_rows DESC, user_id
+LIMIT 20
+""")
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics: the 20 hottest join/agg keys with
+    their share of all rows and a skew factor (multiple of the mean
+    key load) — the measurement that decides between a plain shuffle
+    join, AQE's skew splitting, and explicit salting
+    (`operators/skew.py::salted_join`).  Run it on any key column
+    BEFORE the join lands in production; a top key holding >5% of a
+    100 TB fact is a straggler guarantee.
+
+    One map-combined count per key, a 1-row total attached as a
+    broadcast cross join (provably bounded — passes plans/audit.py),
+    and a distributed top-20."""
+    cat = Catalog(spark, sf_dir)
+    kc = cat.events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    t = kc.agg(F.sum("n").cast("double").alias("tot"),
+               F.avg("n").alias("mean"))
+    return (
+        kc.crossJoin(F.broadcast(t))
+        .select("user_id", F.col("n").cast("bigint").alias("n_rows"),
+                F.round(F.col("n") / F.col("tot"), 6).alias("share"),
+                F.round(F.col("n") / F.col("mean"), 4).alias("skew_factor"))
+        .orderBy(F.col("n_rows").desc(), "user_id")
+        .limit(20)
+    )
+
+
+@register("agg_mad_outliers", """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY event_type),
+dev AS (
+  SELECT e.event_type, e.value, med.m,
+         abs(e.value - med.m) AS adev
+  FROM events e JOIN med USING (event_type)),
+mad AS (
+  SELECT event_type, max(m) AS m, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type)
+SELECT d.event_type,
+       count(*) AS n,
+       round(max(d.m), 4) AS median_value,
+       round(max(mad.mad), 4) AS mad,
+       CAST(sum(CASE WHEN abs(d.value - d.m) > 3.0 * 1.4826 * mad.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad USING (event_type)
+GROUP BY d.event_type
+""")
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census per group via the median absolute
+    deviation: a point is anomalous when it sits more than
+    3 x 1.4826 x MAD from the group median (1.4826 rescales MAD to a
+    Gaussian sigma) — the breakdown-point-0.5 alternative to z-scores,
+    which a single corrupt value can blind.
+
+    Completes the robust-statistics family next to the winsorized
+    moments (clip-then-average) and the rolling-median burst detector
+    (time-local): three passes over the fact, each map-side joined
+    against a KB-sized broadcast of per-group medians; exact
+    `percentile` keeps the oracle term-for-term, `percentile_approx`
+    is the documented 100 TB swap with the identical plan."""
+    cat = Catalog(spark, sf_dir)
+    med = cat.events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("m"))
+    dev = (cat.events.join(F.broadcast(med), "event_type")
+           .select("event_type", "value", "m",
+                   F.abs(F.col("value") - F.col("m")).alias("adev")))
+    mad = dev.groupBy("event_type").agg(
+        F.max("m").alias("m2"),
+        F.percentile("adev", F.lit(0.5)).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad.select("event_type", "mad")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("m"), 4).alias("median_value"),
+            F.round(F.max("mad"), 4).alias("mad"),
+            F.sum(F.when(F.abs(F.col("value") - F.col("m"))
+                         > 3.0 * 1.4826 * F.col("mad"), 1).otherwise(0))
+            .cast("bigint").alias("n_outliers"),
+        )
+    )
+
+
+@register("agg_chi2_type_by_dow", """
+WITH obs AS (
+  SELECT event_type, dayofweek(ts) AS dow, CAST(count(*) AS DOUBLE) AS o
+  FROM events GROUP BY 1, 2),
+rt AS (SELECT event_type, sum(o) AS r FROM obs GROUP BY event_type),
+ct AS (SELECT dow, sum(o) AS c FROM obs GROUP BY dow),
+n AS (SELECT sum(o) AS n FROM obs)
+SELECT round(sum(pow(o - r * c / n.n, 2) / (r * c / n.n)), 4) AS chi2,
+       CAST((count(DISTINCT obs.event_type) - 1)
+            * (count(DISTINCT obs.dow) - 1) AS BIGINT) AS dof
+FROM obs JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n
+""")
+def agg_chi2_type_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test: is event-type mix independent of
+    day-of-week?  The classic seasonality/contingency check a data
+    pipeline runs before trusting a stratified sample drawn on one of
+    the two axes.  Observed counts are one map-combined agg over the
+    (type x dow) grid; marginals and the total derive from that grid
+    (KB-sized), so the corpus is touched once and the statistic is a
+    single co-moment fold over at most |types| x 7 rows."""
+    cat = Catalog(spark, sf_dir)
+    obs = (cat.events
+           .groupBy("event_type", F.dayofweek("ts").alias("dow"))
+           .agg(F.count(F.lit(1)).cast("double").alias("o")))
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("dow").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    e = F.col("r") * F.col("c") / F.col("n")
+    return (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 4).alias("chi2"),
+            ((F.count_distinct("event_type") - 1)
+             * (F.count_distinct("dow") - 1))
+            .cast("bigint").alias("dof"),
+        )
+    )
+
+
+@register("agg_regression_per_type", """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(regr_slope(value, hour(ts)), 4) AS slope,
+       round(regr_intercept(value, hour(ts)), 4) AS intercept,
+       round(regr_r2(value, hour(ts)), 4) AS r2
+FROM events
+GROUP BY event_type
+""")
+def agg_regression_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form linear regression (value ~ hour of day):
+    slope/intercept/R² from the built-in co-moment aggregates — the
+    'does this metric drift across the day' screen, one map-combined
+    pass, no iterative fitting.  regr_* aggregates are
+    decomposable (sums of products), so partial aggregation applies
+    at any scale."""
+    cat = Catalog(spark, sf_dir)
+    h = F.hour("ts").cast("double")
+    return cat.events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.regr_slope(F.col("value"), h), 4).alias("slope"),
+        F.round(F.regr_intercept(F.col("value"), h), 4).alias("intercept"),
+        F.round(F.regr_r2(F.col("value"), h), 4).alias("r2"),
+    )
+
+
+# Column spec drives BOTH the Spark aggregates and the oracle SQL, so
+# the two ladders cannot diverge.  kind: numeric columns profile
+# min/max numerically (rounded; engine float->string rendering is not
+# portable), string-ish columns lexicographically, timestamps via the
+# shared 'yyyy-MM-dd HH:mm:ss.SSSSSS' cast both engines print.
+_PROFILE_COLS = [
+    ("event_id", "num"), ("ts", "str"), ("user_id", "num"),
+    ("event_type", "str"), ("value", "num"), ("props", "str"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        mn = (f"round(CAST(min({c}) AS DOUBLE), 4)" if kind == "num"
+              else "CAST(NULL AS DOUBLE)")
+        mx = (f"round(CAST(max({c}) AS DOUBLE), 4)" if kind == "num"
+              else "CAST(NULL AS DOUBLE)")
+        ms = ("CAST(NULL AS VARCHAR)" if kind == "num"
+              else f"CAST(min({c}) AS VARCHAR)")
+        xs = ("CAST(NULL AS VARCHAR)" if kind == "num"
+              else f"CAST(max({c}) AS VARCHAR)")
+        parts.append(f"""
+SELECT '{c}' AS col,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       count(DISTINCT {c}) AS n_distinct,
+       {mn} AS min_num, {mx} AS max_num,
+       {ms} AS min_str, {xs} AS max_str
+FROM events""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("diag_profile_events", _profile_oracle())
+def diag_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling report: per-column row/null/distinct counts and
+    min/max — the first query anyone runs on an unfamiliar table, and
+    the per-load freshness check a pipeline stores next to each batch.
+    One row per column, generated from the same spec as the oracle.
+
+    Exact count(DISTINCT) keeps the report oracle-checkable; at 100 TB
+    the drop-in is approx_count_distinct (HLL, one pass, mergeable —
+    the `agg_approx_distinct` row demonstrates it), leaving the plan
+    otherwise identical.  Each column's profile is one map-combined
+    pass; Spark unions them and scans the parquet once per column
+    branch with only that column read (column pruning), so I/O totals
+    one full-width scan."""
+    cat = Catalog(spark, sf_dir)
+    outs = []
+    for c, kind in _PROFILE_COLS:
+        col = F.col(c)
+        mn = (F.round(F.min(col).cast("double"), 4) if kind == "num"
+              else F.lit(None).cast("double"))
+        mx = (F.round(F.max(col).cast("double"), 4) if kind == "num"
+              else F.lit(None).cast("double"))
+        ms = (F.lit(None).cast("string") if kind == "num"
+              else F.min(col).cast("string"))
+        xs = (F.lit(None).cast("string") if kind == "num"
+              else F.max(col).cast("string"))
+        outs.append(cat.events.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_null"),
+            F.count_distinct(col).alias("n_distinct"),
+            mn.alias("min_num"), mx.alias("max_num"),
+            ms.alias("min_str"), xs.alias("max_str"),
+        ).select(F.lit(c).alias("col"), "*"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

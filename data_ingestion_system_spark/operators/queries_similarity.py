@@ -667,3 +667,61 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("x"), 6).alias("max_x"),
         )
     )
+
+
+@register("emb_centroid_drift", """
+WITH e AS (
+  SELECT label, vec_id % 2 AS half, embedding::DOUBLE[] AS v
+  FROM embeddings),
+d AS (SELECT label, half, i AS dim, v[i + 1] AS x
+      FROM e, UNNEST(range(len(v))) AS t(i)),
+cent AS (
+  SELECT label, half, dim, avg(x) AS c
+  FROM d GROUP BY label, half, dim),
+piv AS (
+  SELECT a.label, a.dim, a.c AS c0, b.c AS c1
+  FROM cent a JOIN cent b
+    ON a.label = b.label AND a.dim = b.dim
+   AND a.half = 0 AND b.half = 1)
+SELECT label,
+       round(sum(c0 * c1) /
+             (sqrt(sum(c0 * c0)) * sqrt(sum(c1 * c1))), 6)
+         AS centroid_cosine,
+       round(sqrt(sum(pow(c0 - c1, 2))), 6) AS centroid_l2_shift
+FROM piv GROUP BY label
+""")
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: split each label's vectors into two
+    deterministic halves (even/odd ids standing in for reference vs
+    serving windows), compare per-label centroids by cosine and L2 —
+    the alarm that a re-embedded or shifted upstream model has moved a
+    class's region (cosine < ~0.99 on a stable pipeline is an
+    incident).
+
+    Scale shape: centroids are map-combined avgs keyed (label, half,
+    dim) — the shuffle after partial aggregation is labels x 2 x d
+    rows regardless of corpus size; the cosine folds over the d-row
+    centroid pairs.  The same plan serves real time-windows by
+    swapping the half expression for a date predicate."""
+    cat = Catalog(spark, sf_dir)
+    d = (cat.embeddings
+         .select("label", (F.col("vec_id") % 2).alias("half"),
+                 F.posexplode(F.col("embedding").cast("array<double>"))
+                 .alias("dim", "x")))
+    cent = d.groupBy("label", "half", "dim").agg(F.avg("x").alias("c"))
+    c0 = cent.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("c").alias("c0"))
+    c1 = cent.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("c").alias("c1"))
+    return (
+        c0.join(c1, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.round(F.sum(F.col("c0") * F.col("c1"))
+                    / (F.sqrt(F.sum(F.col("c0") * F.col("c0")))
+                       * F.sqrt(F.sum(F.col("c1") * F.col("c1")))), 6)
+            .alias("centroid_cosine"),
+            F.round(F.sqrt(F.sum(F.pow(F.col("c0") - F.col("c1"), 2))), 6)
+            .alias("centroid_l2_shift"),
+        )
+    )

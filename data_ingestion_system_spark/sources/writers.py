@@ -141,6 +141,40 @@ def scd2_apply(history: DataFrame, updates: DataFrame, key: str,
     return untouched.unionByName(reversioned)
 
 
+def apply_cdc(history: DataFrame, changes: DataFrame, key: str,
+              seq_col: str, op_col: str = "op") -> DataFrame:
+    """Apply a CDC batch (insert/update/delete ops) to a snapshot table.
+
+    ``changes`` rows carry the key, a monotone ``seq_col`` (commit LSN /
+    kafka offset — total order per key), ``op_col`` in {'I','U','D'},
+    and the full payload.  Net effect per key = the row with the
+    highest sequence: I/U upsert that payload, D removes the key —
+    out-of-order arrivals within the batch collapse correctly because
+    selection is by sequence, not arrival.
+
+    This is the Debezium-style bronze->silver applier on immutable
+    parquet: untouched keys stream through one broadcast anti join
+    (the change batch's key set is small relative to the table), the
+    winning change per key is one max-of-struct aggregate (no window,
+    no sort — the same trick as operators/correlate.py), and the
+    result unions.  Persist with dynamic partition overwrite when the
+    snapshot is partitioned.  The reference's row-level UPDATE
+    (src/lambda/processQueue.ts:230-238) is the I/U half of this with
+    no ordering and no deletes."""
+    payload = [c for c in changes.columns if c not in (key, seq_col, op_col)]
+    winner = (
+        changes
+        .groupBy(key)
+        .agg(F.max(F.struct(seq_col, op_col, *payload)).alias("w"))
+        .select(key, F.col(f"w.{op_col}").alias(op_col),
+                *[F.col(f"w.{c}").alias(c) for c in payload])
+    )
+    untouched = history.join(
+        F.broadcast(winner.select(key)), key, "left_anti")
+    upserts = winner.filter(F.col(op_col) != "D").drop(op_col)
+    return untouched.unionByName(upserts)
+
+
 def scd2_as_of(history: DataFrame, as_of) -> DataFrame:
     """Point-in-time read of an SCD-2 history: the one version of each
     key that was current at ``as_of`` (valid_from <= as_of < valid_to,

@@ -229,3 +229,26 @@ def test_advance_rollup_matches_full_recompute(spark, tmp_path):
                   F.expr("max(value)").alias("mx")).collect()}
     assert got == expect
     assert got[(d1, "a")] == (3, 13.0, 10.0)   # late data folded in
+
+
+def test_apply_cdc_net_effect(spark):
+    """CDC applier: per-key winner by sequence; D deletes, I/U upsert,
+    out-of-order arrivals within the batch cannot regress state."""
+    from data_ingestion_system_spark.sources.writers import apply_cdc
+
+    history = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double")
+    changes = spark.createDataFrame(
+        [
+            (2, 101, "U", "b2", 21.0),
+            (2, 100, "U", "bX", 99.0),   # superseded by seq 101
+            (3, 102, "D", None, None),   # delete key 3
+            (4, 103, "I", "d", 40.0),    # brand-new key
+            (4, 105, "U", "d2", 41.0),   # updated in the same batch
+            (4, 104, "D", None, None),   # deleted then re-upserted: U wins
+        ],
+        "k long, seq long, op string, name string, v double")
+    out = {r["k"]: (r["name"], r["v"])
+           for r in apply_cdc(history, changes, "k", "seq").collect()}
+    assert out == {1: ("a", 10.0), 2: ("b2", 21.0), 4: ("d2", 41.0)}
