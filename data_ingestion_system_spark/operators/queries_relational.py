@@ -1587,6 +1587,35 @@ def _pagerank_iter_sql(prev: str, out: str) -> str:
   GROUP BY e.dst)"""
 
 
+def pagerank_iterate(pairs: DataFrame, *, iters: int = _PR_ITERS,
+                     damping: float = _PR_D) -> DataFrame:
+    """Synchronous PageRank over an undirected pair list (a, b) — the
+    reusable Pregel-as-join+agg core behind `graph_pagerank`, exposed
+    so any edge relation (and the property tests) can drive it.
+    Returns (node, pr) unrounded."""
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(pairs.select(F.col("b").alias("src"),
+                               F.col("a").alias("dst")))
+        .repartition("src")
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).persist()
+    n_nodes = deg.count()  # tiny: node-cardinality agg, also warms the caches
+    pr = deg.select(F.col("src").alias("node"),
+                    (F.lit(1.0) / F.lit(float(n_nodes))).alias("pr"))
+    for _ in range(iters):
+        pr = (
+            edges.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg((F.lit((1.0 - damping) / n_nodes)
+                  + F.lit(damping) * F.sum(F.col("pr") / F.col("d")))
+                 .alias("pr"))
+        )
+    return pr
+
+
 @register("graph_pagerank", f"""
 WITH pairs AS (
   SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
@@ -1630,26 +1659,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"))
         .distinct()
     )
-    edges = (
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionAll(pairs.select(F.col("b").alias("src"),
-                               F.col("a").alias("dst")))
-        .repartition("src")
-        .persist()
-    )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).persist()
-    n_nodes = deg.count()  # tiny: node-cardinality agg, also warms the caches
-    pr = deg.select(F.col("src").alias("node"),
-                    (F.lit(1.0) / F.lit(float(n_nodes))).alias("pr"))
-    for _ in range(_PR_ITERS):
-        pr = (
-            edges.join(pr.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg((F.lit((1.0 - _PR_D) / n_nodes)
-                  + F.lit(_PR_D) * F.sum(F.col("pr") / F.col("d")))
-                 .alias("pr"))
-        )
+    pr = pagerank_iterate(pairs)
     return (
         pr.select("node", F.round("pr", 6).alias("pagerank"))
         .orderBy(F.col("pagerank").desc(), "node")
@@ -2039,3 +2049,46 @@ def diag_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+@register("agg_ship_lag_priority", """
+WITH lag AS (
+  SELECT o.o_orderpriority,
+         date_diff('day', o.o_orderdate, l.l_shipdate) AS lag_days
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+SELECT o_orderpriority,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN lag_days > 60 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       round(avg(CAST(lag_days AS DOUBLE)), 4) AS avg_lag_days,
+       round(max(CAST(lag_days AS DOUBLE)), 4) AS max_lag_days
+FROM lag
+GROUP BY o_orderpriority
+""")
+def agg_ship_lag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-flavored shipping-SLA report: per order priority, how
+    many line items shipped more than 60 days after the order date,
+    plus the lag distribution — the conditional-count-over-join shape
+    (CASE inside aggregates) that turns an operational join into a
+    handful of KPI rows.
+
+    One broadcast-or-shuffle equi-join (AQE decides from runtime
+    sizes) followed by a map-combined agg on the tiny priority
+    domain; the date arithmetic is codegen'd datediff, and only the
+    three needed columns survive column pruning into the scans."""
+    cat = Catalog(spark, sf_dir)
+    lag = (cat.orders
+           .join(cat.lineitem,
+                 cat.orders.o_orderkey == cat.lineitem.l_orderkey)
+           .select("o_orderpriority",
+                   F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+                   .alias("lag_days")))
+    return lag.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("lag_days") > 60, 1).otherwise(0))
+        .cast("bigint").alias("n_late"),
+        F.round(F.avg(F.col("lag_days").cast("double")), 4)
+        .alias("avg_lag_days"),
+        F.round(F.max(F.col("lag_days").cast("double")), 4)
+        .alias("max_lag_days"),
+    )

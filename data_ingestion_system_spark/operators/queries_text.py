@@ -814,3 +814,30 @@ def text_sample_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "lang", "doc_id",
                 F.col("rnk").cast("bigint").alias("rnk"))
     )
+
+
+_KFOLD = 5
+
+
+@register("text_kfold_assign", f"""
+WITH f AS (
+  SELECT lang, (doc_id * {_HASH_MULT}) % {_KFOLD} AS fold
+  FROM documents)
+SELECT lang, CAST(fold AS BIGINT) AS fold, count(*) AS n_docs
+FROM f GROUP BY lang, fold
+""")
+def text_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    multiplicative-hash(doc_id) mod 5, reported as per-(lang, fold)
+    counts so the balance of every fold within every language is
+    auditable before training.  Same reproducibility contract as the
+    engine's other samplers (pure integer arithmetic, no RNG state —
+    a rerun or a retried task assigns identical folds), and the
+    oracle replays the hash exactly.  One map-combined agg over a
+    langs x k grid."""
+    cat = Catalog(spark, sf_dir)
+    fold = (F.col("doc_id") * F.lit(_HASH_MULT)) % F.lit(_KFOLD)
+    return (cat.documents
+            .select("lang", fold.cast("bigint").alias("fold"))
+            .groupBy("lang", "fold")
+            .agg(F.count(F.lit(1)).alias("n_docs")))

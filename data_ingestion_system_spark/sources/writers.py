@@ -355,6 +355,24 @@ def write_sharded(df: DataFrame, path: str, shard_key: str,
     out.write.mode("overwrite").partitionBy("shard").format(fmt).save(path)
 
 
+def missing_partitions(spark: SparkSession, path: str,
+                       expected: list[str],
+                       part_col: str = "audit_date") -> list[str]:
+    """Backfill planner: which of ``expected`` partition values have no
+    directory under ``path`` yet.  Listing-only (no data read) — the
+    check an orchestrator runs before scheduling a date-range backfill,
+    and after it to prove completeness.  Returns values in the order
+    given."""
+    import os
+
+    present = set()
+    if os.path.isdir(path):
+        for name in os.listdir(path):
+            if name.startswith(f"{part_col}="):
+                present.add(name.split("=", 1)[1])
+    return [v for v in expected if str(v) not in present]
+
+
 def read_binary_dir(spark: SparkSession, path: str,
                     max_bytes: int = MAX_ATTACHMENT_BYTES,
                     glob: str | None = None) -> DataFrame:

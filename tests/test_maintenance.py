@@ -252,3 +252,24 @@ def test_apply_cdc_net_effect(spark):
     out = {r["k"]: (r["name"], r["v"])
            for r in apply_cdc(history, changes, "k", "seq").collect()}
     assert out == {1: ("a", 10.0), 2: ("b2", 21.0), 4: ("d2", 41.0)}
+
+
+def test_missing_partitions_backfill_planner(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_ingestion_system_spark.sources.writers import (
+        missing_partitions,
+        write_date_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [("t1", "2024-03-01T10:00:00Z"), ("t2", "2024-03-03T10:00:00Z")],
+        "transaction_id string, timestamp string",
+    ).withColumn("timestamp", F.to_timestamp("timestamp"))
+    path = str(tmp_path / "bronze")
+    write_date_partitioned(df, path)
+    want = ["2024-03-01", "2024-03-02", "2024-03-03", "2024-03-04"]
+    assert missing_partitions(spark, path, want) == [
+        "2024-03-02", "2024-03-04"]
+    # empty table dir: everything is missing
+    assert missing_partitions(spark, str(tmp_path / "nope"), want) == want

@@ -362,3 +362,25 @@ def test_keyset_pagination_pushdown(spark, sf_dir):
     assert "LessThan(ts" in plan or "LessThanOrEqual(ts" in plan
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """Strategy control surface: the same equi-join lowers to
+    SortMergeJoin under hint('merge') and ShuffledHashJoin under
+    hint('shuffle_hash') — the manual overrides for when AQE's choice
+    must be pinned (e.g. a build side known to spill)."""
+    from data_ingestion_system_spark.catalog import Catalog
+
+    cat = Catalog(spark, sf_dir)
+    orders = cat.orders.select("o_orderkey", "o_custkey")
+    lineitem = cat.lineitem.select("l_orderkey", "l_quantity")
+
+    merged = orders.hint("merge").join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey)
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+
+    hashed = orders.hint("shuffle_hash").join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey)
+    plan = hashed._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan

@@ -209,3 +209,69 @@ def test_misra_gries_invariants(words, k, n_splits):
     for w, c in true.items():
         if c > n / k:
             assert w in acc.index                 # guarantee: HH present
+
+
+# ---- CDC applier: Spark net-effect == sequential dict replay ----------
+
+cdc_history = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(-50, 50)),
+    min_size=0, max_size=8, unique_by=lambda t: t[0])
+cdc_changes = st.lists(
+    st.tuples(
+        st.integers(0, 6),                      # key
+        st.sampled_from(["I", "U", "D"]),       # op
+        st.integers(-50, 50),                   # payload
+    ),
+    min_size=1, max_size=20)
+
+
+@SPARK_SETTINGS
+@given(hist=cdc_history, ops=cdc_changes)
+def test_apply_cdc_equals_sequential_replay(spark, hist, ops):
+    """apply_cdc's per-key max-sequence winner must equal replaying the
+    ops one by one in sequence order against a dict."""
+    from data_ingestion_system_spark.sources.writers import apply_cdc
+
+    state = {k: v for k, v in hist}
+    for k, op, v in ops:          # list order IS sequence order
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+
+    history = spark.createDataFrame(
+        [(k, v) for k, v in hist] or [(None, None)], "k long, v long"
+    ).filter(F.col("k").isNotNull())
+    changes = spark.createDataFrame(
+        [(k, i, op, v) for i, (k, op, v) in enumerate(ops)],
+        "k long, seq long, op string, v long")
+    got = {r["k"]: r["v"]
+           for r in apply_cdc(history, changes, "k", "seq").collect()}
+    assert got == state
+
+
+# ---- PageRank: invariants on random undirected graphs -----------------
+
+pr_edges = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+        lambda t: t[0] != t[1]),
+    min_size=1, max_size=15, unique=True)
+
+
+@SPARK_SETTINGS
+@given(edges=pr_edges)
+def test_pagerank_mass_and_positivity(spark, edges):
+    """On any undirected graph: ranks are positive, total mass == 1
+    (every node's outflow lands somewhere, teleport fills the rest),
+    and isolated-from-the-edge-list nodes simply don't appear."""
+    from data_ingestion_system_spark.operators.queries_relational import (
+        pagerank_iterate,
+    )
+
+    pairs = spark.createDataFrame(
+        [(f"n{min(a, b)}", f"n{max(a, b)}") for a, b in edges],
+        "a string, b string").distinct()
+    rows = pagerank_iterate(pairs, iters=2).collect()
+    total = sum(r["pr"] for r in rows)
+    assert all(r["pr"] > 0 for r in rows)
+    assert abs(total - 1.0) < 1e-9
