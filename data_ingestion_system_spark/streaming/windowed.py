@@ -175,3 +175,52 @@ def start_windowed_counts(
         .trigger(availableNow=True)
         .start(path=out_dir, format="parquet")
     )
+
+
+def session_counts(spark: SparkSession, landing_dir: str,
+                   gap: str = "30 minutes",
+                   max_lateness: str = "2 hours") -> DataFrame:
+    """Streaming SESSION windows: per-(app, dynamic session) activity.
+
+    ``F.session_window`` sessions grow with each event and close after
+    ``gap`` of silence — unlike tumbling windows the boundaries are
+    data-driven, so the state store tracks open sessions per key and
+    the watermark both closes sessions and bounds state (a session
+    older than watermark - gap can never extend again and is emitted +
+    evicted).  Batch twin: the `agg_session_window` declared query uses
+    the same expression; this is the streaming execution of it, which
+    the reference's architecture (stateless Lambda inserts) could not
+    express at all."""
+    raw = read_landing(spark, landing_dir, REQUEST_SCHEMA, streaming=True)
+    valid, _bad = validate_split(raw)
+    proj = project_requests(valid).withColumn(
+        "event_time", F.col("timestamp").cast("timestamp"))
+    return (
+        proj.withWatermark("event_time", max_lateness)
+        .groupBy(F.session_window("event_time", gap), F.col("app_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").cast("timestamp_ntz")
+            .alias("s_start"),
+            F.col("session_window.end").cast("timestamp_ntz")
+            .alias("s_end"),
+            "app_id", "n_events",
+        )
+    )
+
+
+def start_session_counts(spark: SparkSession, landing_dir: str,
+                         out_dir: str, checkpoint_dir: str,
+                         gap: str = "30 minutes",
+                         max_lateness: str = "2 hours") -> StreamingQuery:
+    """Append-mode run of `session_counts`: a session row is emitted
+    exactly once, when the watermark proves no event can reopen it."""
+    return (
+        session_counts(spark, landing_dir, gap, max_lateness)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )

@@ -327,3 +327,45 @@ def test_stateful_correlation_rocksdb_state_store(spark, tmp_path):
         else:
             spark.conf.set(conf, old)
         spark.conf.unset(chg)
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    """Dynamic session windows in streaming: events within the gap fuse
+    into one session; a silence longer than the gap starts a new one;
+    append mode emits each closed session exactly once."""
+    import json as _json
+
+    from data_ingestion_system_spark.streaming.windowed import (
+        start_session_counts,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def req(txn, hhmmss):
+        return _json.dumps({
+            "transactionId": txn,
+            "timestamp": f"2024-03-01T{hhmmss}.000Z",
+            "method": "POST", "url": "/api/x", "appId": "app0",
+            "workflowId": "wf", "action": "create", "body": "{}"})
+
+    # cluster 1: 10:00, 10:10, 10:20 (gaps 10m < 30m -> ONE session)
+    # silence 10:20 -> 12:00 (> 30m)  -> session closes
+    # cluster 2: 12:00                 -> second session
+    # late straggler INSIDE watermark: 10:15 joins cluster 1 on replay
+    (landing / "a.json").write_text("\n".join([
+        req("t1", "10:00:00"), req("t2", "10:10:00"),
+        req("t3", "10:20:00"), req("t4", "12:00:00"),
+        req("t5", "15:00:00"),   # watermark 13:00 closes both clusters
+        req("t6", "10:15:00"),   # late but within 2h lateness at read time
+    ]))
+    q = start_session_counts(spark, str(landing), str(tmp_path / "out"),
+                             str(tmp_path / "ck"))
+    assert q.awaitTermination(120), "session stream did not finish"
+
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    sessions = {(str(r["s_start"]), r["n_events"]) for r in rows}
+    # closed sessions: cluster 1 (4 events incl. the late one) and the
+    # 12:00 singleton; the 15:00 session may remain open (not emitted)
+    assert ("2024-03-01 10:00:00", 4) in sessions
+    assert ("2024-03-01 12:00:00", 1) in sessions
