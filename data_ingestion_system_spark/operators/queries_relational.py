@@ -2092,3 +2092,63 @@ def agg_ship_lag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(F.col("lag_days").cast("double")), 4)
         .alias("max_lag_days"),
     )
+
+
+_RFM_ASOF = "2024-02-01 00:00:00"  # fixed analysis instant (fixture epoch)
+
+
+@register("agg_rfm_segments", f"""
+WITH rfm AS (
+  SELECT user_id,
+         date_diff('day', max(ts), TIMESTAMP '{_RFM_ASOF}') AS recency_d,
+         count(*) AS freq,
+         sum(value) AS monetary
+  FROM events GROUP BY user_id),
+seg AS (
+  SELECT user_id,
+         CASE WHEN recency_d <= 7 AND freq >= 60 THEN 'champion'
+              WHEN recency_d <= 7 THEN 'recent'
+              WHEN freq >= 60 THEN 'loyal_lapsing'
+              ELSE 'at_risk' END AS segment,
+         recency_d, freq, monetary
+  FROM rfm)
+SELECT segment,
+       count(*) AS n_users,
+       round(avg(CAST(recency_d AS DOUBLE)), 4) AS avg_recency_d,
+       round(avg(CAST(freq AS DOUBLE)), 4) AS avg_freq,
+       round(sum(monetary), 2) AS total_monetary
+FROM seg GROUP BY segment
+""")
+def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary), the classic
+    customer-analytics rollup: one pass computes each user's last-seen
+    gap, event count, and value sum; a fixed threshold ladder assigns
+    segments; the report aggregates per segment.  Thresholds are
+    constants (not data-dependent quantiles) so the segment of a user
+    is stable across runs and partitions — the variant with quantile
+    cut-points composes this with `agg_group_percentiles`.
+
+    Two map-combined aggregations (user grid, then segment grid);
+    nothing shuffles twice; the analysis instant is pinned so the
+    query is deterministic on the fixtures."""
+    cat = Catalog(spark, sf_dir)
+    asof = F.lit(_RFM_ASOF).cast("timestamp_ntz")
+    rfm = cat.events.groupBy("user_id").agg(
+        F.datediff(asof, F.max("ts")).alias("recency_d"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("value").alias("monetary"),
+    )
+    seg = rfm.withColumn(
+        "segment",
+        F.when((F.col("recency_d") <= 7) & (F.col("freq") >= 60),
+               "champion")
+        .when(F.col("recency_d") <= 7, "recent")
+        .when(F.col("freq") >= 60, "loyal_lapsing")
+        .otherwise("at_risk"))
+    return seg.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.avg(F.col("recency_d").cast("double")), 4)
+        .alias("avg_recency_d"),
+        F.round(F.avg(F.col("freq").cast("double")), 4).alias("avg_freq"),
+        F.round(F.sum("monetary"), 2).alias("total_monetary"),
+    )

@@ -165,3 +165,37 @@ def assert_scale_safe(df: DataFrame) -> None:
     if not audit.ok:
         msgs = "; ".join(f"{f.code}: {f.detail}" for f in audit.errors)
         raise ValueError(f"plan fails scale audit: {msgs}")
+
+def summarize_plan(df: DataFrame, *, execute: bool = False) -> dict:
+    """Plan metrics for dashboards/CI trend lines: how many exchanges
+    (shuffles), broadcasts, scans, and codegen spans a query compiles
+    to, plus whether any filter reached a scan.  Counting the formatted
+    plan keeps it dependency-free; pair with `audit_plan` (pass/fail)
+    when a number is more useful than a verdict — e.g. alerting when a
+    release doubles a pipeline's shuffle count.
+
+    Under AQE the pre-execution plan is the INITIAL one: re-plans,
+    runtime broadcasts, and codegen annotation only exist after the
+    query runs.  ``execute=True`` materializes the frame through the
+    noop sink first and then reads the final adaptive plan — use it
+    when the numbers must reflect what actually executed."""
+    import re
+
+    if execute:
+        # collect() runs THIS Dataset's QueryExecution, so the adaptive
+        # plan object mutates to its final form in place (a write/noop
+        # sink would execute a different wrapper plan); diagnostics run
+        # on samples/aggregates, so driver-side rows are acceptable
+        df.collect()
+    plan = _plan_str(df)
+    return {
+        "exchanges": plan.count("Exchange "),
+        "broadcasts": plan.count("BroadcastExchange"),
+        "scans": plan.count("FileScan"),
+        # toString renders each whole-stage-codegen span as a "*(id)"
+        # operator prefix; distinct ids = distinct fused spans
+        "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        "has_pushed_filters": "PushedFilters: [" in plan
+                              and "PushedFilters: []" not in plan,
+        "adaptive": "AdaptiveSparkPlan" in plan,
+    }

@@ -96,3 +96,20 @@ def test_declared_queries_scale_safe(spark, sf_dir):
         if codes:
             failures[name] = sorted(codes)
     assert not failures, f"declared queries failing plan audit: {failures}"
+
+
+def test_summarize_plan_counts(spark, sf_dir):
+    from data_ingestion_system_spark.catalog import Catalog
+    from data_ingestion_system_spark.plans.audit import summarize_plan
+
+    cat = Catalog(spark, sf_dir)
+    # filtered scan: pushed filters, no shuffle
+    s = summarize_plan(cat.events.filter(F.col("user_id") == 7))
+    assert s["scans"] == 1 and s["has_pushed_filters"]
+    assert s["exchanges"] - s["broadcasts"] == 0   # no data shuffle
+    # groupBy: exactly one (possibly AQE-wrapped) shuffle exchange;
+    # codegen spans only exist in the FINAL adaptive plan -> execute
+    g = summarize_plan(cat.events.groupBy("event_type").count(),
+                       execute=True)
+    assert g["exchanges"] - g["broadcasts"] >= 1
+    assert g["codegen_spans"] >= 1
