@@ -2152,3 +2152,35 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("freq").cast("double")), 4).alias("avg_freq"),
         F.round(F.sum("monetary"), 2).alias("total_monetary"),
     )
+
+
+@register("agg_activity_heatmap", """
+SELECT event_type,
+       isodow(ts) AS dow,
+       hour(ts) AS hod,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY event_type, isodow(ts), hour(ts)
+""")
+def agg_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimensional activity heatmap: the (day-of-week x hour-of-day)
+    grid per event type that backs every ops dashboard's punch-card
+    view.  One map-combined aggregation onto a bounded grid (types x
+    7 x 24 rows) regardless of event volume."""
+    cat = Catalog(spark, sf_dir)
+    return (cat.events
+            .groupBy("event_type",
+                     # ISO weekday (Mon=1..Sun=7) matches DuckDB isodow;
+                     # Spark's dayofweek is Sun=1 -- a silent off-by-one
+                     (F.weekday("ts") + 1).cast("bigint").alias("dow"),
+                     F.hour("ts").alias("hod"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 # cent-quantized integer total: EXACT in both engines.
+                 # A float avg lost one cell to summation-order ulp, and
+                 # a cents/n division ties at the 4th decimal where
+                 # Spark's decimal-string HALF_UP and DuckDB's binary
+                 # rounding disagree -- the integer total has neither
+                 # failure mode, and the consumer derives the mean
+                 F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                 .alias("value_cents")))

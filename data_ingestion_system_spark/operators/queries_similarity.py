@@ -725,3 +725,50 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("centroid_l2_shift"),
         )
     )
+
+
+@register("emb_label_confusion", """
+WITH e AS (
+  SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT label, i AS dim, v[i + 1] AS x
+      FROM e, UNNEST(range(len(v))) AS t(i)),
+cent AS (
+  SELECT label, dim, avg(x) AS c FROM d GROUP BY label, dim)
+SELECT a.label AS label_a, b.label AS label_b,
+       round(sum(a.c * b.c) /
+             (sqrt(sum(a.c * a.c)) * sqrt(sum(b.c * b.c))), 6)
+         AS centroid_cosine
+FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+GROUP BY a.label, b.label
+""")
+def emb_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-separability audit: pairwise cosine between label
+    centroids.  Two labels whose centroids sit close (cosine near the
+    intra-label level) will confuse any nearest-centroid or IVF-probed
+    search — this is the matrix that justifies (or indicts) using
+    `label` as the IVF partition key in `sim_topk_ivf`.
+
+    Centroids are map-combined avgs keyed (label, dim) — labels x d
+    rows after one pass — and the pair join runs on that tiny table
+    with `a.label < b.label` deduping the symmetric matrix.  Safe at
+    any corpus size; cost is O(labels^2 x d) on KB-scale inputs."""
+    cat = Catalog(spark, sf_dir)
+    d = (cat.embeddings
+         .select("label",
+                 F.posexplode(F.col("embedding").cast("array<double>"))
+                 .alias("dim", "x")))
+    cent = d.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    a = cent.select(F.col("label").alias("label_a"), "dim",
+                    F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"),
+                    F.col("dim").alias("dim_b"),
+                    F.col("c").alias("cb"))
+    return (
+        a.join(b, (F.col("dim") == F.col("dim_b")) &
+               (F.col("label_a") < F.col("label_b")))
+        .groupBy("label_a", "label_b")
+        .agg(F.round(F.sum(F.col("ca") * F.col("cb"))
+                     / (F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                        * F.sqrt(F.sum(F.col("cb") * F.col("cb")))), 6)
+             .alias("centroid_cosine"))
+    )

@@ -841,3 +841,31 @@ def text_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("lang", fold.cast("bigint").alias("fold"))
             .groupBy("lang", "fold")
             .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+@register("text_ttr", r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+  FROM documents)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(w)) AS BIGINT) AS n_types,
+       round(len(list_distinct(w)) * 1.0 / greatest(len(w), 1), 6) AS ttr
+FROM t
+""")
+def text_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity (type-token ratio) per document: distinct
+    words over total words.  Low-TTR docs are listy/templated/spammy;
+    with `text_repetition` (adjacent-gram repeats) and the Zipf
+    monitor (corpus level) it completes the richness axis of quality
+    filtering.  Pure row-local array functions — zero shuffles, scales
+    with scan bandwidth."""
+    cat = Catalog(spark, sf_dir)
+    w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    return cat.documents.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("bigint").alias("n_types"),
+        F.round(F.size(F.array_distinct(w)).cast("double")
+                / F.greatest(F.size(w), F.lit(1)), 6).alias("ttr"),
+    )
