@@ -144,6 +144,19 @@ HEADLINERS = {
         "one hash partitioning across the agg and the join — two "
         "shuffles total, each O(total tokens), nothing quadratic."
     ),
+    "align_cogroup_interp": (
+        "COGROUPED_MAP alignment: one hash partitioning on the cogroup "
+        "key feeds FlatMapCoGroupsInPandas — each task holds exactly one "
+        "user's two slices as Arrow batches. No other exchange exists; "
+        "the heavy lifting is a single vectorized np.interp per group."
+    ),
+    "agg_mad_outliers": (
+        "Robust outlier census: three passes over the fact table, each "
+        "joined map-side against a broadcast of per-group medians "
+        "(KB-sized), so no fact row ever shuffles — the exact "
+        "percentile aggregates are the only state, and the documented "
+        "percentile_approx swap keeps the identical plan at 100 TB."
+    ),
     "graph_pagerank": (
         "PageRank as Pregel-in-DataFrames: the edge relation is "
         "repartitioned on `src` once and persisted; every iteration is "
