@@ -2184,3 +2184,40 @@ def agg_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
                  # failure mode, and the consumer derives the mean
                  F.sum(F.round(F.col("value") * 100).cast("bigint"))
                  .alias("value_cents")))
+
+
+@register("agg_pareto_users", """
+WITH uc AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY user_id),
+tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM uc),
+top AS (SELECT cents FROM uc ORDER BY cents DESC, user_id LIMIT 20)
+SELECT CAST(count(*) AS BIGINT) AS top_n,
+       CAST(sum(cents) AS BIGINT) AS top_cents,
+       CAST(max(tot.t) AS BIGINT) AS total_cents,
+       round(sum(cents) * 1.0 / max(tot.t), 6) AS share
+FROM top CROSS JOIN tot
+""")
+def agg_pareto_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration (Pareto) check: what share of all metric value do
+    the top-20 users carry?  The whale-detection number behind both
+    abuse review and the salting decision (`diag_key_skew` names the
+    keys; this says how much mass they own).  Cent-quantized integer
+    sums keep every figure exact; the top-20 comes from a distributed
+    top-k, and the 1-row total rides as a broadcast cross join."""
+    cat = Catalog(spark, sf_dir)
+    uc = cat.events.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    tot = uc.agg(F.sum("cents").cast("bigint").alias("t"))
+    top = (uc.orderBy(F.col("cents").desc(), "user_id").limit(20)
+           .select("cents"))
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("top_n"),
+            F.sum("cents").cast("bigint").alias("top_cents"),
+            F.max("t").cast("bigint").alias("total_cents"),
+            F.round(F.sum("cents") * 1.0 / F.max("t"), 6).alias("share"),
+        )
+    )

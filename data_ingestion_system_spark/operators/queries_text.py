@@ -869,3 +869,35 @@ def text_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.size(F.array_distinct(w)).cast("double")
                 / F.greatest(F.size(w), F.lit(1)), 6).alias("ttr"),
     )
+
+
+@register("text_charset_profile", r"""
+SELECT source,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]'))) AS BIGINT)
+         AS n_alpha,
+       CAST(sum(len(regexp_extract_all(text, '[0-9]'))) AS BIGINT)
+         AS n_digit,
+       CAST(sum(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))) AS BIGINT)
+         AS n_other
+FROM documents
+GROUP BY source
+""")
+def text_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class profile per source: alpha/digit/other volumes —
+    the cheap encoding-health monitor (a source whose 'other' share
+    jumps has picked up markup, mojibake, or binary bleed).  Pure
+    codegen'd regexp counts folded by one map-combined agg onto the
+    source domain; integer outputs, no float portability surface."""
+    cat = Catalog(spark, sf_dir)
+    t = F.col("text")
+
+    def n(pat):
+        return F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+
+    return cat.documents.groupBy("source").agg(
+        F.sum(F.length(t)).cast("bigint").alias("n_chars"),
+        F.sum(n("[A-Za-z]")).cast("bigint").alias("n_alpha"),
+        F.sum(n("[0-9]")).cast("bigint").alias("n_digit"),
+        F.sum(n(r"[^A-Za-z0-9\s]")).cast("bigint").alias("n_other"),
+    )
