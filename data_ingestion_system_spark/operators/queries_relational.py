@@ -858,16 +858,44 @@ def agg_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # HLL sketch is engine-specific: rows-only
+@register("agg_approx_distinct", """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       count(DISTINCT l_suppkey) AS exact_supps,
+       TRUE AS parts_ok, TRUE AS supps_ok
+FROM lineitem GROUP BY l_returnflag
+""")
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct (HyperLogLog++, 5% rsd): the 100 TB answer to
     COUNT(DISTINCT) — sketches merge associatively, so the shuffle moves
-    KB-sized sketches instead of every distinct value.  Accuracy vs the
-    exact count is asserted in tests/test_relational_extra.py."""
+    KB-sized sketches instead of every distinct value.
+
+    Bounds-style oracle (the raw estimate is engine-specific, so it can't
+    be hash-compared): the query computes the exact counts alongside the
+    sketch and emits ``*_ok = |approx - exact| / exact <= 3*rsd``; the
+    oracle recomputes the exact counts in DuckDB and pins the booleans
+    TRUE.  A hash match therefore proves BOTH that Spark's exact side
+    agrees with DuckDB AND that the sketch estimate lands within its
+    published 3-sigma error of it.  The exact twin exists only for this
+    verification — the production posture at 100 TB is estimate-only
+    (drop the countDistinct columns and the shuffle carries sketches,
+    not values)."""
     cat = Catalog(spark, sf_dir)
-    return cat.lineitem.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.05).alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey", rsd=0.05).alias("approx_supps"),
+    rsd = 0.05
+
+    def ok(approx, exact):
+        return (F.abs(approx - exact) <= 3 * rsd * exact)
+
+    agg = cat.lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=rsd).alias("ap"),
+        F.approx_count_distinct("l_suppkey", rsd=rsd).alias("asu"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_suppkey").alias("exact_supps"),
+    )
+    return agg.select(
+        "l_returnflag", "exact_parts", "exact_supps",
+        ok(F.col("ap"), F.col("exact_parts")).alias("parts_ok"),
+        ok(F.col("asu"), F.col("exact_supps")).alias("supps_ok"),
     )
 
 
@@ -1143,25 +1171,56 @@ def agg_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_hll_sketch")  # Datasketches binary state is engine-specific: rows-only
+@register("agg_hll_sketch", """
+SELECT event_type, count(DISTINCT user_id) AS exact_users,
+       TRUE AS within_bounds
+FROM events GROUP BY event_type
+UNION ALL
+SELECT '__all__' AS event_type, count(DISTINCT user_id) AS exact_users,
+       TRUE AS within_bounds
+FROM events
+""")
 def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HyperLogLog sketches (the 100 TB COUNT-DISTINCT posture
     beyond approx_count_distinct): ``hll_sketch_agg`` materializes a
     REUSABLE per-group sketch, and ``hll_union_agg`` merges sketches
     without touching the raw data again — the building block for
     incremental distinct-user rollups (daily sketches → monthly union)
-    where re-scanning 100 TB per rollup is not an option.  Estimates per
-    event_type plus the union-of-sketches global estimate in one result;
-    merge-vs-direct equivalence is pinned in tests/test_relational_extra.py."""
+    where re-scanning 100 TB per rollup is not an option.  Merge-vs-direct
+    equivalence is pinned in tests/test_relational_extra.py.
+
+    Bounds-style oracle (sketch binary state + estimate are
+    engine-specific): alongside each sketch estimate the query computes
+    the exact distinct and emits ``within_bounds = |est - exact| / exact
+    <= 0.03`` (lgK=14 → rsd ≈ 1.04/√2¹⁴ ≈ 0.81%; 3σ rounded up); the
+    oracle recomputes the exact counts and pins the boolean TRUE, so a
+    hash match proves the estimate sits within published error of a
+    DuckDB-verified exact — including for the union-of-sketches global
+    row, which checks the MERGE path's accuracy, not just per-group.
+    The exact twins are verification-only; production drops them."""
     cat = Catalog(spark, sf_dir)
+    tol = 0.03
+
+    def within(est, exact):
+        return (F.abs(est - exact) <= tol * exact)
+
     per_type = cat.events.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"))
     est = per_type.select(
-        "event_type",
-        F.hll_sketch_estimate("sk").alias("approx_users"))
-    union_all = per_type.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
-    ).select(F.lit("__all__").alias("event_type"), "approx_users")
+        "event_type", "exact_users",
+        within(F.hll_sketch_estimate("sk"),
+               F.col("exact_users")).alias("within_bounds"))
+    # global row: union of the per-type sketches (the merge path) checked
+    # against a direct global exact distinct — a scalar-aggregate cross
+    # join, bounded on both sides (1 row x 1 row)
+    union_est = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    global_exact = cat.events.agg(
+        F.count_distinct("user_id").alias("exact_users"))
+    union_all = union_est.crossJoin(global_exact).select(
+        F.lit("__all__").alias("event_type"), "exact_users",
+        within(F.col("est"), F.col("exact_users")).alias("within_bounds"))
     return est.unionByName(union_all)
 
 
