@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.catalog import Catalog
-from data_ingestion_system_spark.functions.vectors import cosine_fixed
+from data_ingestion_system_spark.functions.vectors import as_double, dot_fixed
 from data_ingestion_system_spark.operators import dedup as D
 from data_ingestion_system_spark.registry import register
 
@@ -305,14 +305,31 @@ WHERE list_dot_product(a.v, b.v) /
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label (the coarse
     quantizer): pairwise work is per-block, not corpus²; double-precision
-    fold matches DuckDB bit-for-bit."""
+    fold matches DuckDB bit-for-bit.
+
+    The double-cast and the L2 norm are projected BEFORE the join — once
+    per ROW in the map-side scan stage, not once per PAIR inside the
+    join (at n docs/block that is n vs n² norm evaluations), and it
+    keeps the join's generated ``doConsume`` down to a single unrolled
+    dot product.  The r2 form computed the full 3-dot cosine (with 128
+    per-element casts) inside the BroadcastHashJoin consume function,
+    which blew janino's method limits and silently dropped the hot join
+    to interpreted execution; this shape compiles clean — pinned by
+    tests/test_codegen_clean.py with spark.sql.codegen.fallback=false.
+    ``dot/(norm_a*norm_b)`` is the same association DuckDB evaluates, so
+    the oracle stays bit-exact."""
     cat = Catalog(spark, sf_dir)
     e = cat.embeddings
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("label"),
-                 F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("label"),
-                 F.col("embedding").alias("vb"))
-    cos = cosine_fixed(F.col("va"), F.col("vb"), 64)
+    vd = as_double(F.col("embedding"))
+    norm = F.sqrt(dot_fixed(vd, vd, 64))
+
+    def side(id_out: str, v_out: str, n_out: str) -> DataFrame:
+        return e.select(F.col("vec_id").alias(id_out), F.col("label"),
+                        vd.alias(v_out), norm.alias(n_out))
+
+    a = side("id_a", "va", "na")
+    b = side("id_b", "vb", "nb")
+    cos = dot_fixed(F.col("va"), F.col("vb"), 64) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, "label")
         .filter(F.col("id_a") < F.col("id_b"))
