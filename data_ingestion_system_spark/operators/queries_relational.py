@@ -491,18 +491,21 @@ FROM s
 """)
 def agg_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percent-of-total (ratio-to-report): share of revenue per order
-    status via an un-partitioned window OVER the aggregated rows — safe
-    at any scale because the window input is post-aggregation (one row
-    per status), never the fact table; the fact scan still partial-
-    aggregates map-side."""
+    status.  The grand total is attached as a broadcast scalar aggregate
+    (the bounded-theta pattern the linter blesses) rather than an
+    un-partitioned window over the aggregated rows: same values, but no
+    single-task WindowExec anywhere in the plan — the r3 tree-walking
+    linter correctly flags even UNORDERED global windows, which the r2
+    string heuristic missed on this query.  The fact scan still
+    partial-aggregates map-side; the cross join is 1-row × #statuses."""
     cat = Catalog(spark, sf_dir)
     s = cat.orders.groupBy("o_orderstatus").agg(
         F.sum("o_totalprice").alias("raw_rev"))
-    w = Window.partitionBy()
-    return s.select(
+    total = s.agg(F.sum("raw_rev").alias("total_rev"))
+    return s.crossJoin(F.broadcast(total)).select(
         "o_orderstatus",
         F.round(F.col("raw_rev"), 2).alias("status_rev"),
-        F.round(F.col("raw_rev") / F.sum("raw_rev").over(w), 6).alias("share"),
+        F.round(F.col("raw_rev") / F.col("total_rev"), 6).alias("share"),
     )
 
 
@@ -575,16 +578,72 @@ SELECT bucket, count(*) AS n,
 FROM b GROUP BY bucket
 """)
 def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth (quantile) histogram via ntile(10) with a deterministic
-    tiebreak.  CAVEAT, stated for the record: an un-partitioned ntile is
-    a single-partition window — correct but serialized, so this query
-    pins the exact semantics while the scale path derives decile
-    boundaries from percentile_approx and buckets by range (the
-    fixed-width sibling `agg_value_histogram` shows that shape; swapping
-    its width computation for approx quantiles is a column change)."""
+    """Equi-depth (quantile) histogram with EXACT ntile(10) semantics,
+    computed distributed (no global window anywhere in the plan — r2's
+    un-partitioned ntile was the linter's only allowlisted exception;
+    this form deleted it).
+
+    TeraSort-style global ranking:
+
+    1. ``percentile_approx`` range boundaries (driver literals, one
+       value-column scan) — they steer LOAD BALANCE only; correctness
+       never depends on where the cuts land because pid assignment is
+       monotone in the sort key.
+    2. per-range counts -> prefix-sum offsets (driver literals, <= 64
+       longs — the blessed codebook pattern, not a data collect).
+    3. ``row_number`` over (PARTITION BY pid ORDER BY value, event_id)
+       + offset = exact global rank; every window task holds ~N/nparts.
+    4. bucket from rank by ntile's own fill rule (first N%10 buckets get
+       one extra row), then the usual count/min/max rollup.
+
+    Three value-column scans replace one single-task sort: at 100 TB the
+    scans are pruned-column map passes while the r2 form serialized the
+    whole table through one core.  Ties on ``value`` stay within one pid
+    (assignment ignores the tiebreak), so the (value, event_id) total
+    order — and with it bit-parity with the DuckDB ntile oracle — is
+    preserved across partitions.  events.value is non-null by
+    construction; a null routes to pid 0, matching Spark's nulls-first
+    ASC order."""
     cat = Catalog(spark, sf_dir)
-    w = Window.orderBy("value", "event_id")
-    b = cat.events.select("value", F.ntile(10).over(w).alias("bucket"))
+    ev = cat.events.select("value", "event_id")
+
+    nparts = max(8, min(64, spark.sparkContext.defaultParallelism))
+    probs = [i / nparts for i in range(1, nparts)]
+    bounds = ev.agg(
+        F.percentile_approx("value", probs, 10_000).alias("b")
+    ).collect()[0]["b"]
+
+    pid = F.when(F.col("value").isNull(), F.lit(0))
+    for i, cut in enumerate(bounds):
+        pid = pid.when(F.col("value") < F.lit(float(cut)), F.lit(i))
+    pid = pid.otherwise(F.lit(len(bounds)))
+
+    staged = ev.withColumn("pid", pid)
+    counts = {r["pid"]: r["n"] for r in
+              staged.groupBy("pid").agg(F.count("*").alias("n")).collect()}
+    n_total = sum(counts.values())
+    offsets, acc = [], 0
+    for p in range(len(bounds) + 1):
+        offsets.append(acc)
+        acc += counts.get(p, 0)
+    off = F.element_at(
+        F.array(*[F.lit(o) for o in offsets]), F.col("pid") + 1)
+
+    w = Window.partitionBy("pid").orderBy("value", "event_id")
+    rank = (F.row_number().over(w) + off).alias("rank")
+
+    base, rem = divmod(n_total, 10)
+    head = rem * (base + 1)  # rows covered by the rem wider buckets
+    r0 = F.col("rank") - 1
+    if base == 0:  # degenerate N < 10: ntile gives one row per bucket
+        bucket = F.col("rank")
+    else:
+        bucket = (
+            F.when(F.col("rank") <= head, F.floor(r0 / (base + 1)) + 1)
+            .otherwise(rem + F.floor((r0 - head) / base) + 1)
+        )
+    b = staged.select("value", rank).select(
+        "value", bucket.cast("int").alias("bucket"))
     return b.groupBy("bucket").agg(
         F.count("*").alias("n"),
         F.round(F.min("value"), 4).alias("lo"),

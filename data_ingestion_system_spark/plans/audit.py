@@ -56,26 +56,51 @@ def _plan_str(df: DataFrame) -> str:
 _BOUNDED_SIDE_ROWS = 1000  # build side provably at most this many rows
 
 
-def _count_bounded_theta_joins(df: DataFrame) -> int:
-    """Count logical joins where Catalyst can PROVE one side tiny
-    (``maxRows`` defined and small — scalar aggregates report Some(1),
-    explicit limits report their bound).  A BroadcastNestedLoopJoin
-    whose build side is such a relation is the standard scalar-attach /
-    bounded-probe pattern, not a scale risk."""
-    n = 0
-    stack = [df._jdf.queryExecution().optimizedPlan()]
+def _iter_tree(node):
+    """Depth-first walk of a Catalyst TreeNode (physical or logical)."""
+    stack = [node]
     while stack:
-        node = stack.pop()
-        if node.getClass().getSimpleName() == "Join":
-            for side in (node.left(), node.right()):
-                mr = side.maxRows()
-                if mr.isDefined() and int(mr.get()) <= _BOUNDED_SIDE_ROWS:
-                    n += 1
-                    break
-        ch = node.children()
+        n = stack.pop()
+        yield n
+        if n.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            stack.append(n.initialPlan())
+            continue
+        ch = n.children()
         for i in range(ch.size()):
             stack.append(ch.apply(i))
-    return n
+
+
+def _theta_join_is_bounded(phys_node) -> bool:
+    """True iff THIS physical theta join's own logical Join has a side
+    Catalyst proves tiny (``maxRows`` defined and small — scalar
+    aggregates report Some(1), explicit limits their bound): the
+    standard scalar-attach / bounded-probe pattern, not a scale risk.
+
+    Boundedness is read off the node's ``logicalLink`` so an unrelated
+    bounded equi join elsewhere in the plan can never launder a genuine
+    all-pairs join past the gate (the r2 form compared global counts and
+    had exactly that false negative)."""
+    ll = phys_node.logicalLink()
+    if not ll.isDefined():
+        return False  # no provenance -> conservative: treat as unbounded
+    logical = ll.get()
+    if logical.getClass().getSimpleName() != "Join":
+        return False
+    for side in (logical.left(), logical.right()):
+        mr = side.maxRows()
+        if mr.isDefined() and int(mr.get()) <= _BOUNDED_SIDE_ROWS:
+            return True
+    return False
+
+
+# operators that bound a window's input when found in its OWN subtree
+_WINDOW_BOUNDERS = {
+    "WindowGroupLimitExec",      # rank-filter pushdown
+    "TakeOrderedAndProjectExec",  # explicit / optimizer-derived top-k
+    "GlobalLimitExec",
+    "LocalLimitExec",
+    "CollectLimitExec",
+}
 
 
 def audit_plan(df: DataFrame) -> PlanAudit:
@@ -93,9 +118,11 @@ def audit_plan(df: DataFrame) -> PlanAudit:
       limit) — the standard corpus-total / bounded-probe pattern.
     * ``global-window``      — an unpartitioned window whose input is
       NOT bounded first: single task holds the whole input.  Exempt
-      when the plan bounds the window's input — a ``WindowGroupLimit``
-      (rank-filter pushdown) or a ``TakeOrderedAndProject`` (explicit
-      or optimizer-derived top-k, e.g. text_zipf_slope) below it.
+      when that window's OWN subtree bounds its input — a
+      ``WindowGroupLimit`` (rank-filter pushdown), a
+      ``TakeOrderedAndProject`` (explicit or optimizer-derived top-k,
+      e.g. text_zipf_slope), or a limit below it; a top-k elsewhere in
+      the plan does not exempt an unrelated window.
 
     warn-level (legitimate in bounded positions, worth eyes):
 
@@ -107,43 +134,36 @@ def audit_plan(df: DataFrame) -> PlanAudit:
     plan = _plan_str(df)
     out = PlanAudit()
 
-    n_theta = (plan.count("CartesianProduct")
-               + plan.count("BroadcastNestedLoopJoin"))
-    if n_theta:
-        if n_theta <= _count_bounded_theta_joins(df):
-            out.findings.append(PlanFinding(
-                "bounded-theta-join", "warn",
-                "non-equi join(s) present but every one has a side "
-                "Catalyst proves <= "
-                f"{_BOUNDED_SIDE_ROWS} rows (scalar attach / bounded "
-                "probe) — safe at any fact scale"))
-        else:
-            code = ("cartesian-product" if "CartesianProduct" in plan
-                    else "nested-loop-join")
-            out.findings.append(PlanFinding(
-                code, "error",
-                "unbounded all-pairs join: scans one side per row of "
-                "the other; rewrite with an equality key (salting, "
-                "banding, interval bucketing) or bound a side"))
-
-    window_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
-    has_group_limit = ("WindowGroupLimit" in plan
-                       or "TakeOrderedAndProject" in plan)
-    for ln in window_lines:
-        # partitioned windows render windowspecdefinition(<part cols>,
-        # <order> ...); the unpartitioned form starts straight at the
-        # ORDER BY spec, so a partition column list is absent before the
-        # first ASC/DESC token
-        spec = ln.split("windowspecdefinition(", 1)[-1]
-        head = spec.split(",", 1)[0]
-        unpartitioned = (" ASC" in head or " DESC" in head)
-        if unpartitioned and not has_group_limit:
-            out.findings.append(PlanFinding(
-                "global-window", "error",
-                "unpartitioned window without a group limit: the whole "
-                "input lands in one task; partition the window or bound "
-                "its input with a top-k first"))
-            break
+    phys = df._jdf.queryExecution().sparkPlan()
+    for node in _iter_tree(phys):
+        cname = node.getClass().getSimpleName()
+        if cname in ("BroadcastNestedLoopJoinExec", "CartesianProductExec"):
+            if _theta_join_is_bounded(node):
+                out.findings.append(PlanFinding(
+                    "bounded-theta-join", "warn",
+                    "non-equi join with a side Catalyst proves <= "
+                    f"{_BOUNDED_SIDE_ROWS} rows (scalar attach / bounded "
+                    "probe) — safe at any fact scale"))
+            else:
+                code = ("cartesian-product"
+                        if cname == "CartesianProductExec"
+                        else "nested-loop-join")
+                out.findings.append(PlanFinding(
+                    code, "error",
+                    "unbounded all-pairs join: scans one side per row of "
+                    "the other; rewrite with an equality key (salting, "
+                    "banding, interval bucketing) or bound a side"))
+        elif (cname in ("WindowExec", "WindowInPandasExec")
+              and node.partitionSpec().isEmpty()):
+            bounded = any(
+                c.getClass().getSimpleName() in _WINDOW_BOUNDERS
+                for c in _iter_tree(node))
+            if not bounded:
+                out.findings.append(PlanFinding(
+                    "global-window", "error",
+                    "unpartitioned window without a group limit below "
+                    "it: the whole input lands in one task; partition "
+                    "the window or bound its input with a top-k first"))
 
     if ("Sort [" in plan and "rangepartitioning" in plan
             and "TakeOrderedAndProject" not in plan):

@@ -65,6 +65,32 @@ def test_scalar_attach_crossjoin_downgraded(spark):
     assert "bounded-theta-join" in audit.codes()
 
 
+def test_unrelated_bounded_join_cannot_launder_cartesian(spark):
+    """ADVICE r2: boundedness must attach to the SPECIFIC theta join.
+    One unbounded all-pairs join plus an unrelated bounded-side equi
+    join in the same plan must still be an error."""
+    a = spark.range(5000).withColumnRenamed("id", "x")
+    b = spark.range(5000).withColumnRenamed("id", "y")
+    dim = spark.range(2000).limit(100).withColumnRenamed("id", "x")
+    laundered = a.join(F.broadcast(dim), "x").crossJoin(b)
+    audit = audit_plan(laundered)
+    assert not audit.ok
+    assert audit.codes() & {"cartesian-product", "nested-loop-join"}
+
+
+def test_unrelated_topk_cannot_exempt_global_window(spark):
+    """ADVICE r2: the group-limit exemption is scoped to each window's
+    own subtree — a top-k elsewhere in the plan must not exempt an
+    unrelated unbounded global window."""
+    ranked = spark.range(1000).withColumn(
+        "r", F.row_number().over(Window.orderBy("id")))
+    topk = spark.range(1000).orderBy(F.col("id").desc()).limit(5)
+    composed = ranked.join(topk.withColumnRenamed("id", "tid"),
+                           ranked.id == F.col("tid"), "left")
+    audit = audit_plan(composed)
+    assert "global-window" in audit.codes()
+
+
 def test_flags_row_python_udf(spark):
     plus = F.udf(lambda v: v + 1, "bigint")
     audit = audit_plan(spark.range(10).select(plus("id").alias("v")))
@@ -85,14 +111,13 @@ def test_declared_queries_scale_safe(spark, sf_dir):
     not a cartesian plan; the LSH families are banded equi-joins.)"""
     import __spark_entry__ as entrymod
 
-    # documented exceptions, each citing its in-code justification:
-    #   agg_equidepth_histogram -- exact ntile semantics pin; docstring
-    #   states the percentile_approx range-bucket swap as the scale path
-    allow = {"agg_equidepth_histogram": {"global-window"}}
+    # ZERO exceptions: r2's sole allowlist entry (agg_equidepth_histogram's
+    # global ntile) was replaced by a distributed exact ranking in r3, so
+    # every declared query clears the gate outright.
     failures = {}
     for name, fn in entrymod.queries().items():
         audit = audit_plan(fn(spark, sf_dir))
-        codes = {f.code for f in audit.errors} - allow.get(name, set())
+        codes = {f.code for f in audit.errors}
         if codes:
             failures[name] = sorted(codes)
     assert not failures, f"declared queries failing plan audit: {failures}"
