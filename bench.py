@@ -89,6 +89,11 @@ def main() -> None:
         "queries": heaviest,
         "loadavg_start": round(load_start[0], 2),
         "loadavg_end": round(os.getloadavg()[0], 2),
+        # best-of-3 absorbs transient stalls, but a run that STARTED on a
+        # busy host is flagged so round-over-round deltas are read with
+        # the right skepticism (r2's apparent regressions were loadavg
+        # 3.5-5.4 co-tenancy, not plan changes)
+        "contended": load_start[0] > 1.5,
         "full": "BENCH_FULL.json",
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -100,6 +100,34 @@ class Catalog:
             if os.path.exists(self.path(name)):
                 self.table(name).createOrReplaceTempView(name)
 
+    def guarded_sql(self, query: str) -> DataFrame:
+        """Submit-time scale gate for USER queries: plan the SQL, run it
+        through the plan linter (plans/audit.py), and REFUSE — raise
+        ``ValueError``, no job launched — anything with an error-level
+        shape (unbounded cartesian/nested-loop join, unpartitioned
+        unbounded window).  The deployment posture for a shared cluster:
+        a query that would serialize 100 TB through one task or scan one
+        side per row of the other dies at submit, not three hours in.
+        Warn-level findings (bounded theta joins, row-Python) pass —
+        they are legitimate in bounded positions.
+
+        The engine's own 142 declared queries all clear this gate with
+        zero exceptions (tests/test_plan_audit.py); this method extends
+        the same contract to ad-hoc SQL against the registered views."""
+        from data_ingestion_system_spark.plans.audit import assert_scale_safe
+
+        df = self.spark.sql(query)
+        assert_scale_safe(df)
+        return df
+
+    def guarded_query(self, df: DataFrame) -> DataFrame:
+        """DataFrame-API twin of :meth:`guarded_sql`: validate an
+        already-built plan against the scale gate before execution."""
+        from data_ingestion_system_spark.plans.audit import assert_scale_safe
+
+        assert_scale_safe(df)
+        return df
+
 
 def _convert_events_ts(df: DataFrame) -> DataFrame:
     """nanos-long -> TIMESTAMP_NTZ.  Integer ``div``, not ``/`` — ns epochs

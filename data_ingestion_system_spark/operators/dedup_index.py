@@ -59,29 +59,48 @@ def banded_rows(docs: DataFrame, *, id_col: str = "doc_id",
 
 
 def write_index(docs: DataFrame, path: str, *, mode: str = "overwrite",
-                id_col: str = "doc_id", text_col: str = "text") -> None:
+                id_col: str = "doc_id", text_col: str = "text",
+                mb: int | None = None) -> None:
     """Materialize (or append to) the signature index.
 
     Partitioned by ``band`` (a fixed, small dir count) and sorted by
     ``bh`` within partitions: a probe for one band hash touches the one
     band directory and skips row groups whose min/max exclude the hash.
+
+    ``mb`` (micro-batch id) stamps every row and becomes the LEADING
+    partition key: a streaming writer that re-runs a batch (foreachBatch
+    is at-least-once) overwrites exactly its own ``mb=<id>`` partition
+    under dynamic partition-overwrite instead of appending duplicate
+    signature rows, and a probe can exclude the in-flight batch's own
+    partial rows (see ``probe_index(exclude_mb=...)``).
     """
-    (banded_rows(docs, id_col=id_col, text_col=text_col)
+    rows = banded_rows(docs, id_col=id_col, text_col=text_col)
+    part_cols = ["band"]
+    if mb is not None:
+        rows = rows.withColumn("mb", F.lit(mb))
+        part_cols = ["mb", "band"]
+    (rows
      .repartition("band")
      .sortWithinPartitions("bh")
-     .write.mode(mode).partitionBy("band").parquet(path))
+     .write.mode(mode)
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy(*part_cols).parquet(path))
 
 
 def append_index(docs: DataFrame, path: str, *, id_col: str = "doc_id",
-                 text_col: str = "text") -> None:
-    write_index(docs, path, mode="append", id_col=id_col,
-                text_col=text_col)
+                 text_col: str = "text", mb: int | None = None) -> None:
+    # with an mb stamp, "append" is dynamic partition OVERWRITE of the
+    # batch's own partition — an idempotent append under replay
+    mode = "append" if mb is None else "overwrite"
+    write_index(docs, path, mode=mode, id_col=id_col,
+                text_col=text_col, mb=mb)
 
 
 def probe_index(spark: SparkSession, path: str, batch: DataFrame,
                 corpus: DataFrame, *, threshold: float = 0.5,
                 id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text",
+                exclude_mb: int | None = None) -> DataFrame:
     """Near-dups of ``batch`` against everything indexed.
 
     Returns (batch_id, corpus_id, jaccard) for verified pairs at or
@@ -90,13 +109,23 @@ def probe_index(spark: SparkSession, path: str, batch: DataFrame,
     an exact verify that reads only candidate docs' text from the
     corpus — never the corpus at large.  ``batch`` ids must not collide
     with indexed ids (ingest ids are monotone in practice).
+
+    ``exclude_mb``: drop index rows stamped with this micro-batch id —
+    on an at-least-once REPLAY the index may already hold the current
+    batch's own partial write, and probing against it would reject docs
+    as duplicates of their same-batch peers, diverging from the
+    original run.  Rows without an ``mb`` stamp (batch-built indexes)
+    are always kept (null-safe comparison).
     """
     probe = banded_rows(batch, id_col=id_col, text_col=text_col)
     # explicit schema: a freshly-bootstrapped index may hold zero files
     # (partitionBy writes no parts for an empty frame), where schema
-    # inference would fail
-    index = spark.read.schema("bh bigint, doc_id bigint, band int") \
+    # inference would fail; `mb` reads as null from files predating the
+    # stamp
+    index = spark.read.schema("bh bigint, doc_id bigint, mb bigint, band int") \
         .parquet(path)
+    if exclude_mb is not None:
+        index = index.filter(~F.col("mb").eqNullSafe(F.lit(exclude_mb)))
     candidates = (
         probe.select(F.col("doc_id").alias("id_b"), "band", "bh")
         .join(index.select(F.col("doc_id").alias("id_a"), "band", "bh"),

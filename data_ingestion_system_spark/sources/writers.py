@@ -362,12 +362,21 @@ def missing_partitions(spark: SparkSession, path: str,
     directory under ``path`` yet.  Listing-only (no data read) — the
     check an orchestrator runs before scheduling a date-range backfill,
     and after it to prove completeness.  Returns values in the order
-    given."""
-    import os
+    given.
 
+    Listing goes through the Hadoop FileSystem API resolved FROM the
+    path (local fs, HDFS, s3a://, abfss:// — whatever the deployment
+    mounts), not ``os.listdir``: the r2 form silently reported every
+    partition missing on an object store.  Partition dir names are
+    Hive-escaped by the writer; date-typed values (the intended use)
+    round-trip unescaped."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     present = set()
-    if os.path.isdir(path):
-        for name in os.listdir(path):
+    if fs.exists(hpath):
+        for status in fs.listStatus(hpath):
+            name = status.getPath().getName()
             if name.startswith(f"{part_col}="):
                 present.add(name.split("=", 1)[1])
     return [v for v in expected if str(v) not in present]

@@ -2,14 +2,31 @@
 
 Wires the incremental MinHash index (operators/dedup_index.py) into a
 Structured Streaming pipeline: documents land as JSON, every micro-batch
-is (1) exact-deduped within itself, (2) probed against the signature
-index of EVERYTHING accepted so far, (3) split into accepted docs and a
-rejected-duplicates audit trail, and (4) the accepted docs' signatures
-are appended to the index — so batch N+1's probe sees batch N without
-ever rescanning text.  State across batches lives in the index table
-(signature rows, ~bands longs/doc), not in streaming state: restarts
-recover it for free from storage, and its size is independent of how
+is (1) exact-deduped within itself, (2) near-dup-deduped WITHIN itself
+(banded self-join + exact verify, min-id wins), (3) probed against the
+signature index of EVERYTHING accepted so far, (4) split into accepted
+docs and a rejected-duplicates audit trail, and (5) the accepted docs'
+signatures are appended to the index — so batch N+1's probe sees batch
+N without ever rescanning text.  State across batches lives in the
+index table (signature rows, ~bands longs/doc), not in streaming state:
+restarts recover it from storage, and its size is independent of how
 the stream is partitioned or resumed.
+
+Exactly-once effects under foreachBatch's at-least-once contract:
+
+* every output (clean corpus, rejects, index) is partitioned by the
+  micro-batch id and written with dynamic partition OVERWRITE — a
+  replayed batch replaces its own partition instead of appending
+  duplicate rows;
+* the history probe EXCLUDES index rows stamped with the current batch
+  id, so a replay that finds its own partial index write cannot reject
+  docs as duplicates of their same-batch peers;
+* a commit marker (``<index>/_commits/<batch_id>``, written last) makes
+  fully-committed batches no-ops on replay.
+
+Together: die at ANY point mid-batch and the replay converges to the
+same final state as an uninterrupted run.  Pinned by
+tests/test_curation_stream.py (replayed-batch and partial-write cases).
 
 At 100 TB/day the cost per batch is O(batch + candidates): signature
 pass over the batch, a band-partition-pruned equi-join against the
@@ -29,9 +46,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
-from data_ingestion_system_spark.operators.dedup import normalized_text
+from data_ingestion_system_spark.operators.dedup import (
+    normalized_text,
+    verify_candidates,
+    word_shingles,
+)
 from data_ingestion_system_spark.operators.dedup_index import (
     append_index,
+    banded_rows,
     probe_index,
     write_index,
 )
@@ -48,8 +70,31 @@ _EMPTY_CLEAN_SCHEMA = "doc_id long, text string, lang string"
 def _clean_store(spark: SparkSession, path: str) -> DataFrame:
     if os.path.isdir(path) and any(
             f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs):
-        return spark.read.parquet(path)
+        return spark.read.parquet(path).select("doc_id", "text", "lang")
     return spark.createDataFrame([], _EMPTY_CLEAN_SCHEMA)
+
+
+def _self_near_dups(batch: DataFrame, threshold: float) -> DataFrame:
+    """Verified near-dup pairs WITHIN one batch: banded self-join on
+    (band, bh) with id_a < id_b, then exact-Jaccard verify.  min-id
+    wins (the same convention as the exact-dedup pass), so the returned
+    ``batch_id`` column is the rejected larger id and ``corpus_id`` the
+    kept smaller one — schema-identical to the history probe's hits."""
+    banded = banded_rows(batch)
+    cands = (
+        banded.select(F.col("doc_id").alias("id_a"), "band", "bh")
+        .join(banded.select(F.col("doc_id").alias("id_b"), "band", "bh"),
+              ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = word_shingles(batch.select("doc_id", "text"), "doc_id", "text")
+    verified = verify_candidates(sh, cands)
+    return (verified.filter(F.col("jaccard") >= threshold)
+            .select(F.col("id_b").alias("batch_id"),
+                    F.col("id_a").alias("corpus_id"),
+                    F.round("jaccard", 4).alias("jaccard")))
 
 
 def start_curation_stream(
@@ -67,20 +112,28 @@ def start_curation_stream(
     """Landing JSON docs -> accepted corpus + rejected-dup audit + index.
 
     Within-batch exact dups collapse first (content fingerprint, min id
-    wins); cross-batch/cross-history near-dups are whatever the index
-    probe verifies at ``threshold``.  Rejects carry the matched corpus
-    doc and the verified Jaccard — the human-auditable reason a doc
-    never entered the corpus (O-27's quarantine pattern applied to
-    content dedup)."""
+    wins), then within-batch NEAR-dups (banded self-probe + exact
+    verify — closing the r2 coverage hole where two near-identical docs
+    in one batch were both accepted and indexed forever); cross-history
+    near-dups are whatever the index probe verifies at ``threshold``.
+    Rejects carry the matched doc and the verified Jaccard — the
+    human-auditable reason a doc never entered the corpus (O-27's
+    quarantine pattern applied to content dedup)."""
     if not os.path.isdir(index_dir):
         # bootstrap an empty, schema-complete index so the first batch's
         # probe is uniform with every later one
         write_index(spark.createDataFrame([], _EMPTY_CLEAN_SCHEMA),
                     index_dir)
 
+    commits_dir = os.path.join(index_dir, "_commits")
+    os.makedirs(commits_dir, exist_ok=True)
+
     raw = (spark.readStream.schema(DOC_SCHEMA).json(landing_dir))
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(commits_dir, str(batch_id))
+        if os.path.exists(marker):
+            return  # batch fully committed before a restart: pure no-op
         batch_df.persist()
         try:
             # (1) within-batch exact dedup: min doc_id per normalized text
@@ -89,22 +142,44 @@ def start_curation_stream(
             keep = fp.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
             batch = (fp.join(keep, ["__fp", "doc_id"], "left_semi")
                      .drop("__fp"))
-            # (2) probe accepted history via the signature index
-            corpus = _clean_store(spark, clean_dir)
-            hits = probe_index(spark, index_dir, batch, corpus,
-                               threshold=threshold).persist()
+            # (2) within-batch near-dup self-probe (min id wins)
+            self_hits = _self_near_dups(batch, threshold).persist()
             try:
-                dup_ids = hits.select(
+                self_losers = self_hits.select(
                     F.col("batch_id").alias("doc_id")).distinct()
-                accepted = batch.join(dup_ids, "doc_id", "left_anti")
-                # (3) accepted docs land; rejects carry their evidence
-                accepted.write.mode("append").parquet(clean_dir)
-                (hits.withColumn("micro_batch", F.lit(batch_id))
-                 .write.mode("append").parquet(rejects_dir))
-                # (4) tomorrow's probe sees today's accepted docs
-                append_index(accepted, index_dir)
+                survivors = batch.join(self_losers, "doc_id", "left_anti")
+                # (3) probe accepted history via the signature index,
+                # excluding any partial same-batch write from a replay
+                corpus = _clean_store(spark, clean_dir)
+                hits = probe_index(spark, index_dir, survivors, corpus,
+                                   threshold=threshold,
+                                   exclude_mb=batch_id).persist()
+                try:
+                    dup_ids = hits.select(
+                        F.col("batch_id").alias("doc_id")).distinct()
+                    accepted = survivors.join(dup_ids, "doc_id", "left_anti")
+                    # (4) accepted docs land; rejects carry their evidence;
+                    # both partitioned on micro_batch + dynamic overwrite
+                    # so a replayed batch replaces itself, never appends
+                    (accepted.withColumn("micro_batch", F.lit(batch_id))
+                     .write.mode("overwrite")
+                     .option("partitionOverwriteMode", "dynamic")
+                     .partitionBy("micro_batch").parquet(clean_dir))
+                    (self_hits.unionByName(hits)
+                     .withColumn("micro_batch", F.lit(batch_id))
+                     .write.mode("overwrite")
+                     .option("partitionOverwriteMode", "dynamic")
+                     .partitionBy("micro_batch").parquet(rejects_dir))
+                    # (5) tomorrow's probe sees today's accepted docs
+                    append_index(accepted, index_dir, mb=batch_id)
+                    # (6) commit marker LAST: anything before this line can
+                    # die and the replay overwrites cleanly
+                    with open(marker, "w") as f:
+                        f.write("committed")
+                finally:
+                    hits.unpersist()
             finally:
-                hits.unpersist()
+                self_hits.unpersist()
         finally:
             batch_df.unpersist()
 

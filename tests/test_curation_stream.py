@@ -69,3 +69,78 @@ def test_curation_stream_rejects_cross_batch_dups(spark, tmp_path):
     # restart with no new files: checkpoint prevents reprocessing
     run()
     assert spark.read.parquet(paths["clean"]).count() == 3
+
+
+def test_curation_stream_rejects_within_batch_near_dups(spark, tmp_path):
+    """Two NEAR-duplicate (non-identical) docs arriving in the SAME
+    micro-batch: the banded self-probe keeps the min id and rejects the
+    other — the r2 coverage hole where both were accepted and indexed
+    permanently."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    paths = {k: str(tmp_path / k)
+             for k in ("clean", "rejects", "index", "ck")}
+    (landing / "b1.json").write_text("\n".join([
+        json.dumps({"doc_id": 5, "text": DOC_A, "lang": "en"}),
+        json.dumps({"doc_id": 6, "text": _perturb(DOC_A), "lang": "en"}),
+    ]))
+    _drain(start_curation_stream(
+        spark, str(landing), paths["clean"], paths["rejects"],
+        paths["index"], paths["ck"], threshold=0.7, available_now=True))
+    clean = spark.read.parquet(paths["clean"])
+    assert {r["doc_id"] for r in clean.collect()} == {5}
+    rejects = spark.read.parquet(paths["rejects"])
+    rej = {(r["batch_id"], r["corpus_id"]) for r in rejects.collect()}
+    assert (6, 5) in rej
+
+
+def test_curation_stream_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: simulate the worst replay (all
+    outputs written, commit marker AND checkpoint lost) and require the
+    re-run to converge to the identical final state — dynamic partition
+    overwrite + same-batch index exclusion, not blind appends."""
+    import shutil
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    paths = {k: str(tmp_path / k)
+             for k in ("clean", "rejects", "index", "ck")}
+    (landing / "b1.json").write_text("\n".join([
+        json.dumps({"doc_id": 1, "text": DOC_A, "lang": "en"}),
+        json.dumps({"doc_id": 2, "text": _perturb(DOC_A), "lang": "en"}),
+        json.dumps({"doc_id": 3, "text": "unrelated filler words aa bb "
+                    "cc dd ee ff gg hh ii jj kk ll mm nn oo pp qq rr",
+                    "lang": "en"}),
+    ]))
+
+    def run():
+        _drain(start_curation_stream(
+            spark, str(landing), paths["clean"], paths["rejects"],
+            paths["index"], paths["ck"], threshold=0.7,
+            available_now=True))
+
+    run()
+
+    def state():
+        clean = {r["doc_id"]
+                 for r in spark.read.parquet(paths["clean"]).collect()}
+        rejects = [(r["batch_id"], r["corpus_id"]) for r in
+                   spark.read.parquet(paths["rejects"]).collect()]
+        idx = spark.read.parquet(paths["index"])
+        return clean, sorted(rejects), idx.count(), idx.distinct().count()
+
+    first = state()
+    assert first[0] == {1, 3}          # 2 rejected as near-dup of 1
+    assert first[2] == first[3]        # index has no duplicate rows
+
+    # lose the checkpoint AND the commit marker: the batch replays fully
+    shutil.rmtree(paths["ck"])
+    import os
+    os.remove(os.path.join(paths["index"], "_commits", "0"))
+    run()
+    assert state() == first
+
+    # marker-present replay (checkpoint lost, marker intact): pure no-op
+    shutil.rmtree(paths["ck"])
+    run()
+    assert state() == first

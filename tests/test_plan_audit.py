@@ -123,6 +123,30 @@ def test_declared_queries_scale_safe(spark, sf_dir):
     assert not failures, f"declared queries failing plan audit: {failures}"
 
 
+def test_guarded_sql_refuses_cartesian_at_submit_time(spark, sf_dir):
+    """The runtime gate the linter exists for: a user's all-pairs SQL is
+    refused when SUBMITTED (ValueError, no job launched); a sane query
+    on the same views returns a DataFrame."""
+    from data_ingestion_system_spark.catalog import Catalog
+
+    cat = Catalog(spark, sf_dir)
+    cat.register_views(("orders", "customer"))
+    with pytest.raises(ValueError, match="cartesian|nested-loop"):
+        cat.guarded_sql(
+            "SELECT * FROM orders o JOIN customer c "
+            "ON o.o_totalprice > c.c_acctbal")
+    ok = cat.guarded_sql(
+        "SELECT c_mktsegment, count(*) AS n FROM customer "
+        "GROUP BY c_mktsegment")
+    assert ok.count() > 0
+
+    # DataFrame-API twin
+    with pytest.raises(ValueError, match="global-window"):
+        cat.guarded_query(cat.orders.withColumn(
+            "r", F.row_number().over(Window.orderBy("o_orderkey"))))
+    assert cat.guarded_query(cat.orders.limit(5)).count() == 5
+
+
 def test_summarize_plan_counts(spark, sf_dir):
     from data_ingestion_system_spark.catalog import Catalog
     from data_ingestion_system_spark.plans.audit import summarize_plan
