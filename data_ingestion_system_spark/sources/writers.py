@@ -382,6 +382,41 @@ def missing_partitions(spark: SparkSession, path: str,
     return [v for v in expected if str(v) not in present]
 
 
+def write_jdbc_batch(df: DataFrame, url: str, table: str, *,
+                     mode: str = "append", batchsize: int = 100,
+                     driver: str | None = None,
+                     max_connections: int | None = None) -> None:
+    """O-8's optional RDBMS branch (the reference's transactional batch
+    insert, ``src/lambda/processQueue.ts:179-190``, batch size 100):
+    JDBC sink with ``batchsize`` rows per executeBatch round-trip.
+
+    Every partition opens ONE connection and streams its rows in
+    batches; ``max_connections`` coalesces first so a 10 000-partition
+    fact frame cannot open 10 000 simultaneous connections against the
+    database — at 100 TB the DB, not Spark, is the bottleneck, so cap
+    writers to what the DB's pool actually serves."""
+    out = df
+    if max_connections is not None:
+        out = out.coalesce(max_connections)
+    w = (out.write.format("jdbc")
+         .option("url", url)
+         .option("dbtable", table)
+         .option("batchsize", str(batchsize)))
+    if driver:
+        w = w.option("driver", driver)
+    w.mode(mode).save()
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str, *,
+              driver: str | None = None) -> DataFrame:
+    """Read-back side of :func:`write_jdbc_batch` (round-trip parity is
+    pinned in tests/test_jdbc_roundtrip.py against embedded Derby)."""
+    r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if driver:
+        r = r.option("driver", driver)
+    return r.load()
+
+
 def read_binary_dir(spark: SparkSession, path: str,
                     max_bytes: int = MAX_ATTACHMENT_BYTES,
                     glob: str | None = None) -> DataFrame:

@@ -165,6 +165,28 @@ HEADLINERS = {
         "node-sized. The plan contains no nested-loop join and no "
         "global sort — the final top-20 is TakeOrderedAndProject."
     ),
+    "agg_equidepth_histogram": (
+        "Exact equi-depth deciles with NO global window (r3: replaced "
+        "the single-task ntile that was the linter's only allowlist "
+        "entry). TeraSort-style ranking: percentile_approx boundaries "
+        "(driver literals) assign a range pid — load balance only; "
+        "per-pid counts give prefix offsets (<= 64 longs collected); "
+        "the Window below is PARTITIONED on pid, so `row_number + "
+        "offset` is the exact global rank, and the ntile fill rule is "
+        "plain literal arithmetic on it. Three pruned-column map passes "
+        "replace one serialized sort; output is bit-identical to the "
+        "DuckDB ntile oracle."
+    ),
+    "dedup_embedding_cosine": (
+        "Label-blocked cosine near-dup after the r3 codegen fix: the "
+        "array<double> cast and the L2 norm are projected in the scan "
+        "stage (once per ROW), so the BroadcastHashJoin consume "
+        "carries one unrolled dot product instead of three dots + 128 "
+        "casts — which in r2 failed janino compilation and silently "
+        "dropped the join to interpreted execution. All spans now "
+        "compile (tests/test_codegen_clean.py runs every declared "
+        "query with codegen.fallback=false)."
+    ),
 }
 
 
