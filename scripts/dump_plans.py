@@ -178,14 +178,17 @@ HEADLINERS = {
         "DuckDB ntile oracle."
     ),
     "dedup_embedding_cosine": (
-        "Label-blocked cosine near-dup after the r3 codegen fix: the "
-        "array<double> cast and the L2 norm are projected in the scan "
-        "stage (once per ROW), so the BroadcastHashJoin consume "
-        "carries one unrolled dot product instead of three dots + 128 "
-        "casts — which in r2 failed janino compilation and silently "
-        "dropped the join to interpreted execution. All spans now "
-        "compile (tests/test_codegen_clean.py runs every declared "
-        "query with codegen.fallback=false)."
+        "Label-blocked cosine near-dup, r3 final form: one shuffle on "
+        "the block key, then an Arrow-batched applyInPandas kernel "
+        "computes all within-block pairs with a vectorized LEFT-FOLD "
+        "loop whose per-dimension order is bit-identical to DuckDB's "
+        "list_dot_product (oracle parity preserved). History: r2's "
+        "unrolled cosine inside the BroadcastHashJoin failed janino "
+        "(silent interpreted fallback, 4.5 s); precomputing norms made "
+        "it COMPILE but the join method exceeded the JVM's 8 KB JIT "
+        "limit and ran bytecode-interpreted (9.4 s). The Arrow kernel "
+        "runs the same arithmetic in 0.8 s at sf0.1 — a 64-wide dot "
+        "per candidate pair is numpy work, not expression-tree work."
     ),
 }
 
