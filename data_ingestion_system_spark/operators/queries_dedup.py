@@ -361,6 +361,83 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
 
 
+_CENT_AVGS = ", ".join(f"avg(v[{i + 1}])" for i in range(64))
+
+_SEMANTIC_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT label AS cid, [{_CENT_AVGS}] AS c FROM e GROUP BY label),
+sims AS (
+  SELECT e.vec_id, x.cid,
+         list_dot_product(e.v, x.c)
+           / (sqrt(list_dot_product(e.v, e.v))
+              * sqrt(list_dot_product(x.c, x.c))) AS s
+  FROM e CROSS JOIN cent x),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS r
+    FROM sims) WHERE r = 1),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE list_dot_product(ea.v, eb.v) /
+        (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
+        >= {COSINE_NEAR_DUP})
+SELECT a.vec_id, a.cid AS cluster_id,
+       a.vec_id NOT IN (SELECT id_b FROM pairs) AS keep
+FROM assign a
+"""
+
+
+@register("dedup_semantic", _SEMANTIC_SQL)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: assign every embedding to
+    its nearest COARSE-QUANTIZER centroid (the learned-cluster stand-in
+    — per-label means, the same codebook the IVF index trains), then
+    prune within each cluster by pairwise cosine: a vector is dropped
+    when a semantically-near neighbor (cos >= threshold) with a smaller
+    id exists in its cluster, keeping exactly one representative per
+    near-dup neighborhood.  This is the embedding-space analogue of the
+    MinHash pipeline — it removes *paraphrase*-level redundancy exact
+    and n-gram dedup cannot see (Abbas et al., SemDeDup, arXiv
+    2303.09540).
+
+    Scale shape: centroid assignment is a map-only Arrow pass with the
+    KB-sized codebook in the closure (faiss posture); the pairwise
+    prune reuses the `_cosine_block_pairs` kernel — one shuffle on the
+    cluster key, O(cluster² · d) vectorized numpy per cluster, and the
+    cluster count (not the corpus) is the driver-side knob.  Fully
+    oracle-checked: DuckDB replays centroids, the stable
+    nearest-centroid assignment, the within-cluster pair scan, and the
+    min-id keep rule (assignment-replay pattern proven by
+    `sim_topk_ivf`)."""
+    from data_ingestion_system_spark.operators.similarity import (
+        ivf_assign_udf,
+        label_centroids,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    cents = label_centroids(cat.embeddings.select("label", "embedding"))
+    assign = ivf_assign_udf(cents, nprobe=1)
+    clustered = (cat.embeddings.select("vec_id", "embedding")
+                 .withColumn("cluster_id",
+                             F.element_at(assign(F.col("embedding")), 1)))
+    pairs = (clustered
+             .select(F.col("cluster_id").alias("label"), "vec_id",
+                     "embedding")
+             .groupBy("label")
+             .applyInPandas(_cosine_block_pairs,
+                            "id_a long, id_b long, cos_raw double"))
+    drops = pairs.select(F.col("id_b").alias("vec_id")).distinct() \
+        .withColumn("dropped", F.lit(True))
+    return (clustered
+            .join(F.broadcast(drops), "vec_id", "left")
+            .select("vec_id", "cluster_id",
+                    F.col("dropped").isNull().alias("keep")))
+
+
 CONTAINMENT_THRESHOLD = 0.8
 
 

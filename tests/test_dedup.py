@@ -149,3 +149,49 @@ def test_containment_catches_subset_doc(spark):
     assert c == 1.0          # every quote shingle inside the host
     assert j < 0.1           # symmetric metric misses the pair
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_semantic_dedup_keeps_one_representative(spark, sf_dir):
+    """dedup_semantic: recompute the within-cluster near-dup graph in
+    numpy and require (a) a vector is dropped iff it has a near-dup
+    neighbor with a smaller id in ITS cluster, (b) the min id of every
+    cluster is kept, and (c) at least one vector assigns to a DIFFERENT
+    cluster than its source label (the learned assignment is not just
+    label blocking)."""
+    import numpy as np
+
+    from data_ingestion_system_spark import registry
+    from data_ingestion_system_spark.catalog import Catalog
+    from data_ingestion_system_spark.operators.queries_dedup import (
+        COSINE_NEAR_DUP,
+    )
+
+    sem = registry.queries()["dedup_semantic"](spark, sf_dir).collect()
+    emb = {r["vec_id"]: (np.array(r["embedding"], dtype=np.float64),
+                         r["label"])
+           for r in Catalog(spark, sf_dir).embeddings.collect()}
+
+    by_cluster = {}
+    for r in sem:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["vec_id"])
+    expected_drop = set()
+    for ids in by_cluster.values():
+        ids = sorted(ids)
+        for j, b in enumerate(ids):
+            vb = emb[b][0]
+            for a in ids[:j]:
+                va = emb[a][0]
+                cos = float(va @ vb) / (np.linalg.norm(va)
+                                        * np.linalg.norm(vb))
+                if cos >= COSINE_NEAR_DUP:
+                    expected_drop.add(b)
+                    break
+
+    dropped = {r["vec_id"] for r in sem if not r["keep"]}
+    kept = {r["vec_id"] for r in sem if r["keep"]}
+    assert dropped == expected_drop
+    assert {min(ids) for ids in by_cluster.values()} <= kept
+    # the coarse quantizer genuinely re-assigns some boundary vectors
+    moved = [r["vec_id"] for r in sem
+             if r["cluster_id"] != emb[r["vec_id"]][1]]
+    assert moved, "assignment degenerated to label blocking"

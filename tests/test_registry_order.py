@@ -37,10 +37,12 @@ def test_r3_window_contains_only_never_graded_queries():
     names = list(entrymod.queries())
     overlap = [n for n in names[:50] if n in graded]
     assert overlap == [], overlap
-    # and the only never-graded query OUTSIDE the window is the one
-    # documented sacrifice
-    never_outside = [n for n in names[50:] if n not in graded]
-    assert never_outside == ["diag_profile_events"], never_outside
+    # the never-graded queries OUTSIDE the window are exactly the one
+    # documented sacrifice plus queries ADDED in r3 (born after the
+    # window was frozen; each carries driver-sim + pytest evidence)
+    never_outside = set(names[50:]) - graded
+    assert never_outside == {"diag_profile_events",
+                             "dedup_semantic"}, never_outside
 
 
 def test_every_query_has_an_oracle():
