@@ -47,10 +47,15 @@ def zscore_builtin(events: DataFrame) -> DataFrame:
     same partition, one shuffle, fully codegen'd; numerically equal to
     the pandas twin well past 4 decimals."""
     w = Window.partitionBy("user_id")
+    # + 0.0 normalizes IEEE negative zero: round() of a tiny negative
+    # deviation yields -0.0, which value-level canonicalizers ("%g")
+    # print as "-0" and mismatch the other engine's "0" (surfaced at
+    # sf0.1); both this and the oracle SQL add the same term
     return events.select(
         "event_id", "user_id",
-        F.round((F.col("value") - F.avg("value").over(w))
-                / F.stddev_samp("value").over(w), 4).alias("zscore"),
+        (F.round((F.col("value") - F.avg("value").over(w))
+                 / F.stddev_samp("value").over(w), 4) + F.lit(0.0))
+        .alias("zscore"),
     )
 
 

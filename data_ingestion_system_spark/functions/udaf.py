@@ -25,8 +25,14 @@ from pyspark.sql.functions import pandas_udf
 
 @pandas_udf("double")
 def geometric_mean(v: pd.Series) -> float:
-    """exp(mean(ln(v))) over one group's values (requires v > 0)."""
-    return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+    """exp(mean(ln(v))) over one group's POSITIVE values — zeros and
+    negatives are excluded (the standard practical treatment: one zero
+    would otherwise collapse the whole group's mean to 0/NaN; sf0.1
+    events contain genuine zero values).  Mirrors the oracle's
+    ``avg(ln(value)) FILTER (WHERE value > 0)``."""
+    x = v.to_numpy(dtype="float64")
+    x = x[x > 0]
+    return float(np.exp(np.log(x).mean()))
 
 
 @pandas_udf("long")
@@ -39,5 +45,7 @@ def n_values(v: pd.Series) -> int:
 
 def geometric_mean_builtin(col) -> "F.Column":
     """The decomposed built-in form — partial-aggregating, shuffle-light;
-    bit-compatible with the UDAF to well past 4 decimals."""
-    return F.exp(F.avg(F.ln(col)))
+    bit-compatible with the UDAF to well past 4 decimals.  The when()
+    guard nulls out non-positive values so avg skips them, matching the
+    UDAF's positive-subset semantics."""
+    return F.exp(F.avg(F.ln(F.when(col > 0, col))))

@@ -721,7 +721,7 @@ def agg_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("agg_zscore_by_user", """
 SELECT event_id, user_id,
        round((value - avg(value) OVER (PARTITION BY user_id))
-             / stddev_samp(value) OVER (PARTITION BY user_id), 4) AS zscore
+             / stddev_samp(value) OVER (PARTITION BY user_id), 4) + 0.0 AS zscore
 FROM events
 """)
 def agg_zscore_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -122,15 +122,18 @@ def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("agg_geomean_udaf", """
-SELECT event_type, round(exp(avg(ln(value))), 4) AS geo_mean, count(*) AS n
+SELECT event_type,
+       round(exp(avg(ln(CASE WHEN value > 0 THEN value END))), 4) AS geo_mean,
+       count(*) AS n
 FROM events GROUP BY event_type
 """)
 def agg_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom aggregate via Arrow-batched GROUPED_AGG pandas UDF
     (functions/udaf.py) — the UDAF surface the reference lacks entirely
     (SURVEY.md §2.12).  The oracle is the decomposed built-in form
-    exp(avg(ln x)); agreement to 4 decimals also regression-checks the
-    UDAF against the shuffle-light rewrite hot paths should use."""
+    exp(avg(ln x) over the positive subset — sf0.1 contains zero
+    values); agreement to 4 decimals also regression-checks the UDAF
+    against the shuffle-light rewrite hot paths should use."""
     from data_ingestion_system_spark.functions.udaf import (
         geometric_mean,
         n_values,

@@ -639,10 +639,10 @@ def sim_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
 d AS (SELECT i AS dim, v[i + 1] AS x FROM e, UNNEST(range(len(v))) AS t(i))
 SELECT dim, count(*) AS n_vals,
-       round(avg(x), 4) AS mean_x,
+       round(avg(x), 4) + 0.0 AS mean_x,
        round(stddev_samp(x), 4) AS sd_x,
-       round(min(x), 6) AS min_x,
-       round(max(x), 6) AS max_x
+       round(min(x), 6) + 0.0 AS min_x,
+       round(max(x), 6) + 0.0 AS max_x
 FROM d GROUP BY dim
 """)
 def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -661,10 +661,12 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dim")
         .agg(
             F.count(F.lit(1)).alias("n_vals"),
-            F.round(F.avg("x"), 4).alias("mean_x"),
+            # + 0.0 folds IEEE -0.0 to +0.0 (matches the oracle's same
+            # term; a -0.0004 mean rounds to "-0" vs "0" at sf0.1)
+            (F.round(F.avg("x"), 4) + F.lit(0.0)).alias("mean_x"),
             F.round(F.stddev_samp("x"), 4).alias("sd_x"),
-            F.round(F.min("x"), 6).alias("min_x"),
-            F.round(F.max("x"), 6).alias("max_x"),
+            (F.round(F.min("x"), 6) + F.lit(0.0)).alias("min_x"),
+            (F.round(F.max("x"), 6) + F.lit(0.0)).alias("max_x"),
         )
     )
 
