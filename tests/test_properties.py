@@ -275,3 +275,76 @@ def test_pagerank_mass_and_positivity(spark, edges):
     total = sum(r["pr"] for r in rows)
     assert all(r["pr"] > 0 for r in rows)
     assert abs(total - 1.0) < 1e-9
+
+
+join_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=4),     # key (few -> hot)
+              st.integers(min_value=-50, max_value=50)),  # payload
+    min_size=0, max_size=30,
+)
+dim_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=6),     # key (some absent)
+              st.integers(min_value=-50, max_value=50)),  # attr
+    min_size=0, max_size=8, unique_by=lambda t: t[0],
+)
+
+
+@SPARK_SETTINGS
+@given(probe=join_rows, build=dim_rows, salt=st.integers(min_value=1, max_value=5))
+def test_salted_join_equals_plain_join(spark, probe, build, salt):
+    """Salting must be invisible in the RESULT: identical row multiset to
+    the plain join for both inner and left, on adversarial inputs (hot
+    keys, keys absent from the build side, empty relations, salt=1)."""
+    from data_ingestion_system_spark.operators.skew import salted_join
+
+    p = spark.createDataFrame(probe or [(0, 0)], "k int, v int")
+    b = spark.createDataFrame(build or [(99, 0)], "k int, a int")
+    if not probe:
+        p = p.limit(0)
+    if not build:
+        b = b.limit(0)
+    for how in ("inner", "left"):
+        plain = sorted(map(tuple, p.join(b, "k", how).collect()))
+        salted = sorted(map(tuple, salted_join(p, b, "k", salt=salt,
+                                               how=how).collect()))
+        assert salted == plain, (how, salt)
+
+
+text_docs = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=99),
+              st.sampled_from(["a b  c", "A b c", " a b c ", "x", "x ",
+                               "", "a\tb\nc", "A  B C"])),
+    min_size=1, max_size=20, unique_by=lambda t: t[0],
+)
+
+
+@SPARK_SETTINGS
+@given(docs=text_docs)
+def test_exact_dedup_survivors_reference(spark, docs):
+    """Survivor set == min id per whitespace/case-normalized text, per an
+    independent Python reference; idempotent on its own output."""
+    import hashlib
+    import re
+
+    from data_ingestion_system_spark.operators.dedup import (
+        exact_dedup_survivors,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["doc_id"], r["fingerprint"])
+           for r in exact_dedup_survivors(df, "doc_id", "text").collect()}
+
+    ref = {}
+    for i, t in docs:
+        norm = re.sub(r"\s+", " ", t.strip().lower())
+        ref.setdefault(norm, []).append(i)
+    expected = {(min(ids), hashlib.md5(norm.encode()).hexdigest())
+                for norm, ids in ref.items()}
+    assert got == expected
+
+    survivors = [i for i, _ in expected]
+    twice = exact_dedup_survivors(
+        df.join(spark.createDataFrame([(i,) for i in survivors],
+                                      "doc_id long"), "doc_id", "left_semi"),
+        "doc_id", "text").collect()
+    assert {(r["doc_id"], r["fingerprint"]) for r in twice} == expected
