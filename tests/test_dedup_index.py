@@ -84,3 +84,37 @@ def test_index_is_signature_sized(spark, sf_dir, corpus, tmp_path):
     assert set(df.columns) == {"band", "bh", "doc_id"}
     n_docs = corpus.count()
     assert df.count() == 8 * n_docs          # BANDS rows per doc
+
+
+def test_probe_exclude_mb_skips_own_partial_write(spark, tmp_path):
+    """Replay semantics: an index write stamped with micro-batch id N is
+    invisible to a probe excluding N (its own partial write on replay),
+    visible to every other probe; un-stamped (batch-API) rows survive
+    any exclusion (null-safe comparison)."""
+    doc = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+           "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi")
+    idx = str(tmp_path / "idx_mb")
+    corpus = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    write_index(corpus, idx, mb=5)
+
+    probe_doc = spark.createDataFrame([(2, _perturb(doc))],
+                                      "doc_id long, text string")
+    # normal probe and a DIFFERENT batch's probe both see the near-dup
+    assert probe_index(spark, idx, probe_doc, corpus).count() == 1
+    assert probe_index(spark, idx, probe_doc, corpus,
+                       exclude_mb=6).count() == 1
+    # the stamping batch's own replay does not
+    assert probe_index(spark, idx, probe_doc, corpus,
+                       exclude_mb=5).count() == 0
+
+    # un-stamped rows (batch API) are never excluded
+    idx2 = str(tmp_path / "idx_plain")
+    write_index(corpus, idx2)
+    assert probe_index(spark, idx2, probe_doc, corpus,
+                       exclude_mb=5).count() == 1
+
+    # mb-stamped "append" is dynamic overwrite of its own partition:
+    # writing batch 5 twice leaves ONE copy of its signature rows
+    append_index(corpus, idx, mb=5)
+    rows = spark.read.parquet(idx)
+    assert rows.count() == rows.distinct().count() == 8  # BANDS per doc
