@@ -165,6 +165,15 @@ HEADLINERS = {
         "node-sized. The plan contains no nested-loop join and no "
         "global sort — the final top-20 is TakeOrderedAndProject."
     ),
+    "dedup_semantic": (
+        "SemDeDup-style semantic dedup (r3): coarse-centroid assignment "
+        "is a map-only ArrowEvalPython pass (KB codebook in the "
+        "closure), the within-cluster pairwise prune is the cogrouped "
+        "Arrow kernel behind one shuffle on the cluster key "
+        "(FlatMapGroupsInPandas), and the min-id keep rule is a "
+        "broadcast left join on the dropped-id set — no cartesian, no "
+        "global structure, cluster count is the scale knob."
+    ),
     "agg_equidepth_histogram": (
         "Exact equi-depth deciles with NO global window (r3: replaced "
         "the single-task ntile that was the linter's only allowlist "
