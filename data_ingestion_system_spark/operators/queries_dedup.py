@@ -432,8 +432,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "id_a long, id_b long, cos_raw double"))
     drops = pairs.select(F.col("id_b").alias("vec_id")).distinct() \
         .withColumn("dropped", F.lit(True))
+    # NO broadcast hint: the dropped set scales with the corpus dup
+    # rate (could be a large fraction at 100 TB) — AQE picks broadcast
+    # when it is actually small, hash join when it is not
     return (clustered
-            .join(F.broadcast(drops), "vec_id", "left")
+            .join(drops, "vec_id", "left")
             .select("vec_id", "cluster_id",
                     F.col("dropped").isNull().alias("keep")))
 
@@ -544,7 +547,9 @@ def dedup_cleaning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     cascade coupling between stages).  Each flag reuses the operator
     already graded on its own row (exact_dedup_survivors,
     jaccard_pairs + connected_components, cross_corpus_overlap); the
-    membership joins are broadcast-sized (flag sets, not corpora).  At
+    membership joins are un-hinted so AQE broadcasts only the flag sets
+    that are ACTUALLY small at runtime (exact_keep is corpus-sized by
+    construction; near/cont scale with the dirt rate).  At
     100 TB the near-dup pair stage upgrades to MinHash-LSH candidates
     exactly as dedup_minhash_lsh documents; the exact pair graph here
     keeps the whole report oracle-checkable."""
@@ -569,9 +574,15 @@ def dedup_cleaning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         docs.select("doc_id")
-        .join(F.broadcast(flag(exact_keep, "is_kept_exact")), "doc_id", "left")
-        .join(F.broadcast(flag(near, "is_near")), "doc_id", "left")
-        .join(F.broadcast(flag(cont, "is_cont")), "doc_id", "left")
+        # NO broadcast hints: exact_keep is CORPUS-sized by construction
+        # (one row per unique doc) and near/cont scale with the dup /
+        # contamination rate — forcing broadcast here would OOM a dirty
+        # 100 TB corpus; AQE broadcasts the genuinely small ones at
+        # runtime and hash-joins the rest (all three join on doc_id, so
+        # the probe side shuffles once and reuses the partitioning)
+        .join(flag(exact_keep, "is_kept_exact"), "doc_id", "left")
+        .join(flag(near, "is_near"), "doc_id", "left")
+        .join(flag(cont, "is_cont"), "doc_id", "left")
         .select(
             "doc_id",
             F.when(F.col("is_kept_exact").isNull(), "exact_dup")
