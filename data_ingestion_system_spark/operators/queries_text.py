@@ -135,11 +135,14 @@ def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-model quality filtering, unigram form (the CCNet/Wiki-LM
     perplexity gate reduced to its distributable core): train the
     unigram model ON the corpus (one grouped count), then score each
-    document by mean negative log-likelihood of its tokens.  The
-    vocabulary and the 1-row total BROADCAST into the scoring join, so
-    scoring is one map-side pass over the exploded tokens plus the final
-    per-doc aggregation.  Swapping the corpus model for an external
-    n-gram table changes only the broadcast input."""
+    document by mean negative log-likelihood of its tokens.  The scoring
+    join on the token key is deliberately UN-hinted: Heaps' law makes a
+    whitespace vocabulary grow without practical bound on web-scale text
+    (typos, numbers, URLs), so forcing a vocab broadcast would OOM at
+    100 TB — AQE broadcasts a small vocab at runtime and falls back to
+    a hash join on `w` (co-partitioned with the exploded tokens) when it
+    is not.  The 1-row total always broadcasts.  Swapping the corpus
+    model for an external n-gram table changes only that input."""
     cat = Catalog(spark, sf_dir)
     words = cat.documents.select(
         "doc_id",
@@ -147,7 +150,7 @@ def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = words.groupBy("w").agg(F.count("*").alias("c"))
     tot = freq.agg(F.sum("c").alias("n"))
     return (
-        words.join(F.broadcast(freq), "w")
+        words.join(freq, "w")
         .join(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
@@ -401,7 +404,10 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF keyword extraction: top-3 terms per document.  Term
     frequencies aggregate once on (doc_id, term); document frequencies
     derive from THAT aggregate (one extra shuffle over vocab-sized, not
-    corpus-sized, data) and broadcast back with the 1-row corpus count;
+    corpus-sized, data) and join back UN-hinted on the term key (AQE
+    broadcasts a small vocab, hash-joins a web-scale one — a forced
+    vocab broadcast would OOM under Heaps' law) with the 1-row corpus
+    count always broadcast;
     the per-doc top-3 is a window over the doc_id partitioning the tf
     aggregate already produced — no second pass over raw text.  Ranking
     compares the ROUNDED score (6 dp) with a term tie-break so the
@@ -415,7 +421,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tf.groupBy("w").agg(F.count("*").alias("dfreq"))
     nd = cat.documents.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "w")
+        tf.join(dfreq, "w")
         .join(F.broadcast(nd))
         .select(
             "doc_id", F.col("w").alias("term"),
