@@ -290,37 +290,65 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat.documents, "doc_id", "text", "source", BENCHMARK_SOURCE, n=5)
 
 
+_PAIR_SLAB_ROWS = 256
+
+
 def _cosine_block_pairs(key, pdf):
     """All (id_a < id_b) cosine pairs within ONE label block, vectorized
-    over pairs with a LEFT-FOLD accumulation loop over dimensions:
-    ``acc += A[:,k] * B[:,k]`` adds term k to every pair's partial sum in
-    the SAME order as DuckDB's ``list_dot_product`` left-to-right fold
-    (and as functions/vectors.dot_fixed), so results are bit-identical
-    to the oracle — np.dot/BLAS would reassociate and drift.  Threshold
-    filtering happens here so only survivors cross Arrow."""
+    with a LEFT-FOLD accumulation loop over dimensions: term k is added
+    to every pair's partial sum in the SAME order as DuckDB's
+    ``list_dot_product`` left-to-right fold (and as
+    functions/vectors.dot_fixed), so results are bit-identical to the
+    oracle — np.dot/BLAS would reassociate and drift.
+
+    Memory is bounded by ROW-SLAB chunking: pairs are generated
+    ``_PAIR_SLAB_ROWS`` left-rows at a time against the full block, so
+    peak memory is O(slab × n) doubles plus the survivors — never the
+    O(n² × d) gather a naive ``M[triu_indices]`` materializes, which is
+    what keeps a 100 TB block (n in the tens of thousands per cluster)
+    inside one executor's memory.  Threshold filtering happens per slab
+    so only survivors accumulate and cross Arrow."""
     import numpy as np
     import pandas as pd
 
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_raw": []}).astype(
+        {"id_a": "int64", "id_b": "int64", "cos_raw": "float64"})
     n = len(pdf)
     if n < 2:
-        return pd.DataFrame({"id_a": [], "id_b": [], "cos_raw": []}).astype(
-            {"id_a": "int64", "id_b": "int64", "cos_raw": "float64"})
+        return empty
     order = np.argsort(pdf["vec_id"].values)
-    ids = pdf["vec_id"].values[order]
+    ids = pdf["vec_id"].values[order].astype(np.int64)
     M = np.stack(pdf["embedding"].values[order]).astype(np.float64)
-    ia, ib = np.triu_indices(n, k=1)
-    A, B = M[ia], M[ib]
     dim = M.shape[1]
-    dot = np.zeros(len(ia))
     na = np.zeros(n)
     for k in range(dim):
-        dot += A[:, k] * B[:, k]
         na += M[:, k] * M[:, k]
     norm = np.sqrt(na)
-    cos = dot / (norm[ia] * norm[ib])
-    m = cos >= COSINE_NEAR_DUP
-    return pd.DataFrame({"id_a": ids[ia[m]], "id_b": ids[ib[m]],
-                         "cos_raw": cos[m]})
+
+    out_a, out_b, out_c = [], [], []
+    for i0 in range(0, n - 1, _PAIR_SLAB_ROWS):
+        i1 = min(i0 + _PAIR_SLAB_ROWS, n - 1)
+        c = i1 - i0
+        # (c, n) dot slab: row r holds dots of left-row i0+r against every
+        # block row; the k-loop preserves per-pair left-fold order
+        dots = np.zeros((c, n))
+        for k in range(dim):
+            dots += M[i0:i1, k, None] * M[None, :, k]
+        cos = dots / (norm[i0:i1, None] * norm[None, :])
+        # keep only j > i (upper triangle relative to absolute index)
+        jj = np.arange(n)[None, :]
+        ii = np.arange(i0, i1)[:, None]
+        m = (jj > ii) & (cos >= COSINE_NEAR_DUP)
+        r, j = np.nonzero(m)
+        if len(r):
+            out_a.append(ids[r + i0])
+            out_b.append(ids[j])
+            out_c.append(cos[r, j])
+    if not out_a:
+        return empty
+    return pd.DataFrame({"id_a": np.concatenate(out_a),
+                         "id_b": np.concatenate(out_b),
+                         "cos_raw": np.concatenate(out_c)})
 
 
 @register("dedup_embedding_cosine", f"""
