@@ -120,6 +120,8 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
 
     bands=8 x rows=4 over 32 perms -> collision prob ~ 1-(1-j^4)^8:
     ~0.97 at j=0.7, ~0.2 at j=0.3 — tuned for the 0.5+ near-dup regime.
+    For a different target threshold, pick (bands, rows) with ``tune_lsh``
+    and pass num_perm = bands * rows here.
     """
     rows = num_perm // bands
     band_cols = [
@@ -136,6 +138,59 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def lsh_candidate_prob(s: float, bands: int, rows: int) -> float:
+    """P(some band collides | Jaccard s) = 1 - (1 - s^rows)^bands —
+    the banded-minhash S-curve (MMDS §3.4.3)."""
+    return 1.0 - (1.0 - s ** rows) ** bands
+
+
+def _lsh_error(threshold: float, bands: int, rows: int,
+               fp_weight: float, fn_weight: float, grid: int) -> float:
+    """Weighted S-curve error: FP mass below the threshold plus FN mass
+    above it, by midpoint-rule quadrature on ``grid`` cells."""
+    fp = fn = 0.0
+    for i in range(grid):
+        s = (i + 0.5) / grid
+        p = lsh_candidate_prob(s, bands, rows)
+        if s < threshold:
+            fp += p
+        else:
+            fn += 1.0 - p
+    return (fp_weight * fp + fn_weight * fn) / grid
+
+
+def tune_lsh(threshold: float, num_perm: int = 32,
+             fp_weight: float = 0.5, fn_weight: float = 0.5,
+             grid: int = 200) -> tuple[int, int]:
+    """Choose (bands, rows_per_band) for ``lsh_candidate_pairs``.
+
+    Scans every (b, r) with b * r <= num_perm and returns the argmin of
+    the weighted false-positive + false-negative area of the S-curve
+    P(s) = 1 - (1 - s^r)^b around ``threshold`` — the same public tuning
+    objective the datasketch library documents.  Driver-side pure math
+    (O(num_perm log num_perm * grid) evaluations); call once, then pass
+    ``bands`` (and num_perm = bands * rows) into the banding stage.
+
+    Raise ``fp_weight`` when the verify stage is the bottleneck (pay for
+    precision), ``fn_weight`` when recall matters more than candidate
+    volume (the usual near-dup-dedup setting).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if num_perm < 1:
+        raise ValueError(f"num_perm must be >= 1, got {num_perm}")
+    best: tuple[int, int] | None = None
+    best_err = float("inf")
+    for b in range(1, num_perm + 1):
+        for r in range(1, num_perm // b + 1):
+            err = _lsh_error(threshold, b, r, fp_weight, fn_weight, grid)
+            if err < best_err:
+                best_err = err
+                best = (b, r)
+    assert best is not None
+    return best
 
 
 def verify_candidates(sh: DataFrame, candidates: DataFrame,

@@ -195,3 +195,54 @@ def test_semantic_dedup_keeps_one_representative(spark, sf_dir):
     moved = [r["vec_id"] for r in sem
              if r["cluster_id"] != emb[r["vec_id"]][1]]
     assert moved, "assignment degenerated to label blocking"
+
+
+# ---- tune_lsh: pure driver-side math, no Spark fixture needed ----
+
+def test_tune_lsh_argmin_and_budget():
+    """Returned (b, r) respects the permutation budget and is the true
+    argmin of the exported error function over every valid pair."""
+    for threshold, num_perm in [(0.5, 32), (0.8, 64), (0.3, 16)]:
+        b, r = D.tune_lsh(threshold, num_perm)
+        assert b >= 1 and r >= 1 and b * r <= num_perm
+        err = D._lsh_error(threshold, b, r, 0.5, 0.5, 200)
+        for bb in range(1, num_perm + 1):
+            for rr in range(1, num_perm // bb + 1):
+                assert err <= D._lsh_error(threshold, bb, rr, 0.5, 0.5, 200) + 1e-12
+
+
+def test_tune_lsh_threshold_monotonicity():
+    """Higher target thresholds need steeper curves: rows-per-band at
+    t=0.9 strictly exceeds rows-per-band at t=0.2 (same budget)."""
+    _, r_low = D.tune_lsh(0.2, 64)
+    _, r_high = D.tune_lsh(0.9, 64)
+    assert r_high > r_low
+
+
+def test_tune_lsh_weights_shift_tradeoff():
+    """Weighting FPs harder must not loosen the filter: candidate
+    probability below the threshold can only drop (more precision)."""
+    b_bal, r_bal = D.tune_lsh(0.5, 64, fp_weight=0.5, fn_weight=0.5)
+    b_fp, r_fp = D.tune_lsh(0.5, 64, fp_weight=0.95, fn_weight=0.05)
+    s = 0.3  # well below threshold
+    assert (D.lsh_candidate_prob(s, b_fp, r_fp)
+            <= D.lsh_candidate_prob(s, b_bal, r_bal) + 1e-12)
+
+
+def test_tune_lsh_scurve_midpoint_near_threshold():
+    """The (1/b)^(1/r) S-curve midpoint of the tuned params lands close
+    to the requested threshold (within 0.15 at a 128-perm budget)."""
+    for t in (0.4, 0.5, 0.7):
+        b, r = D.tune_lsh(t, 128)
+        midpoint = (1.0 / b) ** (1.0 / r)
+        assert abs(midpoint - t) < 0.15
+
+
+def test_tune_lsh_validates_inputs():
+    import pytest
+    with pytest.raises(ValueError):
+        D.tune_lsh(0.0, 32)
+    with pytest.raises(ValueError):
+        D.tune_lsh(1.0, 32)
+    with pytest.raises(ValueError):
+        D.tune_lsh(0.5, 0)
