@@ -59,7 +59,7 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str):
     return _IVF_CENTROIDS[sf_dir]
 
 
-@register("sim_topk_bruteforce", f"""
+_BF_SQL = f"""
 WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id < {N_QUERIES}),
 c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
@@ -75,7 +75,10 @@ ranked AS (
   FROM scored)
 SELECT qid, vec_id, round(cos, 6) AS cosine, rnk
 FROM ranked WHERE rnk <= {K}
-""")
+"""
+
+
+@register("sim_topk_bruteforce", _BF_SQL)
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for 5 query vectors (the ANN ground truth)."""
     corpus, queries = _corpus_queries(spark, sf_dir)
@@ -774,3 +777,46 @@ def emb_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * F.sqrt(F.sum(F.col("cb") * F.col("cb")))), 6)
              .alias("centroid_cosine"))
     )
+
+
+def _ann_recall_sql() -> str:
+    """Recall@k oracle: DuckDB replays BOTH the exact brute-force top-k
+    and the literal-plane SRP-LSH top-k (nested-WITH CTEs), then counts
+    the overlap per query — so a drift in either Spark path breaks the
+    hash match."""
+    return f"""
+WITH exact AS ({_BF_SQL}),
+approx AS ({_lsh_oracle_sql()})
+SELECT e.qid, count(a.vec_id) AS n_hit,
+       round(count(a.vec_id) / {K}.0, 6) AS recall_at_k
+FROM exact e
+LEFT JOIN approx a ON a.qid = e.qid AND a.vec_id = e.vec_id
+GROUP BY e.qid
+"""
+
+
+@register("sim_ann_recall", _ann_recall_sql())
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate as a first-class query: recall@10 of the SRP-LSH
+    path against the exact brute-force ranking, per query vector.
+
+    At 100 TB this is the diagnostic you run on a SAMPLE of queries to
+    decide if the index parameters (tables/bits, or tune_lsh output for
+    the minhash family) still meet the recall SLO after a corpus drift —
+    the exact side stays cheap because it scores only the sampled
+    queries, broadcast against the corpus, while the ANN side reuses the
+    serving plan unchanged.
+    """
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    exact = topk_bruteforce(corpus, queries, k=K).select("qid", "vec_id")
+    approx = (topk_lsh(corpus, queries, k=K)
+              .select(F.col("qid").alias("aqid"),
+                      F.col("vec_id").alias("avid")))
+    joined = exact.join(
+        approx,
+        (F.col("qid") == F.col("aqid")) & (F.col("vec_id") == F.col("avid")),
+        "left")
+    return (joined.groupBy("qid")
+            .agg(F.count("avid").alias("n_hit"))
+            .select("qid", "n_hit",
+                    F.round(F.col("n_hit") / K, 6).alias("recall_at_k")))

@@ -42,7 +42,8 @@ def test_r3_window_contains_only_never_graded_queries():
     # window was frozen; each carries driver-sim + pytest evidence)
     never_outside = set(names[50:]) - graded
     assert never_outside == {"diag_profile_events",
-                             "dedup_semantic"}, never_outside
+                             "dedup_semantic",
+                             "sim_ann_recall"}, never_outside
 
 
 def test_every_query_has_an_oracle():
