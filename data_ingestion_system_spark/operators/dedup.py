@@ -83,7 +83,7 @@ def jaccard_pairs(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return (
         common.join(sa, "id_a").join(sb, "id_b")
         .select(
-            "id_a", "id_b",
+            "id_a", "id_b", "n_common",
             (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
             .alias("jaccard"),
         )

@@ -622,3 +622,46 @@ def dedup_cleaning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decision",
             F.when(F.col("reason") == "keep", "keep").otherwise("drop"))
     )
+
+
+@register("dedup_source_overlap", """
+WITH toks AS (
+  SELECT source, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+sh AS (
+  SELECT DISTINCT source, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+  FROM toks, UNNEST(range(len(w) - 2)) AS t(i)),
+cnt AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+common AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT src_a, src_b, n_common,
+       round(n_common * 1.0 / (ca.n + cb.n - n_common), 6) AS jaccard
+FROM common
+JOIN cnt ca ON ca.source = src_a
+JOIN cnt cb ON cb.source = src_b
+""")
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-pair overlap census: exact 3-gram-shingle Jaccard between
+    every pair of SOURCES that share at least one shingle — the
+    diagnostic that decides whether two crawl snapshots / vendor feeds
+    are worth ingesting separately or are mostly mirrors of each other
+    (run it before paying for cross-source document-level dedup).
+
+    Scale shape: identical physical plan to dedup_ngram_jaccard but on
+    the SOURCE key, so cardinalities collapse by |corpus|/|sources|: the
+    distinct-shingle agg is one shuffle of (source, 64-bit hash) rows,
+    and the common-shingle join emits at most |sources|^2 groups.  A
+    shingle shared by many sources fans out quadratically in the join —
+    at web scale, drop top-DF shingles first (text_boilerplate_ngrams
+    computes exactly that stop-list) the way MinHash banding bounds the
+    document-level pass.  Jaccard over 64-bit-hashed distinct shingles
+    equals Jaccard over the strings absent collisions (odds ~n^2/2^65,
+    dedup.py:_hashed_shingles)."""
+    cat = Catalog(spark, sf_dir)
+    sh = D.word_shingles(cat.documents, "source", "text", n=3, hashed=True)
+    pairs = D.jaccard_pairs(sh, id_col="source")
+    return pairs.select(
+        F.col("id_a").alias("src_a"), F.col("id_b").alias("src_b"),
+        "n_common", F.round("jaccard", 6).alias("jaccard"))

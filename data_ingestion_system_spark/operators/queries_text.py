@@ -907,3 +907,75 @@ def text_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(n("[0-9]")).cast("bigint").alias("n_digit"),
         F.sum(n(r"[^A-Za-z0-9\s]")).cast("bigint").alias("n_other"),
     )
+
+
+_DSIR_BUCKETS = 64
+_DSIR_TARGET_LANG = "en"
+
+@register("text_dsir_weights", f"""
+WITH words AS (
+  SELECT doc_id,
+         lang,
+         CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % {_DSIR_BUCKETS} AS b
+  FROM (SELECT doc_id, lang,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM documents)),
+dist AS (
+  SELECT b, count(*) AS cr,
+         sum(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS ct
+  FROM words GROUP BY b),
+tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM dist),
+lr AS (
+  SELECT b, ln((ct + 1.0) / (nt + {_DSIR_BUCKETS}))
+           - ln((cr + 1.0) / (nr + {_DSIR_BUCKETS})) AS lr
+  FROM dist, tot)
+SELECT doc_id,
+       round(sum(lr), 4) AS dsir_logweight,
+       count(*) AS n_tokens
+FROM words JOIN lr USING (b)
+GROUP BY doc_id
+""")
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection with importance resampling (Xie et al.
+    2023, arXiv:2302.03169): score every document by how much more
+    likely its hashed-n-gram features are under a TARGET distribution
+    (here: the English slice) than under the RAW corpus distribution —
+    the standard recipe for skimming a web-scale crawl toward a
+    curated-domain mix.
+
+    Why this shape survives 100 TB: the feature space is HASHED into a
+    fixed 64-bucket table, so unlike a vocabulary join
+    (Heaps-law unbounded, see text_unigram_nll) the per-token scoring
+    join is against a table whose size is a compile-time constant —
+    broadcast unconditionally, no shuffle on the token stream; the two
+    distributions come from one map-combined groupBy over the same
+    token pass, and the per-doc reduce is one hash aggregation.  Output:
+    additive log importance weight per doc (resample with
+    text_temperature_sample-style deterministic hashing on exp(w/T)).
+
+    Feature hash is the portable md5-60bit idiom (dedup.py SimHash) so
+    DuckDB replays bucket assignment bit-for-bit.
+    """
+    cat = Catalog(spark, sf_dir)
+    B = _DSIR_BUCKETS
+    words = cat.documents.select(
+        "doc_id", "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"))
+    tokb = words.select(
+        "doc_id", "lang",
+        (F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long") % B)
+        .alias("b"))
+    dist = tokb.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.sum(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0))
+        .alias("ct"))
+    tot = dist.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    lr = (dist.crossJoin(F.broadcast(tot))  # 1-row scalar attach
+          .select("b",
+                  (F.ln((F.col("ct") + 1.0) / (F.col("nt") + B))
+                   - F.ln((F.col("cr") + 1.0) / (F.col("nr") + B)))
+                  .alias("lr")))
+    return (tokb.join(F.broadcast(lr), "b")  # <= B rows by construction
+            .groupBy("doc_id")
+            .agg(F.round(F.sum("lr"), 4).alias("dsir_logweight"),
+                 F.count("*").alias("n_tokens")))

@@ -43,7 +43,9 @@ def test_r3_window_contains_only_never_graded_queries():
     never_outside = set(names[50:]) - graded
     assert never_outside == {"diag_profile_events",
                              "dedup_semantic",
-                             "sim_ann_recall"}, never_outside
+                             "sim_ann_recall",
+                             "text_dsir_weights",
+                             "dedup_source_overlap"}, never_outside
 
 
 def test_every_query_has_an_oracle():
