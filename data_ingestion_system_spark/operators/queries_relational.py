@@ -2339,3 +2339,58 @@ def agg_pareto_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("cents") * 1.0 / F.max("t"), 6).alias("share"),
         )
     )
+
+
+@register("agg_quantile_sketch", """
+SELECT event_type,
+       round(quantile_cont(value, 0.50), 4) AS exact_p50,
+       round(quantile_cont(value, 0.95), 4) AS exact_p95,
+       round(quantile_cont(value, 0.99), 4) AS exact_p99,
+       TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+FROM events GROUP BY event_type
+""")
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (Greenwald-Khanna via percentile_approx)
+    with a bounds-style oracle — the 100 TB percentile path: sketches
+    merge associatively, so the shuffle moves bounded-size summaries
+    instead of sorting every value per group (the exact `percentile`
+    twin buffers a whole group's values on one reducer).
+
+    Bounds oracle (same contract as agg_approx_distinct): the sketch's
+    p-th estimate is an actual data value whose RANK is within
+    eps = 1/accuracy of p, so its VALUE must land between the exact
+    quantiles at p +/- 3*eps (3x slack absorbs interpolation at the
+    bracket ranks).  The query emits the exact quantiles plus the
+    in-bracket booleans; DuckDB recomputes the exact side and pins the
+    booleans TRUE — a hash match proves Spark's exact percentiles agree
+    with DuckDB AND the sketch honors its published rank guarantee.
+    Production posture: estimate-only (drop the exact twin columns)."""
+    cat = Catalog(spark, sf_dir)
+    accuracy = 1000
+    delta = 3.0 / accuracy
+
+    def pct(p):
+        return F.percentile("value", F.lit(p))
+
+    agg = cat.events.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.50), F.lit(accuracy)).alias("a50"),
+        F.percentile_approx("value", F.lit(0.95), F.lit(accuracy)).alias("a95"),
+        F.percentile_approx("value", F.lit(0.99), F.lit(accuracy)).alias("a99"),
+        pct(0.50).alias("e50"), pct(0.95).alias("e95"), pct(0.99).alias("e99"),
+        pct(0.50 - delta).alias("lo50"), pct(0.50 + delta).alias("hi50"),
+        pct(0.95 - delta).alias("lo95"), pct(0.95 + delta).alias("hi95"),
+        pct(0.99 - delta).alias("lo99"), pct(min(0.99 + delta, 1.0)).alias("hi99"),
+    )
+
+    def ok(a, lo, hi):
+        return (F.col(a) >= F.col(lo)) & (F.col(a) <= F.col(hi))
+
+    return agg.select(
+        "event_type",
+        F.round("e50", 4).alias("exact_p50"),
+        F.round("e95", 4).alias("exact_p95"),
+        F.round("e99", 4).alias("exact_p99"),
+        ok("a50", "lo50", "hi50").alias("p50_ok"),
+        ok("a95", "lo95", "hi95").alias("p95_ok"),
+        ok("a99", "lo99", "hi99").alias("p99_ok"),
+    )

@@ -930,7 +930,7 @@ lr AS (
            - ln((cr + 1.0) / (nr + {_DSIR_BUCKETS})) AS lr
   FROM dist, tot)
 SELECT doc_id,
-       round(sum(lr), 4) AS dsir_logweight,
+       round(sum(lr), 4) + 0.0 AS dsir_logweight,
        count(*) AS n_tokens
 FROM words JOIN lr USING (b)
 GROUP BY doc_id
@@ -977,5 +977,6 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("lr")))
     return (tokb.join(F.broadcast(lr), "b")  # <= B rows by construction
             .groupBy("doc_id")
-            .agg(F.round(F.sum("lr"), 4).alias("dsir_logweight"),
+            .agg((F.round(F.sum("lr"), 4) + 0.0)  # fold IEEE -0.0
+                 .alias("dsir_logweight"),
                  F.count("*").alias("n_tokens")))

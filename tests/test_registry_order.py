@@ -45,7 +45,8 @@ def test_r3_window_contains_only_never_graded_queries():
                              "dedup_semantic",
                              "sim_ann_recall",
                              "text_dsir_weights",
-                             "dedup_source_overlap"}, never_outside
+                             "dedup_source_overlap",
+                             "agg_quantile_sketch"}, never_outside
 
 
 def test_every_query_has_an_oracle():
