@@ -980,3 +980,58 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg((F.round(F.sum("lr"), 4) + 0.0)  # fold IEEE -0.0
                  .alias("dsir_logweight"),
                  F.count("*").alias("n_tokens")))
+
+
+@register("text_bigram_nll", """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+big AS (
+  SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
+  FROM toks, UNNEST(range(len(w) - 1)) AS t(i)),
+uni AS (
+  SELECT w[i+1] AS w1, count(*) AS c1
+  FROM toks, UNNEST(range(len(w))) AS t(i) GROUP BY 1),
+bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+v AS (SELECT count(*) AS vsz FROM uni)
+SELECT doc_id,
+       round(avg(-ln((c12 + 1.0) / (c1 + vsz))), 4) AS bigram_nll,
+       count(*) AS n_bigrams
+FROM big JOIN bc USING (w1, w2) JOIN uni USING (w1), v
+GROUP BY doc_id
+""")
+def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM quality filtering, bigram form (one Markov order up from
+    text_unigram_nll — the distributable core of the CCNet/KenLM
+    perplexity gate): train add-one-smoothed bigram counts ON the
+    corpus, then score each doc by mean -ln p(w2|w1).
+
+    Scale posture mirrors the unigram query: the conditional-count and
+    unigram-context joins stay UN-hinted (bigram vocabulary grows
+    superlinearly under Heaps' law, so a forced broadcast would OOM at
+    100 TB; AQE picks broadcast only while the vocab is provably small,
+    else the exploded token stream hash-joins co-partitioned on the
+    gram key); the 1-row vocabulary size always broadcasts.  Bigrams
+    are sliced from the token array JVM-side (transform over sequence,
+    no Python).  Docs with one token have no bigrams and drop out on
+    both engines alike."""
+    cat = Catalog(spark, sf_dir)
+    toks = cat.documents.select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w"))
+    words = toks.select(F.explode("w").alias("w1"))
+    uni = words.groupBy("w1").agg(F.count("*").alias("c1"))
+    big = (toks.filter(F.size("w") >= 2)  # sequence() needs a valid stop
+           .select("doc_id", F.explode(F.expr(
+               "transform(sequence(0, size(w) - 2), "
+               "i -> struct(w[i] AS w1, w[i + 1] AS w2))")).alias("bg"))
+           .select("doc_id", "bg.w1", "bg.w2"))
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    v = uni.agg(F.count("*").alias("vsz"))
+    return (big.join(bc, ["w1", "w2"]).join(uni, "w1")
+            .crossJoin(F.broadcast(v))
+            .groupBy("doc_id")
+            .agg(F.round(F.avg(-F.ln((F.col("c12") + 1.0)
+                                     / (F.col("c1") + F.col("vsz")))), 4)
+                 .alias("bigram_nll"),
+                 F.count("*").alias("n_bigrams")))

@@ -46,7 +46,8 @@ def test_r3_window_contains_only_never_graded_queries():
                              "sim_ann_recall",
                              "text_dsir_weights",
                              "dedup_source_overlap",
-                             "agg_quantile_sketch"}, never_outside
+                             "agg_quantile_sketch",
+                             "text_bigram_nll"}, never_outside
 
 
 def test_every_query_has_an_oracle():
