@@ -965,10 +965,13 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang",
         (F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long") % B)
         .alias("b"))
+    # persist the <=64-row distribution: tot and lr both read it, and
+    # without materialization each would re-run the full token pass
+    # (two extra corpus scans at 100 TB for a table that fits in a page)
     dist = tokb.groupBy("b").agg(
         F.count("*").alias("cr"),
         F.sum(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0))
-        .alias("ct"))
+        .alias("ct")).persist()
     tot = dist.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
     lr = (dist.crossJoin(F.broadcast(tot))  # 1-row scalar attach
           .select("b",
@@ -1020,7 +1023,12 @@ def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w"))
     words = toks.select(F.explode("w").alias("w1"))
-    uni = words.groupBy("w1").agg(F.count("*").alias("c1"))
+    # persist the vocabulary: the scoring join AND the vocab-size scalar
+    # both read it, and ReuseExchange does not canonicalize across the
+    # two consumers — unpersisted, each re-runs the token explode+count.
+    # Cache cost is vocab-bounded (Heaps' law, << token stream);
+    # MEMORY_AND_DISK spills rather than recomputes at 100 TB.
+    uni = words.groupBy("w1").agg(F.count("*").alias("c1")).persist()
     big = (toks.filter(F.size("w") >= 2)  # sequence() needs a valid stop
            .select("doc_id", F.explode(F.expr(
                "transform(sequence(0, size(w) - 2), "

@@ -199,6 +199,24 @@ HEADLINERS = {
         "runs the same arithmetic in 0.8 s at sf0.1 — a 64-wide dot "
         "per candidate pair is numpy work, not expression-tree work."
     ),
+    "text_dsir_weights": (
+        "DSIR importance weights: the per-token scoring join is against "
+        "a table bounded at 64 rows BY CONSTRUCTION (hashed feature "
+        "buckets), so unlike the Heaps-law vocabulary joins "
+        "(text_unigram_nll/text_bigram_nll, deliberately un-hinted) it "
+        "broadcasts unconditionally — the token stream never shuffles; "
+        "both corpus distributions fall out of ONE map-combined groupBy "
+        "over the same exploded pass, and the 1-row totals attach as a "
+        "broadcast scalar."
+    ),
+    "agg_quantile_sketch": (
+        "Mergeable-quantile posture: percentile_approx's GK sketch "
+        "merges associatively in partial aggregation, so at 100 TB the "
+        "exchange moves bounded-size summaries; the exact percentile "
+        "twin (which buffers each group's values on one reducer) exists "
+        "solely to power the rank-error bounds oracle and is dropped in "
+        "the production form."
+    ),
 }
 
 
