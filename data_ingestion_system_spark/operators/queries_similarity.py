@@ -820,3 +820,65 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("avid").alias("n_hit"))
             .select("qid", "n_hit",
                     F.round(F.col("n_hit") / K, 6).alias("recall_at_k")))
+
+
+_CLUSTER_QUALITY_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT label AS cid, [{_CENT_AVGS}] AS c FROM e GROUP BY label),
+sims AS (
+  SELECT e.vec_id, e.label, x.cid,
+         list_dot_product(e.v, x.c)
+           / (sqrt(list_dot_product(e.v, e.v))
+              * sqrt(list_dot_product(x.c, x.c))) AS s
+  FROM e CROSS JOIN cent x),
+assign AS (
+  SELECT vec_id, label, cid, s FROM (
+    SELECT vec_id, label, cid, s,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS r
+    FROM sims) WHERE r = 1)
+SELECT cid,
+       count(*) AS n_assigned,
+       round(avg(s), 4) + 0.0 AS mean_cos,
+       round(sum(CASE WHEN label = cid THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS purity
+FROM assign GROUP BY cid
+"""
+
+
+@register("emb_cluster_quality", _CLUSTER_QUALITY_SQL)
+def emb_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-quantizer health audit: per inverted list, its size, the
+    mean cosine of members to their centroid (cohesion), and label
+    purity — the monitor that tells you an IVF index needs retraining
+    (lists going lopsided or incoherent degrade both recall and probe
+    cost) and doubles as a clustering-quality report for the
+    dedup_semantic pipeline, which shares this quantizer.
+
+    Scale shape: assignment is the same map-only Arrow UDF the serving
+    path uses (broadcast codebook, no shuffle), the centroid rejoin is
+    a broadcast of n_lists rows, and the report is one map-combined
+    aggregation onto the n_lists-sized grid.  The oracle replays
+    centroid training + stable-tie-break assignment in SQL, so the
+    booleans-free numeric report is hash-checked end to end."""
+    from data_ingestion_system_spark.functions.vectors import cosine_fixed
+    from data_ingestion_system_spark.operators.similarity import (
+        DIM,
+        ivf_assign_udf,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    centroids = _ivf_centroids(spark, sf_dir)
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cid int, centroid array<double>")
+    assigned = cat.embeddings.withColumn(
+        "cid", ivf_assign_udf(centroids, 1)(F.col("embedding"))[0])
+    scored = (assigned.join(F.broadcast(cent_df), "cid")
+              .withColumn("s", cosine_fixed(F.col("embedding"),
+                                            F.col("centroid"), DIM)))
+    return (scored.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n_assigned"),
+                 (F.round(F.avg("s"), 4) + 0.0).alias("mean_cos"),
+                 F.round(F.sum(F.when(F.col("label") == F.col("cid"), 1)
+                               .otherwise(0)) * 1.0 / F.count(F.lit(1)), 4)
+                 .alias("purity")))

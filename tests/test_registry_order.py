@@ -47,7 +47,8 @@ def test_r3_window_contains_only_never_graded_queries():
                              "text_dsir_weights",
                              "dedup_source_overlap",
                              "agg_quantile_sketch",
-                             "text_bigram_nll"}, never_outside
+                             "text_bigram_nll",
+                             "emb_cluster_quality"}, never_outside
 
 
 def test_every_query_has_an_oracle():
