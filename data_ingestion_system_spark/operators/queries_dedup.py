@@ -743,3 +743,83 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("jaccard", 6).alias("jaccard"),
         (F.abs(agree / F.lit(float(k)) - F.col("jaccard")) <= F.lit(0.25))
         .alias("est_ok"))
+
+
+_PASSAGE_K = 8
+
+_DUP_PASSAGES_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+grams AS (
+  SELECT doc_id, i AS start,
+         array_to_string(w[i + 1 : i + {_PASSAGE_K}], ' ') AS gram
+  FROM toks, UNNEST(range(len(w) - {_PASSAGE_K - 1})) AS t(i)
+  WHERE len(w) >= {_PASSAGE_K}),
+dup AS (
+  SELECT gram FROM grams GROUP BY gram
+  HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT g.doc_id, g.start FROM grams g JOIN dup USING (gram)),
+isl AS (
+  SELECT doc_id, start,
+         start - row_number() OVER (PARTITION BY doc_id ORDER BY start)
+           AS grp
+  FROM hits)
+SELECT doc_id, min(start) AS span_start, max(start) + {_PASSAGE_K - 1}
+         AS span_end, count(*) AS n_windows
+FROM isl GROUP BY doc_id, grp
+"""
+
+
+@register("dedup_duplicate_passages", _DUP_PASSAGES_SQL)
+def dedup_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-passage detection — the distributed
+    approximation of exact-substring training-data dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    instead of a suffix array (inherently single-machine), slide an
+    8-token window over every document, find windows whose text occurs
+    in >= 2 distinct documents, and merge runs of adjacent duplicated
+    windows per document into maximal spans (doc_id, span_start,
+    span_end in token offsets, n_windows).  Downstream curation cuts
+    the spans, not the whole doc — the highest-yield form of dedup for
+    memorization reduction.
+
+    Scale shape: the gram stream is grouped on xxhash64(gram) — an
+    8-byte shuffle key, never the gram text (the text would multiply
+    shuffle bytes by the window width); duplicated hashes join back to
+    (doc, start) pairs on the same 8-byte key, so both shuffles are
+    hash-sized.  The island merge is a row_number window partitioned by
+    doc_id — bounded per-doc state, no global window.  A 64-bit hash
+    collision could mark one false span pair across ~10^10 grams
+    (birthday bound ~3e-3 at 100 TB); acceptable for span-cutting, and
+    the oracle groups by gram TEXT, so the sf sweep would surface any
+    collision at test scale.  Ref parity: none (reference dedup is
+    SELECT DISTINCT, src/services/audit.services.ts); north-star scope.
+    """
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    k = _PASSAGE_K
+    w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    toks = (cat.documents.select("doc_id", w.alias("w"))
+            .filter(F.size("w") >= k))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, size(w) - {k}), "
+            f"i -> xxhash64(concat_ws(' ', slice(w, i + 1, {k}))))"
+        )).alias("start", "gh"))
+    dup = (grams.groupBy("gh")
+           .agg(F.count_distinct("doc_id").alias("nd"))
+           .filter(F.col("nd") >= 2)
+           .select("gh"))
+    hits = grams.join(dup, "gh").select("doc_id", "start")
+    isl = hits.withColumn(
+        "grp",
+        F.col("start") - F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("start")))
+    return (isl.groupBy("doc_id", "grp")
+            .agg(F.min("start").cast("long").alias("span_start"),
+                 (F.max("start") + (k - 1)).cast("long").alias("span_end"),
+                 F.count("*").alias("n_windows"))
+            .select("doc_id", "span_start", "span_end", "n_windows"))

@@ -1043,3 +1043,83 @@ def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      / (F.col("c1") + F.col("vsz")))), 4)
                  .alias("bigram_nll"),
                  F.count("*").alias("n_bigrams")))
+
+
+@register("text_gopher_rules", f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(text)), '\\s+') AS w,
+         length(text) - length(replace(replace(text, '#', ''), '...', '')) AS n_sym,
+         len(regexp_extract_all(lower(text), '\\b({_STOP})\\b')) AS n_stop
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         round(list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w), 4)
+           AS mean_word_len,
+         round(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1.0
+               / len(w), 4) AS alpha_frac,
+         round(n_sym * 1.0 / len(w), 4) AS symbol_ratio,
+         n_stop
+  FROM t)
+SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio, n_stop,
+       (n_words BETWEEN 50 AND 100000) AS ok_word_count,
+       (mean_word_len BETWEEN 3 AND 10) AS ok_word_len,
+       (alpha_frac >= 0.8) AS ok_alpha,
+       (symbol_ratio <= 0.1) AS ok_symbols,
+       (n_stop >= 2) AS ok_stopwords,
+       ((n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3 AND 10)
+        AND alpha_frac >= 0.8 AND symbol_ratio <= 0.1 AND n_stop >= 2)
+         AS pass_all
+FROM m
+""")
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021, table A1):
+    the standard pre-training filter bundle as one declared query —
+    word-count bounds [50, 100k], mean word length in [3, 10], >= 80%
+    words containing an alphabetic character, symbol-to-word ratio
+    (# / ellipsis) <= 0.1, and >= 2 stopwords — with each rule emitted
+    as its own boolean next to the measured statistic so downstream
+    filtering can report per-rule rejection rates, not just a verdict.
+
+    Scale shape: every statistic is a row-local higher-order function
+    over the token array (transform/filter/aggregate) — zero shuffles,
+    zero joins, zero Python; the whole query is one scan-project that
+    runs at parquet bandwidth regardless of corpus size.  Ref parity:
+    the reference has no quality surface (its filters are five equality
+    predicates, src/services/audit.services.ts:148-163); this is
+    north-star LLM-pipeline scope.
+    """
+    cat = Catalog(spark, sf_dir)
+    t = F.col("text")
+    w = F.split(F.trim(F.lower(t)), r"\s+")
+    n_words = F.size("w").cast("long")
+    sum_len = F.aggregate(
+        F.transform(F.col("w"), lambda x: F.length(x)),
+        F.lit(0), lambda acc, x: acc + x)
+    n_alpha = F.size(F.filter(F.col("w"), lambda x: x.rlike("[a-z]")))
+    mean_wl = F.round(sum_len.cast("double") / n_words, 4)
+    alpha_frac = F.round(n_alpha.cast("double") / n_words, 4)
+    sym_ratio = F.round(F.col("n_sym").cast("double") / n_words, 4)
+    base = cat.documents.select(
+        "doc_id", w.alias("w"),
+        (F.length(t)
+         - F.length(F.replace(F.replace(t, F.lit("#"), F.lit("")),
+                              F.lit("..."), F.lit("")))).alias("n_sym"),
+        X.n_stopwords(t).cast("long").alias("n_stop"))
+    m = base.select(
+        "doc_id", n_words.alias("n_words"), mean_wl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"), sym_ratio.alias("symbol_ratio"),
+        "n_stop")
+    ok_wc = F.col("n_words").between(50, 100000)
+    ok_wl = F.col("mean_word_len").between(3, 10)
+    ok_al = F.col("alpha_frac") >= 0.8
+    ok_sy = F.col("symbol_ratio") <= 0.1
+    ok_st = F.col("n_stop") >= 2
+    return m.select(
+        "doc_id", "n_words", "mean_word_len", "alpha_frac", "symbol_ratio",
+        "n_stop",
+        ok_wc.alias("ok_word_count"), ok_wl.alias("ok_word_len"),
+        ok_al.alias("ok_alpha"), ok_sy.alias("ok_symbols"),
+        ok_st.alias("ok_stopwords"),
+        (ok_wc & ok_wl & ok_al & ok_sy & ok_st).alias("pass_all"))
