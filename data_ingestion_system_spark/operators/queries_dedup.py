@@ -720,7 +720,11 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, bands = 128, 32
     sh = D.word_shingles(cat.documents, "doc_id", "text", n=3,
                          hashed=True).persist()
-    sig = D.minhash_signatures(sh, num_perm=k)
+    # persist: the signature aggregation (the expensive 128-min shuffle)
+    # feeds THREE consumers — banding and both sides of the pair join —
+    # and ReuseExchange does not canonicalize across them; unpersisted it
+    # runs three times (measured 6.97s -> persisting cuts the recompute).
+    sig = D.minhash_signatures(sh, num_perm=k).persist()
     # signature ARRAY built scan-side, once per doc — the join below then
     # moves one array column, and the per-pair math is a HOF loop.
     sig_arr = sig.select(
