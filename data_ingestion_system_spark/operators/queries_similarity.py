@@ -882,3 +882,42 @@ def emb_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(F.when(F.col("label") == F.col("cid"), 1)
                                .otherwise(0)) * 1.0 / F.count(F.lit(1)), 4)
                  .alias("purity")))
+
+
+@register("emb_covariance", """
+WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+x AS (
+  SELECT rowid AS rid, i, v[i + 1] AS xi
+  FROM (SELECT row_number() OVER () AS rowid, v FROM e),
+       UNNEST(range(len(v))) AS t(i))
+SELECT a.i AS i, b.i AS j,
+       round(avg(a.xi * b.xi) - avg(a.xi) * avg(b.xi), 6) + 0.0 AS cov
+FROM x a JOIN x b USING (rid)
+GROUP BY 1, 2
+""")
+def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus covariance matrix of the embedding column, exploded as
+    (i, j, cov) — the building block of distributed PCA/ZCA whitening
+    (the fitted whitener itself is pytest-pinned in embeddings.py).
+
+    Scale shape: this is the one moment computation where the naive
+    relational form is WRONG at 100 TB — exploding (row, i, j, xi*xj)
+    multiplies the shuffle by d^2 (a 64-dim corpus shuffles 4096x its
+    size; the oracle does exactly that, which is fine for DuckDB at
+    test SF).  The engine instead folds each Arrow batch into ONE
+    (n, sum, sum-of-outer-products) triple per partition via a BLAS
+    `mat.T @ mat` (operators/embeddings.py::embedding_moments), so the
+    driver merges #partitions d^2-sized states — train-small/
+    apply-everywhere, identical to the faiss-style PQ/IVF split.  The
+    d x d result is model-width-sized (never data-sized) and is
+    re-emitted as a DataFrame for the comparator.
+    """
+    from data_ingestion_system_spark.operators import embeddings as E
+
+    cat = Catalog(spark, sf_dir)
+    _, mean, cov = E.embedding_moments(cat.embeddings)
+    d = len(mean)
+    rows = [(i, j, float(cov[i][j])) for i in range(d) for j in range(d)]
+    out = spark.createDataFrame(rows, "i long, j long, cov double")
+    # +0.0 folds IEEE -0.0 from the subtraction, same as the oracle
+    return out.select("i", "j", (F.round("cov", 6) + F.lit(0.0)).alias("cov"))

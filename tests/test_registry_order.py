@@ -48,7 +48,11 @@ def test_r3_window_contains_only_never_graded_queries():
                              "dedup_source_overlap",
                              "agg_quantile_sketch",
                              "text_bigram_nll",
-                             "emb_cluster_quality"}, never_outside
+                             "emb_cluster_quality",
+                             "text_gopher_rules",
+                             "dedup_minhash_estimate",
+                             "dedup_duplicate_passages",
+                             "emb_covariance"}, never_outside
 
 
 def test_every_query_has_an_oracle():
