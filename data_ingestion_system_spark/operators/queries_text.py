@@ -1123,3 +1123,70 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_al.alias("ok_alpha"), ok_sy.alias("ok_symbols"),
         ok_st.alias("ok_stopwords"),
         (ok_wc & ok_wl & ok_al & ok_sy & ok_st).alias("pass_all"))
+
+
+@register("text_top2gram_chars", """
+WITH toks AS (
+  SELECT doc_id,
+         length(regexp_replace(text, '\\s', '', 'g')) AS chars_ns,
+         string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+g AS (
+  SELECT doc_id, chars_ns,
+         unnest(list_transform(range(len(w) - 1),
+                               i -> w[i + 1] || ' ' || w[i + 2])) AS gram
+  FROM toks WHERE len(w) >= 2),
+c AS (
+  SELECT doc_id, chars_ns, gram, count(*) AS cnt
+  FROM g GROUP BY 1, 2, 3),
+m AS (
+  SELECT doc_id, chars_ns, gram, cnt,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, gram DESC) AS rn
+  FROM c)
+SELECT doc_id, gram AS top_gram, cnt AS top_cnt,
+       round(cnt * length(replace(gram, ' ', '')) * 1.0 / chars_ns, 6)
+         AS top2gram_char_frac
+FROM m WHERE rn = 1
+""")
+def text_top2gram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rule "fraction of characters contained in the
+    most frequent word-2-gram" (Rae et al. 2021, table A1 — docs above
+    0.20 are dropped before training).  Char-weighted, so it catches
+    the long-phrase spam that the count-weighted `text_repetition`
+    (distinct-3-gram ratio) under-scores; the two together cover the
+    intra-doc repetition family.  Ties on count break to the
+    lexicographically largest gram on BOTH sides, so the winner is
+    deterministic.
+
+    Scale shape: gram explode is scan-side; counting is one hash agg on
+    (doc_id, gram) with map-side partial aggregation, then the per-doc
+    argmax is a second map-combined `max_by` agg on doc_id alone — both
+    shuffles move doc-key-sized aggregates, never text, and per-doc
+    cardinality bounds state.  No windows, no joins, no Python.  Ref
+    parity: reference has no quality surface
+    (src/services/audit.services.ts:148-163); north-star scope.
+    """
+    cat = Catalog(spark, sf_dir)
+    t = F.col("text")
+    w = F.split(F.trim(F.lower(t)), r"\s+")
+    grams = F.expr("transform(sequence(0, size(w) - 2), "
+                   "i -> concat_ws(' ', w[i], w[i + 1]))")
+    counted = (
+        cat.documents
+        .select("doc_id",
+                F.length(F.regexp_replace(t, r"\s", "")).alias("chars_ns"),
+                w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select("doc_id", "chars_ns", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "chars_ns", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt")))
+    top = (counted
+           .groupBy("doc_id", "chars_ns")
+           .agg(F.max_by("gram", F.struct("cnt", "gram")).alias("top_gram"),
+                F.max("cnt").alias("top_cnt")))
+    return top.select(
+        "doc_id", "top_gram", "top_cnt",
+        F.round(F.col("top_cnt")
+                * F.length(F.replace(F.col("top_gram"), F.lit(" "), F.lit("")))
+                / F.col("chars_ns"), 6).alias("top2gram_char_frac"))

@@ -52,7 +52,8 @@ def test_r3_window_contains_only_never_graded_queries():
                              "text_gopher_rules",
                              "dedup_minhash_estimate",
                              "dedup_duplicate_passages",
-                             "emb_covariance"}, never_outside
+                             "emb_covariance",
+                             "text_top2gram_chars"}, never_outside
 
 
 def test_every_query_has_an_oracle():
