@@ -921,3 +921,75 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.createDataFrame(rows, "i long, j long, cov double")
     # +0.0 folds IEEE -0.0 from the subtraction, same as the oracle
     return out.select("i", "j", (F.round("cov", 6) + F.lit(0.0)).alias("cov"))
+
+
+@register("emb_pca_power", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+x AS (
+  SELECT vec_id, i, v[i + 1] AS xi
+  FROM e, UNNEST(range(len(v))) AS t(i)),
+m AS (SELECT i, avg(xi) AS mu FROM x GROUP BY i),
+c AS (
+  SELECT a.i AS i, b.i AS j,
+         avg(a.xi * b.xi) - avg(a.xi) * avg(b.xi) AS cv
+  FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
+v0 AS (SELECT i, 1.0 AS val FROM m),
+v1 AS (SELECT c.i AS i, sum(c.cv * v0.val) AS val
+       FROM c JOIN v0 ON c.j = v0.i GROUP BY c.i),
+v2 AS (SELECT c.i AS i, sum(c.cv * v1.val) AS val
+       FROM c JOIN v1 ON c.j = v1.i GROUP BY c.i),
+v3 AS (SELECT c.i AS i, sum(c.cv * v2.val) AS val
+       FROM c JOIN v2 ON c.j = v2.i GROUP BY c.i),
+v4 AS (SELECT c.i AS i, sum(c.cv * v3.val) AS val
+       FROM c JOIN v3 ON c.j = v3.i GROUP BY c.i),
+v5 AS (SELECT c.i AS i, sum(c.cv * v4.val) AS val
+       FROM c JOIN v4 ON c.j = v4.i GROUP BY c.i),
+v6 AS (SELECT c.i AS i, sum(c.cv * v5.val) AS val
+       FROM c JOIN v5 ON c.j = v5.i GROUP BY c.i),
+v7 AS (SELECT c.i AS i, sum(c.cv * v6.val) AS val
+       FROM c JOIN v6 ON c.j = v6.i GROUP BY c.i),
+v8 AS (SELECT c.i AS i, sum(c.cv * v7.val) AS val
+       FROM c JOIN v7 ON c.j = v7.i GROUP BY c.i),
+n AS (SELECT sqrt(sum(val * val)) AS nrm FROM v8),
+u AS (SELECT i, val / nrm AS val FROM v8, n),
+s AS (
+  SELECT x.vec_id AS vec_id, sum((x.xi - m.mu) * u.val) AS pc1
+  FROM x JOIN m USING (i) JOIN u USING (i) GROUP BY x.vec_id)
+SELECT vec_id, round(pc1, 4) + 0.0 AS pc1 FROM s
+""")
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-principal-component scores via distributed PCA: the d x d
+    covariance comes from the map-combined BLAS moment fold (see
+    `emb_covariance`), the dominant eigenvector from EIGHT un-normalized
+    power-iteration steps on the DRIVER (d x d is model-width-sized;
+    deferring normalization to the end keeps the iterate an exact
+    polynomial C^8 v0 that the oracle replays verbatim — parity does
+    not depend on convergence), and the projection is a distributed
+    scan-side fold: score = <x - mean, v> per row with the fitted
+    (mean, v) inlined as array literals.  Train-small/apply-everywhere,
+    the same split as the IVF/PQ stack; the projection stage is
+    map-only at any corpus size.  The DuckDB oracle replays the whole
+    fit in SQL — d^2-exploded covariance, eight unrolled matvec CTEs,
+    final normalization — so the check covers the fit, not just the
+    transform.  Ref parity: reference has no vector surface
+    (src/services/audit.services.ts:148-163); north-star scope.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    from data_ingestion_system_spark.operators import embeddings as E
+
+    cat = Catalog(spark, sf_dir)
+    _, mean, cov = E.embedding_moments(cat.embeddings)
+    v = np.ones(len(mean))
+    for _ in range(8):
+        v = cov @ v
+    v = v / np.linalg.norm(v)
+    mu = F.array(*[F.lit(float(x)) for x in mean])
+    pc = F.array(*[F.lit(float(x)) for x in v])
+    x = F.col("embedding").cast("array<double>")
+    score = F.aggregate(
+        F.zip_with(F.zip_with(x, mu, lambda a, b: a - b), pc,
+                   lambda a, b: a * b),
+        F.lit(0.0), lambda acc, y: acc + y)
+    return cat.embeddings.select(
+        "vec_id", (F.round(score, 4) + F.lit(0.0)).alias("pc1"))

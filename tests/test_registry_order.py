@@ -53,7 +53,8 @@ def test_r3_window_contains_only_never_graded_queries():
                              "dedup_minhash_estimate",
                              "dedup_duplicate_passages",
                              "emb_covariance",
-                             "text_top2gram_chars"}, never_outside
+                             "text_top2gram_chars",
+                             "emb_pca_power"}, never_outside
 
 
 def test_every_query_has_an_oracle():
