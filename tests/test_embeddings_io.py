@@ -97,3 +97,30 @@ def test_whitened_covariance_is_identity(spark, sf_dir):
     d = len(wmean)
     np.testing.assert_allclose(wmean, np.zeros(d), atol=1e-8)
     np.testing.assert_allclose(wcov, np.eye(d), atol=1e-3)  # eps-regularized
+
+
+def test_pca_power_matches_numpy(spark, sf_dir):
+    """emb_pca_power vs a direct in-memory numpy replay: same moment
+    definition (population covariance), same un-normalized C^8 v0
+    iterate, same final normalize-and-project."""
+    from data_ingestion_system_spark.operators.queries_similarity import (
+        emb_pca_power,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    pdf = cat.embeddings.select("vec_id", "embedding").toPandas()
+    mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mean = mat.mean(axis=0)
+    cov = (mat.T @ mat) / len(mat) - np.outer(mean, mean)
+    v = np.ones(mat.shape[1])
+    for _ in range(8):
+        v = cov @ v
+    v = v / np.linalg.norm(v)
+    want = dict(zip(pdf["vec_id"], (mat - mean) @ v))
+    rows = emb_pca_power(spark, sf_dir).collect()
+    assert len(rows) == len(pdf)
+    for r in rows:
+        assert abs(r.pc1 - want[r.vec_id]) < 1e-3, r.vec_id
+    # PC1 must capture at least as much variance as any raw axis
+    scores = np.array([r.pc1 for r in rows])
+    assert scores.var() >= mat.var(axis=0).max() - 1e-6

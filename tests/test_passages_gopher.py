@@ -77,3 +77,36 @@ def test_gopher_rules_match_python_replay(spark, sf_dir):
         saw_fail |= not r.pass_all
     # the rule set must actually split the corpus, not rubber-stamp it
     assert saw_pass and saw_fail
+
+
+def test_top2gram_chars_matches_python_replay(spark, sf_dir):
+    """Char-weighted top-2-gram rule: independent Counter replay with
+    the same (count, gram) tie-break, HALF_UP rounding like the
+    engines'."""
+    from collections import Counter
+
+    from data_ingestion_system_spark.operators.queries_text import (
+        text_top2gram_chars,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    docs = {r.doc_id: r.text for r in cat.documents.collect()}
+    rows = {r.doc_id: r
+            for r in text_top2gram_chars(spark, sf_dir).collect()}
+    n_checked = 0
+    for did, text in docs.items():
+        w = _words(text)
+        if len(w) < 2:
+            assert did not in rows
+            continue
+        grams = Counter(" ".join(w[i:i + 2]) for i in range(len(w) - 1))
+        top_gram = max(grams, key=lambda g: (grams[g], g))
+        chars_ns = len(re.sub(r"\s", "", text))
+        frac = grams[top_gram] * len(top_gram.replace(" ", "")) / chars_ns
+        frac = math.floor(frac * 1e6 + 0.5) / 1e6
+        r = rows[did]
+        assert r.top_gram == top_gram, did
+        assert r.top_cnt == grams[top_gram], did
+        assert abs(r.top2gram_char_frac - frac) < 1e-9, did
+        n_checked += 1
+    assert n_checked == len(rows)
