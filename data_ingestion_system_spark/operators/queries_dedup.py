@@ -143,7 +143,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(sig, max_hamming=3, n_bits=_SIMHASH_BITS)
 
 
-_CLUSTER_ORACLE_SQL = f"""
+# Shared recursive-CTE prefix: word-3-gram Jaccard pair graph -> reach
+# fixpoint.  dedup_cluster_components / dedup_cluster_star select the raw
+# labels; dedup_canonical_pick extends it with the per-cluster survivor.
+_CLUSTER_CTE = f"""
 WITH RECURSIVE toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
 sh AS (
@@ -165,7 +168,9 @@ nodes AS (SELECT DISTINCT a AS node FROM edges),
 reach(node, root) AS (
   SELECT node, node FROM nodes
   UNION
-  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node)
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node)"""
+
+_CLUSTER_ORACLE_SQL = _CLUSTER_CTE + """
 SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
 """
 
@@ -827,3 +832,64 @@ def dedup_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.max("start") + (k - 1)).cast("long").alias("span_end"),
                  F.count("*").alias("n_windows"))
             .select("doc_id", "span_start", "span_end", "n_windows"))
+
+
+_CANONICAL_SQL = _CLUSTER_CTE + """,
+labels AS (SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node),
+j AS (
+  SELECT l.cluster_id, l.doc_id, d.n_chars
+  FROM labels l JOIN documents d USING (doc_id)),
+r AS (
+  SELECT cluster_id, doc_id, n_chars,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM j)
+SELECT cluster_id,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc_id,
+       max(CASE WHEN rn = 1 THEN n_chars END) AS canonical_chars,
+       count(*) AS n_members,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM r GROUP BY cluster_id
+"""
+
+
+@register("dedup_canonical_pick", _CANONICAL_SQL)
+def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best survivor selection — the curation stage AFTER
+    clustering: inside each transitive near-dup cluster, keep exactly
+    one representative (longest text by ``n_chars``, ties to the lowest
+    ``doc_id``) and report what the drop costs (member count, total
+    bytes).  Pair lists say WHICH docs collide; this query decides WHAT
+    SURVIVES — the step a training-data pipeline actually executes.
+
+    Scale shape: clustering is the already-audited min-label fixpoint
+    (operators/dedup.py::connected_components); the survivor pick is a
+    row_number window partitioned BY CLUSTER — state bounded by cluster
+    size, never corpus size — and the rollup is one partial-combinable
+    hash aggregate on cluster_id.  No new join shape: doc metadata
+    attaches on the 8-byte doc_id key.  The deterministic tie-break
+    makes the survivor engine-portable, so the DuckDB oracle replays
+    the identical pick from its recursive-CTE fixpoint (same CTE as
+    dedup_cluster_components).  Ref parity: none (reference dedup is
+    SELECT DISTINCT, src/services/audit.services.ts); north-star scope.
+    """
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    sh = D.word_shingles(cat.documents, "doc_id", "text", n=3,
+                         hashed=True).persist()
+    pairs = D.jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    labels = D.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id")
+    sh.unpersist()
+    j = labels.join(cat.documents.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), "doc_id")
+    r = j.withColumn("rn", F.row_number().over(w))
+    return (r.groupBy("cluster_id")
+            .agg(F.max(F.when(F.col("rn") == 1, F.col("doc_id")))
+                 .alias("canonical_doc_id"),
+                 F.max(F.when(F.col("rn") == 1, F.col("n_chars")))
+                 .alias("canonical_chars"),
+                 F.count("*").alias("n_members"),
+                 F.sum("n_chars").alias("total_chars")))

@@ -1190,3 +1190,126 @@ def text_top2gram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("top_cnt")
                 * F.length(F.replace(F.col("top_gram"), F.lit(" "), F.lit("")))
                 / F.col("chars_ns"), 6).alias("top2gram_char_frac"))
+
+
+@register("text_perplexity_buckets", """
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents),
+freq AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+tot AS (SELECT sum(c) AS n FROM freq),
+nll AS (
+  SELECT doc_id, round(avg(-ln(c * 1.0 / n)), 4) AS nll
+  FROM words JOIN freq USING (w), tot
+  GROUP BY doc_id)
+SELECT d.doc_id, d.lang, nll.nll,
+       ntile(3) OVER (PARTITION BY d.lang ORDER BY nll.nll, d.doc_id)
+         AS bucket
+FROM nll JOIN documents d USING (doc_id)
+""")
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's perplexity gate (Wenzek et al. 2020): score every doc
+    with the corpus-trained unigram LM (text_unigram_nll's model), then
+    split EACH LANGUAGE into head / middle / tail terciles of the score
+    — bucket 1 is the best (lowest-NLL) third, the slice CCNet keeps.
+
+    The tercile is an EXACT per-language ntile(3), computed WITHOUT a
+    per-language window (lang cardinality is tiny, so `PARTITION BY
+    lang` would serialize each language's entire corpus through one
+    task — the same trap agg_equidepth_histogram's global ntile was,
+    one level down).  Same TeraSort-rank cure, grouped:
+
+    1. per-lang `percentile_approx` range cuts (a lang -> cuts map of
+       driver literals — langs are a bounded codebook, never data);
+       cuts steer LOAD BALANCE only, correctness never depends on
+       where they land because pid is monotone in the sort key;
+    2. per-(lang, pid) counts -> prefix-sum offsets (driver literals,
+       |langs| x nparts longs);
+    3. `row_number` over (PARTITION BY lang, pid ORDER BY nll, doc_id)
+       + offset = exact rank within language, every window task holds
+       ~N_lang/nparts rows;
+    4. bucket from rank by ntile's own fill rule (first N%3 buckets
+       take one extra row), per-lang sizes again map literals.
+
+    Ranking orders on the ROUNDED (4 dp) score so the order — and the
+    bucket — is engine-portable: ties in the rounded score break by
+    doc_id on both engines; cross-engine float noise below 1e-4 cannot
+    flip neighbors.  pid/offset/fill lookups are `element_at` on map
+    literals evaluated JVM-side — no when-chain grows with |langs|, so
+    codegen width stays constant (memory: spark-codegen-jit-pathology).
+    Ref parity: none (the reference has no quality surface); CCNet is
+    north-star LLM-curation scope."""
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"))
+    freq = words.groupBy("w").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").alias("n"))
+    nll = (words.join(freq, "w")
+           .join(F.broadcast(tot))
+           .groupBy("doc_id")
+           .agg(F.round(F.avg(-F.ln(F.col("c") * 1.0 / F.col("n"))), 4)
+                .alias("nll")))
+    scored = nll.join(docs.select("doc_id", "lang"), "doc_id").persist()
+
+    nparts = max(4, min(16, spark.sparkContext.defaultParallelism // 2))
+    probs = [i / nparts for i in range(1, nparts)]
+    cut_rows = (scored.groupBy("lang")
+                .agg(F.percentile_approx("nll", probs, 1_000).alias("b"))
+                .collect())
+    cuts = {r["lang"]: [float(x) for x in r["b"]] for r in cut_rows}
+
+    cuts_map = F.create_map(*[
+        x for lang, cs in sorted(cuts.items())
+        for x in (F.lit(lang), F.array(*[F.lit(c) for c in cs]))])
+    # pid = #cuts <= nll: monotone in nll, so ranks concatenate across pids
+    pid = F.size(F.filter(F.element_at(cuts_map, F.col("lang")),
+                          lambda c: c <= F.col("nll")))
+    staged = scored.withColumn("pid", pid)
+
+    counts: dict[str, dict[int, int]] = {}
+    for r in (staged.groupBy("lang", "pid")
+              .agg(F.count("*").alias("cnt")).collect()):
+        counts.setdefault(r["lang"], {})[r["pid"]] = r["cnt"]
+    offsets, bases, rems, heads = {}, {}, {}, {}
+    for lang, per_pid in counts.items():
+        acc, offs = 0, []
+        for p in range(nparts):
+            offs.append(acc)
+            acc += per_pid.get(p, 0)
+        offsets[lang] = offs
+        base, rem = divmod(acc, 3)
+        bases[lang], rems[lang] = base, rem
+        heads[lang] = rem * (base + 1)
+
+    def _long_map(d: dict[str, int]):
+        return F.create_map(*[
+            x for lang in sorted(d) for x in (F.lit(lang), F.lit(d[lang]))])
+
+    off_map = F.create_map(*[
+        x for lang in sorted(offsets)
+        for x in (F.lit(lang),
+                  F.array(*[F.lit(o) for o in offsets[lang]]))])
+    base_c = F.element_at(_long_map(bases), F.col("lang"))
+    rem_c = F.element_at(_long_map(rems), F.col("lang"))
+    head_c = F.element_at(_long_map(heads), F.col("lang"))
+    off = F.element_at(F.element_at(off_map, F.col("lang")),
+                       F.col("pid") + 1)
+
+    w = Window.partitionBy("lang", "pid").orderBy("nll", "doc_id")
+    rank = (F.row_number().over(w) + off).alias("rank")
+    ranked = staged.select("doc_id", "lang", "nll", rank,
+                           base_c.alias("base"), rem_c.alias("rem"),
+                           head_c.alias("head"))
+    r0 = F.col("rank") - 1
+    bucket = (
+        F.when(F.col("base") == 0, F.col("rank"))
+        .when(F.col("rank") <= F.col("head"),
+              F.floor(r0 / (F.col("base") + 1)) + 1)
+        .otherwise(F.col("rem")
+                   + F.floor((r0 - F.col("head")) / F.col("base")) + 1))
+    out = ranked.select("doc_id", "lang", "nll",
+                        bucket.cast("long").alias("bucket"))
+    scored.unpersist()
+    return out

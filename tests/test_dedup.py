@@ -246,3 +246,37 @@ def test_tune_lsh_validates_inputs():
         D.tune_lsh(1.0, 32)
     with pytest.raises(ValueError):
         D.tune_lsh(0.5, 0)
+
+
+def test_canonical_pick_replays_in_python(spark):
+    """dedup_canonical_pick's survivor per cluster equals a pure-Python
+    replay of the rule (max n_chars, ties to min doc_id) over the same
+    cluster labels, and the rollup fields are internally consistent."""
+    from data_ingestion_system_spark.catalog import Catalog
+    from data_ingestion_system_spark.operators.queries_dedup import (
+        JACCARD_THRESHOLD, dedup_canonical_pick)
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.cluster_id: r for r in dedup_canonical_pick(spark, sf).collect()}
+
+    sh = D.word_shingles(Catalog(spark, sf).documents,
+                         "doc_id", "text", n=3, hashed=True)
+    pairs = D.jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    lab = {r.node: r.cluster_id
+           for r in D.connected_components(pairs).collect()}
+    chars = {r.doc_id: r.n_chars
+             for r in Catalog(spark, sf).documents
+             .select("doc_id", "n_chars").collect()}
+
+    by_cluster: dict[int, list[int]] = {}
+    for doc, c in lab.items():
+        by_cluster.setdefault(c, []).append(doc)
+    assert set(got) == set(by_cluster)
+    for c, members in by_cluster.items():
+        want = min(members, key=lambda d: (-chars[d], d))
+        row = got[c]
+        assert row.canonical_doc_id == want
+        assert row.canonical_chars == chars[want]
+        assert row.n_members == len(members)
+        assert row.total_chars == sum(chars[d] for d in members)
+        assert row.n_members >= 2  # singletons never reach the pair graph

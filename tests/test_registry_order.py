@@ -54,7 +54,9 @@ def test_r3_window_contains_only_never_graded_queries():
                              "dedup_duplicate_passages",
                              "emb_covariance",
                              "text_top2gram_chars",
-                             "emb_pca_power"}, never_outside
+                             "emb_pca_power",
+                             "dedup_canonical_pick",
+                             "text_perplexity_buckets"}, never_outside
 
 
 def test_every_query_has_an_oracle():
