@@ -1313,3 +1313,80 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                         bucket.cast("long").alias("bucket"))
     scored.unpersist()
     return out
+
+
+_BM25_TERMS = ("hash", "join", "vector")  # fixed keyword query
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+@register("text_bm25_topk", f"""
+WITH q(term) AS (VALUES {", ".join(f"('{t}')" for t in _BM25_TERMS)}),
+dl AS (
+  SELECT doc_id, len(string_split_regex(trim(lower(text)), '\\s+')) AS dl
+  FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+words AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents),
+tf AS (
+  SELECT doc_id, w, count(*) AS tf
+  FROM words JOIN q ON w = term
+  GROUP BY doc_id, w),
+df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+             * tf * ({_BM25_K1} + 1)
+             / (tf + {_BM25_K1}
+                     * (1 - {_BM25_B} + {_BM25_B} * dl.dl / avgdl))) AS s,
+         count(*) AS n_terms_hit
+  FROM tf JOIN df USING (w) JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 4) AS bm25, n_terms_hit
+FROM scored
+ORDER BY round(s, 4) DESC, doc_id
+LIMIT 10
+""")
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval: Okapi BM25 top-10 documents for a fixed
+    3-term query (k1=1.2, b=0.75, Lucene's always-positive idf form
+    ln(1 + (N - df + .5)/(df + .5))) — the full-text-search primitive
+    next to the vector stack (sim_topk_*), and the lexical half of a
+    hybrid retriever.
+
+    Scale shape = an inverted-index probe without the index: tokens
+    explode ONCE and filter to the query terms BEFORE any aggregation,
+    so everything past the scan is |matching postings|-sized, never
+    corpus-sized; doc length comes from `size(split(...))` row-local
+    (no second explode); df/idf live on a |Q|-row frame (explicit
+    broadcast — bounded by the query, not the data); the 1-row
+    (n_docs, avgdl) scalar always broadcasts; the final top-10 is
+    TakeOrderedAndProject.  Ranking orders on the ROUNDED (4 dp) score
+    with a doc_id tie-break so the cut is engine-portable.  Ref
+    parity: the reference's only text predicate is equality
+    (src/services/audit.services.ts:148-163); retrieval is north-star
+    scope."""
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    dl = docs.select("doc_id", F.size(toks).alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (docs.select("doc_id", F.explode(toks).alias("w"))
+          .filter(F.col("w").isin(*_BM25_TERMS))
+          .groupBy("doc_id", "w").agg(F.count("*").alias("tf")))
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    denom = (F.col("tf")
+             + _BM25_K1 * (1 - _BM25_B
+                           + _BM25_B * F.col("dl") / F.col("avgdl")))
+    scored = (tf.join(F.broadcast(df), "w")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats))
+              .groupBy("doc_id")
+              .agg(F.sum(idf * F.col("tf") * (_BM25_K1 + 1) / denom)
+                   .alias("s"),
+                   F.count("*").alias("n_terms_hit")))
+    return (scored.select("doc_id", F.round("s", 4).alias("bm25"),
+                          "n_terms_hit")
+            .orderBy(F.col("bm25").desc(), "doc_id")
+            .limit(10))

@@ -242,3 +242,40 @@ def test_heavy_hitters_equals_plain_groupby(spark, sf_dir):
               words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
               .filter(F.col("cnt") * 256 > n).collect()}
     assert got == expect and len(got) > 0
+
+
+def test_bm25_topk_replays_in_python(spark, sf_dir):
+    """text_bm25_topk's scores and cut replay exactly in pure Python
+    (Okapi BM25, k1=1.2, b=0.75, Lucene idf) over the same corpus."""
+    import math
+    import re as _re
+
+    from data_ingestion_system_spark.operators.queries_text import (
+        _BM25_B, _BM25_K1, _BM25_TERMS, text_bm25_topk)
+
+    got = [(r.doc_id, r.bm25, r.n_terms_hit)
+           for r in text_bm25_topk(spark, sf_dir).collect()]
+
+    docs = {r.doc_id: _re.split(r"\s+", r.text.strip().lower())
+            for r in Catalog(spark, sf_dir).documents
+            .select("doc_id", "text").collect()}
+    n_docs = len(docs)
+    avgdl = sum(len(w) for w in docs.values()) / n_docs
+    df = {t: sum(1 for w in docs.values() if t in w) for t in _BM25_TERMS}
+    scores = {}
+    for d, w in docs.items():
+        s, hits = 0.0, 0
+        for t in _BM25_TERMS:
+            tf = w.count(t)
+            if tf == 0:
+                continue
+            hits += 1
+            idf = math.log(1 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+            s += (idf * tf * (_BM25_K1 + 1)
+                  / (tf + _BM25_K1 * (1 - _BM25_B + _BM25_B
+                                      * len(w) / avgdl)))
+        if hits:
+            scores[d] = (round(s, 4), hits)
+    want = sorted(((d, v[0], v[1]) for d, v in scores.items()),
+                  key=lambda x: (-x[1], x[0]))[:10]
+    assert got == want
