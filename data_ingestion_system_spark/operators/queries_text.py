@@ -1390,3 +1390,133 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "n_terms_hit")
             .orderBy(F.col("bm25").desc(), "doc_id")
             .limit(10))
+
+
+_RRF_K = 60       # the standard RRF damping constant (Cormack et al. 2009)
+_RRF_CAND = 100   # per-ranker candidate-list depth
+
+@register("text_rrf_fusion", f"""
+WITH q(term) AS (VALUES {", ".join(f"('{t}')" for t in _BM25_TERMS)}),
+dl AS (
+  SELECT doc_id, len(string_split_regex(trim(lower(text)), '\\s+')) AS dl
+  FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+words AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents),
+tf AS (
+  SELECT doc_id, w, count(*) AS tf
+  FROM words JOIN q ON w = term
+  GROUP BY doc_id, w),
+df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+bm AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * tf * ({_BM25_K1} + 1)
+                   / (tf + {_BM25_K1}
+                           * (1 - {_BM25_B}
+                              + {_BM25_B} * dl.dl / avgdl))), 4) AS bm25
+  FROM tf JOIN df USING (w) JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY tf.doc_id),
+bmtop AS (SELECT doc_id, bm25 FROM bm
+          ORDER BY bm25 DESC, doc_id LIMIT {_RRF_CAND}),
+bmr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_bm25
+  FROM bmtop),
+freq AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+tot AS (SELECT sum(c) AS n FROM freq),
+nll AS (
+  SELECT doc_id, round(avg(-ln(c * 1.0 / n)), 4) AS nll
+  FROM words JOIN freq USING (w), tot
+  GROUP BY doc_id),
+qtop AS (SELECT doc_id, nll FROM nll
+         ORDER BY nll, doc_id LIMIT {_RRF_CAND}),
+qr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY nll, doc_id) AS rank_quality
+  FROM qtop),
+f AS (
+  SELECT coalesce(bmr.doc_id, qr.doc_id) AS doc_id, rank_bm25, rank_quality
+  FROM bmr FULL OUTER JOIN qr ON bmr.doc_id = qr.doc_id)
+SELECT doc_id,
+       round(coalesce(CAST(1 AS DOUBLE) / ({_RRF_K} + rank_bm25), 0)
+             + coalesce(CAST(1 AS DOUBLE) / ({_RRF_K} + rank_quality), 0), 6)
+         AS rrf,
+       rank_bm25, rank_quality
+FROM f
+ORDER BY rrf DESC, doc_id
+LIMIT 10
+""")
+def text_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid ranking by reciprocal rank fusion (Cormack et al. 2009):
+    fuse the BM25 relevance ranking (text_bm25_topk's scorer) with the
+    corpus-LM quality ranking (text_unigram_nll ascending — CCNet's
+    "head" ordering) as sum of 1/(60 + rank) over the lists where the
+    doc appears, top-10 reported with each constituent rank.  This is
+    the standard way heterogeneous retrievers (lexical + quality, or
+    lexical + vector) combine without score calibration.
+
+    Scale shape — fusion is rank-space, so only CANDIDATE LISTS ever
+    matter: each ranker ends in TakeOrderedAndProject at depth 100 and
+    the rank-assigning unpartitioned windows sit ABOVE those limits
+    (the linter's bounded-input exemption: a 100-row frame, one task by
+    construction, not by luck).  The full-outer fusion join is
+    100x100-bounded.  Upstream, each ranker keeps its own audited
+    posture (postings-sized BM25 probe; un-hinted Heaps-law vocab join
+    for the LM).  Ranks compare ROUNDED (4 dp) scores with doc_id
+    tie-breaks, so both engines build identical lists.  Ref parity:
+    none; north-star retrieval scope."""
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+
+    # --- ranker 1: BM25 (same arithmetic as text_bm25_topk) ---
+    dl = docs.select("doc_id", F.size(toks).alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (docs.select("doc_id", F.explode(toks).alias("w"))
+          .filter(F.col("w").isin(*_BM25_TERMS))
+          .groupBy("doc_id", "w").agg(F.count("*").alias("tf")))
+    dfq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    denom = (F.col("tf")
+             + _BM25_K1 * (1 - _BM25_B
+                           + _BM25_B * F.col("dl") / F.col("avgdl")))
+    bm = (tf.join(F.broadcast(dfq), "w")
+          .join(dl, "doc_id")
+          .crossJoin(F.broadcast(stats))
+          .groupBy("doc_id")
+          .agg(F.round(F.sum(idf * F.col("tf") * (_BM25_K1 + 1) / denom), 4)
+               .alias("bm25")))
+    bmtop = bm.orderBy(F.col("bm25").desc(), "doc_id").limit(_RRF_CAND)
+    bmr = bmtop.select(
+        "doc_id",
+        F.row_number().over(W.orderBy(F.col("bm25").desc(), "doc_id"))
+        .cast("long").alias("rank_bm25"))
+
+    # --- ranker 2: LM quality, best (lowest NLL) first ---
+    words = docs.select("doc_id", F.explode(toks).alias("w"))
+    freq = words.groupBy("w").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").alias("n"))
+    nll = (words.join(freq, "w")
+           .join(F.broadcast(tot))
+           .groupBy("doc_id")
+           .agg(F.round(F.avg(-F.ln(F.col("c") * 1.0 / F.col("n"))), 4)
+                .alias("nll")))
+    qtop = nll.orderBy("nll", "doc_id").limit(_RRF_CAND)
+    qr = qtop.select(
+        "doc_id",
+        F.row_number().over(W.orderBy("nll", "doc_id"))
+        .cast("long").alias("rank_quality"))
+
+    fused = bmr.join(qr, "doc_id", "full")
+    rrf = (F.coalesce(F.lit(1.0) / (_RRF_K + F.col("rank_bm25")), F.lit(0.0))
+           + F.coalesce(F.lit(1.0) / (_RRF_K + F.col("rank_quality")),
+                        F.lit(0.0)))
+    return (fused.select("doc_id", F.round(rrf, 6).alias("rrf"),
+                         "rank_bm25", "rank_quality")
+            .orderBy(F.col("rrf").desc(), "doc_id")
+            .limit(10))

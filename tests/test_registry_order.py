@@ -57,7 +57,8 @@ def test_r3_window_contains_only_never_graded_queries():
                              "emb_pca_power",
                              "dedup_canonical_pick",
                              "text_perplexity_buckets",
-                             "text_bm25_topk"}, never_outside
+                             "text_bm25_topk",
+                             "text_rrf_fusion"}, never_outside
 
 
 def test_every_query_has_an_oracle():
