@@ -2399,3 +2399,60 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok("a95", "lo95", "hi95").alias("p95_ok"),
         ok("a99", "lo99", "hi99").alias("p99_ok"),
     )
+
+
+@register("agg_welch_ttest", """
+WITH g AS (
+  SELECT event_type,
+         count(*) AS n, avg(value) AS m, var_samp(value) AS v
+  FROM events WHERE event_type IN ('purchase', 'click')
+  GROUP BY event_type),
+a AS (SELECT n AS n1, m AS m1, v AS v1 FROM g WHERE event_type = 'purchase'),
+b AS (SELECT n AS n2, m AS m2, v AS v2 FROM g WHERE event_type = 'click')
+SELECT n1, n2,
+       round(m1 - m2, 4) AS mean_diff,
+       round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
+       round(pow(v1 / n1 + v2 / n2, 2)
+             / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)), 4)
+         AS dof
+FROM a, b
+""")
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: Welch's unequal-variance t-test comparing
+    `value` between purchase and click events — the t statistic plus the
+    Welch-Satterthwaite effective degrees of freedom, the pair every
+    experimentation pipeline reports before a launch call.
+
+    Scale shape: per-arm (n, mean, var_samp) is ONE map-combined hash
+    aggregate over a pushed-down two-value IN filter; the test statistic
+    assembles on two 1-row frames (scalar-attach crossJoins, bounded by
+    construction).  Nothing downstream of the scan is data-sized.  Ref
+    parity: none (the reference has no statistics surface); experiment
+    analysis is north-star scope."""
+    cat = Catalog(spark, sf_dir)
+    g = (cat.events
+         .filter(F.col("event_type").isin("purchase", "click"))
+         .groupBy("event_type")
+         .agg(F.count("*").alias("n"), F.avg("value").alias("m"),
+              F.var_samp("value").alias("v")))
+    # each arm filter selects exactly one group row; the explicit limit
+    # is a no-op on the result but makes the 1-row bound PROVABLE to
+    # Catalyst (maxRows), so the scalar-attach crossJoin passes the
+    # plans/audit.py bounded-theta-join proof (same pattern as
+    # queries_similarity._corpus_queries)
+    a = (g.filter(F.col("event_type") == "purchase").limit(1)
+         .select(F.col("n").alias("n1"), F.col("m").alias("m1"),
+                 F.col("v").alias("v1")))
+    b = (g.filter(F.col("event_type") == "click").limit(1)
+         .select(F.col("n").alias("n2"), F.col("m").alias("m2"),
+                 F.col("v").alias("v2")))
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    dof = (F.pow(se2, 2)
+           / (F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+              + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)))
+    return (a.crossJoin(b)
+            .select("n1", "n2",
+                    F.round(F.col("m1") - F.col("m2"), 4).alias("mean_diff"),
+                    F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 4)
+                    .alias("t_stat"),
+                    F.round(dof, 4).alias("dof")))

@@ -993,3 +993,127 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0), lambda acc, y: acc + y)
     return cat.embeddings.select(
         "vec_id", (F.round(score, 4) + F.lit(0.0)).alias("pc1"))
+
+
+_MMR_C = 20        # candidate-list depth fed to the re-ranker
+_MMR_K_SEL = 5     # results selected
+_MMR_LAMBDA = 0.7  # relevance weight
+_MMR_MU = 0.3      # diversity weight (explicit literal, NOT 1 - lambda:
+                   # both engines must see the same double)
+
+
+def _mmr_oracle_sql() -> str:
+    """Unrolled greedy MMR in SQL: step t picks the argmax of
+    lambda*rel - mu*max(sim to the t-1 already-selected) among the
+    not-yet-selected, ties to the lowest vec_id."""
+    steps, finals = [], [
+        "SELECT CAST(1 AS BIGINT) AS mmr_rank, vec_id, rel, mmr FROM s1"]
+    for st in range(2, _MMR_K_SEL + 1):
+        sel = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{i}" for i in range(1, st))
+        steps.append(f"""p{st} AS (
+  SELECT cand.vec_id, cand.rel,
+         round({_MMR_LAMBDA} * cand.rel - {_MMR_MU} * max(pair.sim), 6)
+           AS mmr
+  FROM cand
+  JOIN pair ON pair.ia = cand.vec_id AND pair.ib IN ({sel})
+  WHERE cand.vec_id NOT IN ({sel})
+  GROUP BY cand.vec_id, cand.rel),
+s{st} AS (SELECT vec_id, rel, mmr FROM p{st}
+          ORDER BY mmr DESC, vec_id LIMIT 1)""")
+        finals.append(
+            f"SELECT CAST({st} AS BIGINT), vec_id, rel, mmr FROM s{st}")
+    steps_sql = ",\n".join(steps)
+    finals_sql = "\nUNION ALL ".join(finals)
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT c.vec_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(cv, cv))) AS cos,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(cv, cv))), 6) AS rel
+  FROM c, q WHERE c.vec_id <> 0),
+cand AS (SELECT vec_id, rel FROM scored
+         ORDER BY cos DESC, vec_id LIMIT {_MMR_C}),
+cvec AS (SELECT cand.vec_id, c.cv FROM cand JOIN c USING (vec_id)),
+pair AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         round(list_dot_product(a.cv, b.cv)
+               / (sqrt(list_dot_product(a.cv, a.cv))
+                  * sqrt(list_dot_product(b.cv, b.cv))), 6) AS sim
+  FROM cvec a JOIN cvec b ON a.vec_id <> b.vec_id),
+s1 AS (SELECT vec_id, rel, rel AS mmr FROM cand
+       ORDER BY rel DESC, vec_id LIMIT 1),
+{steps_sql}
+{finals_sql}
+ORDER BY mmr_rank
+"""
+
+
+@register("sim_mmr_rerank", _mmr_oracle_sql())
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval: maximal marginal relevance (Carbonell &
+    Goldstein 1998) re-rank of the exact-cosine top-20 for query
+    vector 0 — select 5 results greedily by
+    lambda*rel - mu*max(sim to already-selected), lambda=0.7.  The
+    standard answer to "my top-k are 5 copies of the same thing" after
+    any dedup-imperfect retrieval stage.
+
+    Scale shape = faiss's re-rank posture: the DISTRIBUTED part is the
+    relevance pass (the audited topk_bruteforce broadcast-score +
+    TakeOrdered plan; swap in the IVF/PQ stack at corpus scale) and the
+    greedy runs on the driver over the CANDIDATE-BOUNDED set — 20
+    vectors, a 20x20 similarity matrix, k=5 sequential picks; MMR's
+    data dependence makes each pick depend on the last, so this stage
+    is inherently k-serial and candidate-sized, never corpus-sized (the
+    blessed driver-resident-codebook pattern, see PLANS.md).  Parity:
+    pair sims use the exact left-to-right fold (DuckDB's
+    list_dot_product order, pinned in test_equidepth_units) and
+    half-away-from-zero rounding, and the selection compares ROUNDED
+    (6 dp) scores with vec_id tie-breaks, so the unrolled-greedy SQL
+    oracle replays every pick.  Ref parity: none; north-star retrieval
+    scope."""
+    import math
+
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    q0 = queries.filter(F.col("qid") == 0).limit(1)
+    cand = (topk_bruteforce(corpus, q0, k=_MMR_C)
+            .select("vec_id", F.col("cosine").alias("rel")))
+    rows = (corpus.join(cand, "vec_id")
+            .select("vec_id", "rel", "embedding").collect())
+
+    def rnd6(x: float) -> float:  # round-half-away, Spark/DuckDB semantics
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+    def dot(a: list, b: list) -> float:  # exact left-to-right fold
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    vecs = {r.vec_id: [float(v) for v in r.embedding] for r in rows}
+    rel = {r.vec_id: float(r.rel) for r in rows}
+    norm = {i: math.sqrt(dot(v, v)) for i, v in vecs.items()}
+
+    def sim(i: int, j: int) -> float:
+        return rnd6(dot(vecs[i], vecs[j]) / (norm[i] * norm[j]))
+
+    first = max(sorted(vecs), key=lambda i: (rel[i], -i))
+    picked = [(1, first, rel[first], rel[first])]
+    chosen, remaining = [first], sorted(set(vecs) - {first})
+    for rank in range(2, _MMR_K_SEL + 1):
+        best, best_m = None, None
+        for i in remaining:  # ascending ids: strict > keeps lowest on tie
+            m = rnd6(_MMR_LAMBDA * rel[i]
+                     - _MMR_MU * max(sim(i, s) for s in chosen))
+            if best is None or m > best_m:
+                best, best_m = i, m
+        picked.append((rank, best, rel[best], best_m))
+        chosen.append(best)
+        remaining.remove(best)
+    return spark.createDataFrame(
+        picked, schema="mmr_rank long, vec_id long, rel double, mmr double")

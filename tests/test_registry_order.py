@@ -58,7 +58,9 @@ def test_r3_window_contains_only_never_graded_queries():
                              "dedup_canonical_pick",
                              "text_perplexity_buckets",
                              "text_bm25_topk",
-                             "text_rrf_fusion"}, never_outside
+                             "text_rrf_fusion",
+                             "agg_welch_ttest",
+                             "sim_mmr_rerank"}, never_outside
 
 
 def test_every_query_has_an_oracle():
