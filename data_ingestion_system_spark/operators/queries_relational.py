@@ -2456,3 +2456,62 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 4)
                     .alias("t_stat"),
                     F.round(dof, 4).alias("dof")))
+
+
+_CUPED_SPLIT = "2024-01-16 00:00:00"  # pre-period | experiment period
+
+
+@register("agg_cuped", f"""
+WITH per_user AS (
+  SELECT user_id,
+         avg(CASE WHEN ts <  TIMESTAMP '{_CUPED_SPLIT}' THEN value END) AS x,
+         avg(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}' THEN value END) AS y
+  FROM events GROUP BY user_id),
+b AS (SELECT user_id, x, y FROM per_user
+      WHERE x IS NOT NULL AND y IS NOT NULL),
+m AS (SELECT covar_pop(x, y) / var_pop(x) AS theta, avg(x) AS xbar FROM b),
+adj AS (
+  SELECT user_id % 2 AS arm, y, y - theta * (x - xbar) AS y_cuped
+  FROM b, m)
+SELECT arm, count(*) AS n_users,
+       round(avg(y), 4) AS mean_raw,
+       round(avg(y_cuped), 4) AS mean_cuped,
+       round(var_samp(y_cuped) / var_samp(y), 4) AS var_ratio
+FROM adj GROUP BY arm
+""")
+def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013, the industry-standard
+    experiment-sensitivity trick): per user, the pre-period metric x is
+    the control covariate for the experiment-period metric y; the
+    adjusted metric y - theta*(x - mean(x)) with theta =
+    cov(x,y)/var(x) keeps the same expectation per arm but sheds the
+    between-user variance x explains — var_ratio is the fraction that
+    remains (lower = more sensitive experiment).  Arms are a
+    deterministic user_id % 2 split so the report is a pure function of
+    the corpus.
+
+    Scale shape: per-user (x, y) is ONE conditional-average hash
+    aggregate over the events scan; (theta, xbar) is a global
+    map-combined moment aggregate (Catalyst-provable 1 row, so the
+    scalar-attach crossJoin is bounded); the adjusted metric and the
+    per-arm rollup touch only user-sized data.  Nothing past the first
+    aggregate is event-sized.  Ref parity: none; experiment analysis is
+    north-star scope."""
+    cat = Catalog(spark, sf_dir)
+    split = F.lit(_CUPED_SPLIT).cast("timestamp_ntz")
+    per_user = cat.events.groupBy("user_id").agg(
+        F.avg(F.when(F.col("ts") < split, F.col("value"))).alias("x"),
+        F.avg(F.when(F.col("ts") >= split, F.col("value"))).alias("y"))
+    b = per_user.filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    m = b.agg((F.covar_pop("x", "y") / F.var_pop("x")).alias("theta"),
+              F.avg("x").alias("xbar"))
+    adj = (b.crossJoin(F.broadcast(m))
+           .select((F.col("user_id") % 2).alias("arm"), "y",
+                   (F.col("y") - F.col("theta")
+                    * (F.col("x") - F.col("xbar"))).alias("y_cuped")))
+    return (adj.groupBy("arm")
+            .agg(F.count("*").alias("n_users"),
+                 F.round(F.avg("y"), 4).alias("mean_raw"),
+                 F.round(F.avg("y_cuped"), 4).alias("mean_cuped"),
+                 F.round(F.var_samp("y_cuped") / F.var_samp("y"), 4)
+                 .alias("var_ratio")))

@@ -1117,3 +1117,78 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         remaining.remove(best)
     return spark.createDataFrame(
         picked, schema="mmr_rank long, vec_id long, rel double, mmr double")
+
+
+_MRL_PREFIX = 16  # truncated (Matryoshka) dimensionality under evaluation
+
+
+def _mrl_recall_sql() -> str:
+    """Recall@k of the prefix-dim ranking vs the full-dim exact ranking,
+    both replayed literally in DuckDB (1-based inclusive list slices)."""
+    p = _MRL_PREFIX
+    return f"""
+WITH exact AS ({_BF_SQL}),
+q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+pscored AS (
+  SELECT q.qid, c.vec_id,
+         list_dot_product(qv[1:{p}], cv[1:{p}])
+           / (sqrt(list_dot_product(qv[1:{p}], qv[1:{p}]))
+              * sqrt(list_dot_product(cv[1:{p}], cv[1:{p}]))) AS cos
+  FROM q CROSS JOIN c
+  WHERE c.vec_id != q.qid),
+pref AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cos DESC, vec_id) AS rnk
+    FROM pscored) WHERE rnk <= {K})
+SELECT e.qid, count(p.vec_id) AS n_hit,
+       round(count(p.vec_id) / {K}.0, 6) AS recall_at_k
+FROM exact e
+LEFT JOIN pref p ON p.qid = e.qid AND p.vec_id = e.vec_id
+GROUP BY e.qid
+"""
+
+
+@register("sim_matryoshka_recall", _mrl_recall_sql())
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL, Kusupati et al. 2022) truncation audit:
+    recall@10 of the ranking computed on the FIRST 16 of 64 embedding
+    dimensions against the full-dim exact ranking, per query vector —
+    the measurement that decides whether a prefix-truncated index
+    (4x smaller, 4x less scan arithmetic) can serve first-stage
+    retrieval with full-dim re-rank, the standard MRL deployment.
+
+    Scale shape: both rankings are the audited broadcast-score +
+    per-query top-k plan; the prefix side simply unrolls 16-term
+    arithmetic instead of 64 (codegen'd, see functions/vectors.py::
+    dot_fixed — same left-fold order DuckDB uses, so the oracle replays
+    both rankings bit-for-bit).  The recall join is two k-bounded
+    lists per query.  At 100 TB you run this on a query SAMPLE, like
+    sim_ann_recall, to validate the truncation before swapping the
+    serving index.  Ref parity: none; north-star similarity scope."""
+    from data_ingestion_system_spark.functions.vectors import cosine_fixed
+    from pyspark.sql import Window as W
+
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    exact = topk_bruteforce(corpus, queries, k=K).select("qid", "vec_id")
+    pscored = (corpus.crossJoin(F.broadcast(queries))
+               .filter(F.col("vec_id") != F.col("qid"))
+               .withColumn("cos_p", cosine_fixed(F.col("qv"),
+                                                 F.col("embedding"),
+                                                 _MRL_PREFIX)))
+    w = W.partitionBy("qid").orderBy(F.col("cos_p").desc(), F.col("vec_id"))
+    pref = (pscored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= K)
+            .select(F.col("qid").alias("pqid"),
+                    F.col("vec_id").alias("pvid")))
+    joined = exact.join(
+        pref,
+        (F.col("qid") == F.col("pqid")) & (F.col("vec_id") == F.col("pvid")),
+        "left")
+    return (joined.groupBy("qid")
+            .agg(F.count("pvid").alias("n_hit"))
+            .select("qid", "n_hit",
+                    F.round(F.col("n_hit") / K, 6).alias("recall_at_k")))

@@ -60,7 +60,9 @@ def test_r3_window_contains_only_never_graded_queries():
                              "text_bm25_topk",
                              "text_rrf_fusion",
                              "agg_welch_ttest",
-                             "sim_mmr_rerank"}, never_outside
+                             "sim_mmr_rerank",
+                             "sim_matryoshka_recall",
+                             "agg_cuped"}, never_outside
 
 
 def test_every_query_has_an_oracle():
