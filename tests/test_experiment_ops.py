@@ -1,0 +1,122 @@
+"""Behavioral pins for the retrieval-quality and experimentation queries
+(sim_mmr_rerank, sim_matryoshka_recall, agg_welch_ttest, agg_cuped,
+text_perplexity_buckets, text_rrf_fusion) — properties the DuckDB parity
+check can't express: diversity, variance reduction, bucket balance."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.catalog import Catalog
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_mmr_never_beats_topk_relevance_but_diversifies(spark):
+    """MMR's picks are a subset of the candidate list, rank-1 equals the
+    plain top-1, every later pick sacrifices relevance only when
+    diversity pays: mmr score <= lambda * rel for ranks >= 2."""
+    from data_ingestion_system_spark.operators.queries_similarity import (
+        _MMR_K_SEL, _MMR_LAMBDA, sim_mmr_rerank)
+
+    rows = sim_mmr_rerank(spark, SF).collect()
+    assert [r.mmr_rank for r in rows] == list(range(1, _MMR_K_SEL + 1))
+    assert len({r.vec_id for r in rows}) == _MMR_K_SEL
+    assert rows[0].mmr == rows[0].rel  # no diversity term at rank 1
+    for r in rows[1:]:
+        # sims among near-orthogonal fixtures may be negative, so mmr can
+        # exceed lambda*rel only by the (bounded) |mu*sim| term
+        assert r.mmr <= _MMR_LAMBDA * r.rel + 0.3 + 1e-9
+        assert r.rel <= rows[0].rel  # rank 1 is the max-relevance pick
+
+
+def test_matryoshka_recall_bounds_and_shape(spark):
+    from data_ingestion_system_spark.operators.queries_similarity import (
+        K, N_QUERIES, sim_matryoshka_recall)
+
+    rows = sim_matryoshka_recall(spark, SF).collect()
+    assert len(rows) == N_QUERIES
+    for r in rows:
+        assert 0 <= r.n_hit <= K
+        assert abs(r.recall_at_k - r.n_hit / K) < 1e-9
+
+
+def test_welch_ttest_replays_in_python(spark):
+    from data_ingestion_system_spark.operators.queries_relational import (
+        agg_welch_ttest)
+
+    row = agg_welch_ttest(spark, SF).collect()[0]
+    vals = {}
+    for arm in ("purchase", "click"):
+        xs = [r.value for r in Catalog(spark, SF).events
+              .filter(F.col("event_type") == arm).select("value").collect()]
+        n = len(xs)
+        m = sum(xs) / n
+        v = sum((x - m) ** 2 for x in xs) / (n - 1)
+        vals[arm] = (n, m, v)
+    (n1, m1, v1), (n2, m2, v2) = vals["purchase"], vals["click"]
+    se2 = v1 / n1 + v2 / n2
+    assert row.n1 == n1 and row.n2 == n2
+    assert abs(row.mean_diff - (m1 - m2)) < 1e-3
+    assert abs(row.t_stat - (m1 - m2) / math.sqrt(se2)) < 1e-3
+    dof = se2 ** 2 / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1))
+    assert abs(row.dof - dof) < 1e-2
+
+
+def test_cuped_reduces_variance_and_preserves_global_mean(spark):
+    from data_ingestion_system_spark.operators.queries_relational import (
+        agg_cuped)
+
+    rows = agg_cuped(spark, SF).collect()
+    assert {r.arm for r in rows} == {0, 1}
+    for r in rows:
+        # pooled theta minimizes POOLED variance; per-arm it must still
+        # be a genuine reduction on this data, and never an explosion
+        assert r.var_ratio <= 1.05
+    # the adjustment is mean-zero over ALL users (xbar is the global
+    # mean), so the user-weighted global mean is preserved exactly
+    tot_raw = sum(r.mean_raw * r.n_users for r in rows)
+    tot_adj = sum(r.mean_cuped * r.n_users for r in rows)
+    assert abs(tot_raw - tot_adj) / abs(tot_raw) < 1e-2
+
+
+def test_perplexity_buckets_are_balanced_and_ordered(spark):
+    from data_ingestion_system_spark.operators.queries_text import (
+        text_perplexity_buckets)
+
+    rows = text_perplexity_buckets(spark, SF).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        sizes = {b: sum(1 for r in rs if r.bucket == b) for b in (1, 2, 3)}
+        # exact ntile fill rule: bucket sizes differ by at most one
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (lang, sizes)
+        # buckets are contiguous in the score: every bucket-1 score <=
+        # every bucket-2 score <= every bucket-3 score (ties split by id)
+        for lo, hi in ((1, 2), (2, 3)):
+            if sizes[lo] and sizes[hi]:
+                assert (max(r.nll for r in rs if r.bucket == lo)
+                        <= min(r.nll for r in rs if r.bucket == hi)
+                        + 1e-12), lang
+
+
+def test_rrf_fusion_rank_math(spark):
+    from data_ingestion_system_spark.operators.queries_text import (
+        _RRF_K, text_rrf_fusion)
+
+    rows = text_rrf_fusion(spark, SF).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        want = 0.0
+        if r.rank_bm25 is not None:
+            want += 1.0 / (_RRF_K + r.rank_bm25)
+        if r.rank_quality is not None:
+            want += 1.0 / (_RRF_K + r.rank_quality)
+        assert abs(r.rrf - want) < 1e-6
+        assert r.rank_bm25 is not None or r.rank_quality is not None
+    # output is sorted by fused score, tie-broken by doc_id
+    key = [( -r.rrf, r.doc_id) for r in rows]
+    assert key == sorted(key)
