@@ -2515,3 +2515,4 @@ def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("y_cuped"), 4).alias("mean_cuped"),
                  F.round(F.var_samp("y_cuped") / F.var_samp("y"), 4)
                  .alias("var_ratio")))
+
