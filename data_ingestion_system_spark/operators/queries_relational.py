@@ -2516,3 +2516,86 @@ def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.var_samp("y_cuped") / F.var_samp("y"), 4)
                  .alias("var_ratio")))
 
+
+
+@register("agg_mann_whitney", """
+WITH s AS (
+  SELECT event_id, event_type, value FROM events
+  WHERE event_type IN ('purchase', 'click')),
+r AS (
+  SELECT event_type,
+         row_number() OVER (ORDER BY value, event_id) AS rnk
+  FROM s),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n1,
+    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n2,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN rnk ELSE 0 END)
+         AS BIGINT) AS r1
+  FROM r)
+SELECT n1, n2,
+       round(r1 - n1 * (n1 + 1) / 2.0, 4) AS u1,
+       round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+             / sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0), 4) AS z
+FROM agg
+""")
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum), the nonparametric sibling of
+    agg_welch_ttest: compares purchase vs click `value` distributions by
+    rank, immune to the outliers and skew that break a t-test on
+    revenue-like metrics — U1 from the purchase arm's rank sum, plus
+    the large-sample normal z.  Ranks order by (value, event_id):
+    `value` is continuous so exact cross-arm ties (where the textbook
+    midrank correction would matter) do not occur in this data, and the
+    deterministic tie-break keeps the rank assignment engine-portable
+    regardless.
+
+    Scale shape: the GLOBAL rank uses the same TeraSort pattern as
+    agg_equidepth_histogram — approx-percentile range cuts (driver
+    literals steering load balance only; pid is monotone in the sort
+    key), per-range counts -> prefix-sum offsets, then row_number per
+    pid + offset; every window task holds ~N/nparts rows, no
+    single-task sort anywhere.  The rank sums then fold map-side into
+    one 1-row aggregate.  Ref parity: none; experiment analysis is
+    north-star scope."""
+    cat = Catalog(spark, sf_dir)
+    s = (cat.events
+         .filter(F.col("event_type").isin("purchase", "click"))
+         .select("event_id", "event_type", "value"))
+
+    nparts = max(8, min(64, spark.sparkContext.defaultParallelism))
+    probs = [i / nparts for i in range(1, nparts)]
+    bounds = s.agg(
+        F.percentile_approx("value", probs, 10_000).alias("b")
+    ).collect()[0]["b"]
+    pid = F.when(F.col("value").isNull(), F.lit(0))
+    for i, cut in enumerate(bounds):
+        pid = pid.when(F.col("value") < F.lit(float(cut)), F.lit(i))
+    pid = pid.otherwise(F.lit(len(bounds)))
+    staged = s.withColumn("pid", pid)
+    counts = {r["pid"]: r["n"] for r in
+              staged.groupBy("pid").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = [], 0
+    for p in range(len(bounds) + 1):
+        offsets.append(acc)
+        acc += counts.get(p, 0)
+    off = F.element_at(
+        F.array(*[F.lit(o) for o in offsets]), F.col("pid") + 1)
+    w = Window.partitionBy("pid").orderBy("value", "event_id")
+    ranked = staged.select(
+        "event_type", (F.row_number().over(w) + off).alias("rnk"))
+
+    is_p = F.col("event_type") == "purchase"
+    agg = ranked.agg(
+        F.sum(F.when(is_p, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(~is_p, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(is_p, F.col("rnk")).otherwise(0)).cast("long")
+        .alias("r1"))
+    n1, n2, r1 = F.col("n1"), F.col("n2"), F.col("r1")
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    z = (r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0) \
+        / F.sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0)
+    return agg.select("n1", "n2", F.round(u1, 4).alias("u1"),
+                      F.round(z, 4).alias("z"))

@@ -120,3 +120,23 @@ def test_rrf_fusion_rank_math(spark):
     # output is sorted by fused score, tie-broken by doc_id
     key = [( -r.rrf, r.doc_id) for r in rows]
     assert key == sorted(key)
+
+
+def test_mann_whitney_replays_in_python(spark):
+    from data_ingestion_system_spark.operators.queries_relational import (
+        agg_mann_whitney)
+
+    row = agg_mann_whitney(spark, SF).collect()[0]
+    ev = (Catalog(spark, SF).events
+          .filter(F.col("event_type").isin("purchase", "click"))
+          .select("event_id", "event_type", "value").collect())
+    ranked = sorted(ev, key=lambda r: (r.value, r.event_id))
+    r1 = sum(i + 1 for i, r in enumerate(ranked)
+             if r.event_type == "purchase")
+    n1 = sum(1 for r in ev if r.event_type == "purchase")
+    n2 = len(ev) - n1
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    mu, sig = n1 * n2 / 2.0, math.sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0)
+    assert (row.n1, row.n2) == (n1, n2)
+    assert abs(row.u1 - u1) < 1e-6
+    assert abs(row.z - (u1 - mu) / sig) < 1e-3

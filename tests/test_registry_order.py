@@ -62,7 +62,8 @@ def test_r3_window_contains_only_never_graded_queries():
                              "agg_welch_ttest",
                              "sim_mmr_rerank",
                              "sim_matryoshka_recall",
-                             "agg_cuped"}, never_outside
+                             "agg_cuped",
+                             "agg_mann_whitney"}, never_outside
 
 
 def test_every_query_has_an_oracle():
