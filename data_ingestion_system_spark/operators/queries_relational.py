@@ -2599,3 +2599,60 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0)
     return agg.select("n1", "n2", F.round(u1, 4).alias("u1"),
                       F.round(z, 4).alias("z"))
+
+
+@register("agg_benford_digits", """
+WITH v AS (SELECT value FROM events WHERE value > 0),
+d0 AS (
+  SELECT value, floor(log10(value)) AS e,
+         floor(value / pow(10, floor(log10(value)))) AS d_raw
+  FROM v),
+d AS (
+  SELECT CAST(CASE WHEN d_raw >= 10 THEN floor(d_raw / 10)
+              WHEN d_raw < 1 THEN floor(value / pow(10, e - 1))
+              ELSE d_raw END AS BIGINT) AS digit
+  FROM d0),
+n AS (SELECT count(*) AS total FROM d),
+obs AS (SELECT digit, count(*) AS cnt FROM d GROUP BY digit)
+SELECT obs.digit, obs.cnt,
+       round(obs.cnt * 1.0 / total, 6) AS obs_frac,
+       round(log10(1 + 1.0 / obs.digit), 6) AS benford_frac,
+       round(pow(obs.cnt - total * log10(1 + 1.0 / obs.digit), 2)
+             / (total * log10(1 + 1.0 / obs.digit)), 4) AS chi2_term
+FROM obs, n
+""")
+def agg_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit — the classic anomaly/fraud screen for
+    any organically-generated numeric column: observed first-significant-
+    digit frequencies of `value` against Benford's log10(1 + 1/d) law,
+    with the per-digit chi-square contribution (large terms point at the
+    digits where the data was fabricated, capped, or unit-mixed).
+
+    The first digit comes from floor(value / 10^floor(log10(value)))
+    with an explicit +-1-decade correction branch, because IEEE log10
+    lands a hair below the integer at exact powers of ten (log10(1000)
+    = 2.999...96) — the correction makes the digit exact instead of
+    trusting the libm rounding, and both engines run the identical
+    arithmetic.  Scale shape: one scan-side projection (filter + digit
+    arithmetic, no Python), a 9-row hash aggregate with map-side
+    combine, and a 1-row total broadcast — nothing past the scan is
+    data-sized.  Ref parity: none; data-quality scope."""
+    cat = Catalog(spark, sf_dir)
+    v = cat.events.filter(F.col("value") > 0).select("value")
+    e = F.floor(F.log10("value"))
+    d_raw = F.floor(F.col("value") / F.pow(F.lit(10.0), e))
+    digit = (F.when(d_raw >= 10, F.floor(d_raw / 10))
+             .when(d_raw < 1,
+                   F.floor(F.col("value") / F.pow(F.lit(10.0), e - 1)))
+             .otherwise(d_raw)).cast("long")
+    d = v.select(digit.alias("digit"))
+    n = d.agg(F.count("*").alias("total"))
+    obs = d.groupBy("digit").agg(F.count("*").alias("cnt"))
+    p = F.log10(1 + 1.0 / F.col("digit"))
+    return (obs.crossJoin(F.broadcast(n))
+            .select("digit", "cnt",
+                    F.round(F.col("cnt") * 1.0 / F.col("total"), 6)
+                    .alias("obs_frac"),
+                    F.round(p, 6).alias("benford_frac"),
+                    F.round(F.pow(F.col("cnt") - F.col("total") * p, 2)
+                            / (F.col("total") * p), 4).alias("chi2_term")))

@@ -140,3 +140,33 @@ def test_mann_whitney_replays_in_python(spark):
     assert (row.n1, row.n2) == (n1, n2)
     assert abs(row.u1 - u1) < 1e-6
     assert abs(row.z - (u1 - mu) / sig) < 1e-3
+
+
+def test_benford_digit_extraction_is_decade_exact(spark):
+    """The decade-corrected first-digit arithmetic is exact on the IEEE
+    traps (exact powers of ten, where floor(log10(1000)) = 2 is one off)
+    and on sub-1 magnitudes; fractions sum to 1."""
+    from data_ingestion_system_spark.operators.queries_relational import (
+        agg_benford_digits)
+
+    rows = agg_benford_digits(spark, SF).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.obs_frac for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.benford_frac for r in rows) - 1.0) < 1e-3
+
+    # unit-level: replay the digit expression on adversarial literals
+    import pandas as pd
+    from pyspark.sql import functions as F2
+    vals = [1.0, 9.999, 10.0, 100.0, 1000.0, 0.001, 0.09999, 123.456,
+            999.9999, 1e-6, 5e8]
+    df = spark.createDataFrame(pd.DataFrame({"value": vals}))
+    e = F2.floor(F2.log10("value"))
+    d_raw = F2.floor(F2.col("value") / F2.pow(F2.lit(10.0), e))
+    digit = (F2.when(d_raw >= 10, F2.floor(d_raw / 10))
+             .when(d_raw < 1,
+                   F2.floor(F2.col("value") / F2.pow(F2.lit(10.0), e - 1)))
+             .otherwise(d_raw)).cast("long")
+    got = [r[0] for r in df.select(digit).collect()]
+    want = [int(str(abs(v)).lstrip("0.").lstrip("0")[0]) if "e" not in
+            f"{v}" else int(f"{v:e}"[0]) for v in vals]
+    assert got == want, (got, want)
