@@ -1192,3 +1192,49 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("pvid").alias("n_hit"))
             .select("qid", "n_hit",
                     F.round(F.col("n_hit") / K, 6).alias("recall_at_k")))
+
+
+_RANGE_COS = 0.30  # radius: fixture embeddings are near-orthogonal,
+                   # 0.30 selects the correlated tail (cf. COSINE_NEAR_DUP)
+
+
+@register("sim_range_search", f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {{nq}}),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT q.qid, c.vec_id,
+         list_dot_product(qv, cv) /
+           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+           AS cos
+  FROM q CROSS JOIN c
+  WHERE c.vec_id != q.qid)
+SELECT qid, vec_id, round(cos, 6) AS cosine
+FROM scored WHERE cos >= {{t}}
+""".format(nq=N_QUERIES, t=_RANGE_COS))
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search, faiss's other query type: ALL corpus
+    vectors within cosine >= 0.30 of each query vector, not a fixed-k
+    cut — the right call when the answer set size is the unknown
+    (duplicate sweeps, recall-critical retrieval) and top-k would
+    silently truncate dense neighborhoods or pad sparse ones.
+
+    Scale shape: identical to the brute-force scorer (broadcast query
+    block x one corpus scan, unrolled codegen'd cosine) except the
+    selective predicate replaces the per-query window — STRICTLY
+    cheaper: no rank state at all, the filter fuses into the scan
+    projection and emits matches streaming.  At corpus scale the same
+    radius predicate applies to the IVF/LSH candidate streams instead
+    (probe-then-filter), exactly as the ANN family documents.  Ref
+    parity: none; north-star similarity scope."""
+    from data_ingestion_system_spark.functions.vectors import cosine_fixed
+    from data_ingestion_system_spark.operators.similarity import DIM
+
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    scored = (corpus.crossJoin(F.broadcast(queries))
+              .filter(F.col("vec_id") != F.col("qid"))
+              .withColumn("cos_raw",
+                          cosine_fixed(F.col("qv"), F.col("embedding"), DIM)))
+    return (scored.filter(F.col("cos_raw") >= _RANGE_COS)
+            .select("qid", "vec_id",
+                    F.round("cos_raw", 6).alias("cosine")))

@@ -64,7 +64,8 @@ def test_r3_window_contains_only_never_graded_queries():
                              "sim_matryoshka_recall",
                              "agg_cuped",
                              "agg_mann_whitney",
-                             "agg_benford_digits"}, never_outside
+                             "agg_benford_digits",
+                             "sim_range_search"}, never_outside
 
 
 def test_every_query_has_an_oracle():
