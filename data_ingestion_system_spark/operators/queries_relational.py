@@ -2656,3 +2656,95 @@ def agg_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(p, 6).alias("benford_frac"),
                     F.round(F.pow(F.col("cnt") - F.col("total") * p, 2)
                             / (F.col("total") * p), 4).alias("chi2_term")))
+
+
+@register("agg_ks_test", """
+WITH s AS (
+  SELECT event_id, value,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a1
+  FROM events WHERE event_type IN ('purchase', 'click')),
+n AS (SELECT CAST(sum(a1) AS BIGINT) AS n1,
+             CAST(count(*) - sum(a1) AS BIGINT) AS n2 FROM s),
+r AS (
+  SELECT value,
+         sum(a1) OVER (ORDER BY value, event_id
+                       ROWS UNBOUNDED PRECEDING) AS c1,
+         row_number() OVER (ORDER BY value, event_id) AS rall
+  FROM s),
+d AS (
+  SELECT value,
+         abs(c1 * 1.0 / n1 - (rall - c1) * 1.0 / n2) AS diff
+  FROM r, n)
+SELECT n1, n2, round(diff, 6) AS ks_stat, round(value, 4) AS ks_at
+FROM d, n
+ORDER BY diff DESC, value
+LIMIT 1
+""")
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic comparing the purchase vs
+    click `value` distributions — the EXACT (unbinned) drift gate next
+    to agg_psi_value_drift's binned PSI: D = max |ECDF1 - ECDF2| over
+    the merged order, reported with the value where the gap peaks (the
+    actionable part: WHERE the distributions diverge).  `value` is
+    continuous, so cross-arm ties (the only place the ECDF step order
+    would matter) do not occur, and the (value, event_id) tie-break
+    keeps the merged order engine-portable regardless.
+
+    Scale shape: the merged-order ECDFs use the TeraSort prefix-sum
+    pattern (third user after agg_equidepth_histogram and
+    agg_mann_whitney): approx-percentile cuts -> per-pid (row, arm-1)
+    counts -> prefix-sum offsets as driver literals -> per-pid
+    row_number and RUNNING SUM plus offsets = exact global rank and
+    cumulative arm-1 count, every window task ~N/nparts rows.  The
+    argmax is TakeOrderedAndProject (top-1).  Nothing is single-task.
+    Ref parity: none; experiment/drift analysis is north-star scope."""
+    cat = Catalog(spark, sf_dir)
+    s = (cat.events
+         .filter(F.col("event_type").isin("purchase", "click"))
+         .select("event_id", "value",
+                 F.when(F.col("event_type") == "purchase", 1)
+                 .otherwise(0).alias("a1")))
+
+    nparts = max(8, min(64, spark.sparkContext.defaultParallelism))
+    probs = [i / nparts for i in range(1, nparts)]
+    bounds = s.agg(
+        F.percentile_approx("value", probs, 10_000).alias("b")
+    ).collect()[0]["b"]
+    pid = F.when(F.col("value").isNull(), F.lit(0))
+    for i, cut in enumerate(bounds):
+        pid = pid.when(F.col("value") < F.lit(float(cut)), F.lit(i))
+    pid = pid.otherwise(F.lit(len(bounds)))
+    staged = s.withColumn("pid", pid)
+
+    per_pid = {r["pid"]: (r["n"], r["na"]) for r in
+               staged.groupBy("pid")
+               .agg(F.count("*").alias("n"), F.sum("a1").alias("na"))
+               .collect()}
+    off_all, off_a1, acc, acc1 = [], [], 0, 0
+    for p in range(len(bounds) + 1):
+        off_all.append(acc)
+        off_a1.append(acc1)
+        n_p, na_p = per_pid.get(p, (0, 0))
+        acc += n_p
+        acc1 += na_p
+    n1_tot, n2_tot = acc1, acc - acc1
+    oall = F.element_at(F.array(*[F.lit(o) for o in off_all]),
+                        F.col("pid") + 1)
+    oa1 = F.element_at(F.array(*[F.lit(o) for o in off_a1]),
+                       F.col("pid") + 1)
+
+    w = (Window.partitionBy("pid").orderBy("value", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wr = Window.partitionBy("pid").orderBy("value", "event_id")
+    c1 = (F.sum("a1").over(w) + oa1).alias("c1")
+    rall = (F.row_number().over(wr) + oall).alias("rall")
+    r = staged.select("value", c1, rall)
+    diff = F.abs(F.col("c1") * 1.0 / F.lit(n1_tot)
+                 - (F.col("rall") - F.col("c1")) * 1.0 / F.lit(n2_tot))
+    return (r.select("value", diff.alias("diff"))
+            .orderBy(F.col("diff").desc(), "value")
+            .limit(1)
+            .select(F.lit(n1_tot).cast("long").alias("n1"),
+                    F.lit(n2_tot).cast("long").alias("n2"),
+                    F.round("diff", 6).alias("ks_stat"),
+                    F.round("value", 4).alias("ks_at")))

@@ -170,3 +170,26 @@ def test_benford_digit_extraction_is_decade_exact(spark):
     want = [int(str(abs(v)).lstrip("0.").lstrip("0")[0]) if "e" not in
             f"{v}" else int(f"{v:e}"[0]) for v in vals]
     assert got == want, (got, want)
+
+
+def test_ks_test_replays_in_python(spark):
+    from data_ingestion_system_spark.operators.queries_relational import (
+        agg_ks_test)
+
+    row = agg_ks_test(spark, SF).collect()[0]
+    ev = (Catalog(spark, SF).events
+          .filter(F.col("event_type").isin("purchase", "click"))
+          .select("event_id", "event_type", "value").collect())
+    merged = sorted(ev, key=lambda r: (r.value, r.event_id))
+    n1 = sum(1 for r in ev if r.event_type == "purchase")
+    n2 = len(ev) - n1
+    c1 = 0
+    best = (-1.0, None)
+    for i, r in enumerate(merged, 1):
+        c1 += r.event_type == "purchase"
+        diff = abs(c1 / n1 - (i - c1) / n2)
+        if diff > best[0] + 1e-15:
+            best = (diff, r.value)
+    assert (row.n1, row.n2) == (n1, n2)
+    assert abs(row.ks_stat - best[0]) < 1e-6
+    assert abs(row.ks_at - best[1]) < 1e-3

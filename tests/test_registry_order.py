@@ -65,7 +65,8 @@ def test_r3_window_contains_only_never_graded_queries():
                              "agg_cuped",
                              "agg_mann_whitney",
                              "agg_benford_digits",
-                             "sim_range_search"}, never_outside
+                             "sim_range_search",
+                             "agg_ks_test"}, never_outside
 
 
 def test_every_query_has_an_oracle():
