@@ -2748,3 +2748,48 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(n2_tot).cast("long").alias("n2"),
                     F.round("diff", 6).alias("ks_stat"),
                     F.round("value", 4).alias("ks_at")))
+
+
+@register("window_scd2_intervals", """
+WITH s AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events),
+chg AS (
+  SELECT user_id, event_type AS status, ts, event_id FROM s
+  WHERE prev IS NULL OR prev <> event_type)
+SELECT user_id, status, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS valid_to
+FROM chg
+""")
+def window_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history build: collapse each
+    user's event stream into status VALIDITY INTERVALS — a row per
+    status CHANGE carrying [valid_from, valid_to), open-ended (NULL
+    valid_to) on the current status.  This is the standard warehouse
+    lowering of a mutable-status table the reference would UPDATE in
+    place (src/services/audit.services.ts): append-only history that
+    answers both "status now" (valid_to IS NULL) and "status as of T"
+    (point-in-time join on the interval) without rewrites.
+
+    Scale shape: two window passes, both PARTITIONED BY USER — bounded
+    per-key state, the exact shape Spark distributes well; the
+    change-collapse filter between them shrinks the second window's
+    input to the change rows (web-scale streams are mostly repeats).
+    The (ts, event_id) tie-break makes interval endpoints
+    engine-portable.  Ref parity: O-16-adjacent (the reference's
+    correlation UPDATE becomes history rows); SCD2 itself is north-star
+    warehouse scope."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = cat.events.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lag("event_type").over(w).alias("prev"))
+    chg = s.filter(F.col("prev").isNull()
+                   | (F.col("prev") != F.col("event_type")))
+    return chg.select(
+        "user_id", F.col("event_type").alias("status"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"))
