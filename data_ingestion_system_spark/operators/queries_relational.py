@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.catalog import Catalog
 from data_ingestion_system_spark.operators.correlate import correlate
+from data_ingestion_system_spark.operators.ranks import offset_at, range_stage
 from data_ingestion_system_spark.registry import register
 
 
@@ -583,7 +584,8 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     un-partitioned ntile was the linter's only allowlisted exception;
     this form deleted it).
 
-    TeraSort-style global ranking:
+    TeraSort-style global ranking (operators/ranks.py::range_stage,
+    shared with agg_mann_whitney / agg_ks_test / agg_lorenz_gini):
 
     1. ``percentile_approx`` range boundaries (driver literals, one
        value-column scan) — they steer LOAD BALANCE only; correctness
@@ -607,27 +609,9 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     ev = cat.events.select("value", "event_id")
 
-    nparts = max(8, min(64, spark.sparkContext.defaultParallelism))
-    probs = [i / nparts for i in range(1, nparts)]
-    bounds = ev.agg(
-        F.percentile_approx("value", probs, 10_000).alias("b")
-    ).collect()[0]["b"]
-
-    pid = F.when(F.col("value").isNull(), F.lit(0))
-    for i, cut in enumerate(bounds):
-        pid = pid.when(F.col("value") < F.lit(float(cut)), F.lit(i))
-    pid = pid.otherwise(F.lit(len(bounds)))
-
-    staged = ev.withColumn("pid", pid)
-    counts = {r["pid"]: r["n"] for r in
-              staged.groupBy("pid").agg(F.count("*").alias("n")).collect()}
-    n_total = sum(counts.values())
-    offsets, acc = [], 0
-    for p in range(len(bounds) + 1):
-        offsets.append(acc)
-        acc += counts.get(p, 0)
-    off = F.element_at(
-        F.array(*[F.lit(o) for o in offsets]), F.col("pid") + 1)
+    staged, offs, totals = range_stage(spark, ev, "value")
+    n_total = totals["__rows__"]
+    off = offset_at(offs["__rows__"])
 
     w = Window.partitionBy("pid").orderBy("value", "event_id")
     rank = (F.row_number().over(w) + off).alias("rank")
@@ -2565,24 +2549,8 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
          .filter(F.col("event_type").isin("purchase", "click"))
          .select("event_id", "event_type", "value"))
 
-    nparts = max(8, min(64, spark.sparkContext.defaultParallelism))
-    probs = [i / nparts for i in range(1, nparts)]
-    bounds = s.agg(
-        F.percentile_approx("value", probs, 10_000).alias("b")
-    ).collect()[0]["b"]
-    pid = F.when(F.col("value").isNull(), F.lit(0))
-    for i, cut in enumerate(bounds):
-        pid = pid.when(F.col("value") < F.lit(float(cut)), F.lit(i))
-    pid = pid.otherwise(F.lit(len(bounds)))
-    staged = s.withColumn("pid", pid)
-    counts = {r["pid"]: r["n"] for r in
-              staged.groupBy("pid").agg(F.count("*").alias("n")).collect()}
-    offsets, acc = [], 0
-    for p in range(len(bounds) + 1):
-        offsets.append(acc)
-        acc += counts.get(p, 0)
-    off = F.element_at(
-        F.array(*[F.lit(o) for o in offsets]), F.col("pid") + 1)
+    staged, offs, _totals = range_stage(spark, s, "value")
+    off = offset_at(offs["__rows__"])
     w = Window.partitionBy("pid").orderBy("value", "event_id")
     ranked = staged.select(
         "event_type", (F.row_number().over(w) + off).alias("rnk"))
@@ -2705,33 +2673,11 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.when(F.col("event_type") == "purchase", 1)
                  .otherwise(0).alias("a1")))
 
-    nparts = max(8, min(64, spark.sparkContext.defaultParallelism))
-    probs = [i / nparts for i in range(1, nparts)]
-    bounds = s.agg(
-        F.percentile_approx("value", probs, 10_000).alias("b")
-    ).collect()[0]["b"]
-    pid = F.when(F.col("value").isNull(), F.lit(0))
-    for i, cut in enumerate(bounds):
-        pid = pid.when(F.col("value") < F.lit(float(cut)), F.lit(i))
-    pid = pid.otherwise(F.lit(len(bounds)))
-    staged = s.withColumn("pid", pid)
-
-    per_pid = {r["pid"]: (r["n"], r["na"]) for r in
-               staged.groupBy("pid")
-               .agg(F.count("*").alias("n"), F.sum("a1").alias("na"))
-               .collect()}
-    off_all, off_a1, acc, acc1 = [], [], 0, 0
-    for p in range(len(bounds) + 1):
-        off_all.append(acc)
-        off_a1.append(acc1)
-        n_p, na_p = per_pid.get(p, (0, 0))
-        acc += n_p
-        acc1 += na_p
-    n1_tot, n2_tot = acc1, acc - acc1
-    oall = F.element_at(F.array(*[F.lit(o) for o in off_all]),
-                        F.col("pid") + 1)
-    oa1 = F.element_at(F.array(*[F.lit(o) for o in off_a1]),
-                       F.col("pid") + 1)
+    staged, offs, totals = range_stage(spark, s, "value", sum_cols=("a1",))
+    n1_tot = totals["a1"]
+    n2_tot = totals["__rows__"] - n1_tot
+    oall = offset_at(offs["__rows__"])
+    oa1 = offset_at(offs["a1"])
 
     w = (Window.partitionBy("pid").orderBy("value", "event_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -2793,3 +2739,52 @@ def window_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("event_type").alias("status"),
         F.col("ts").alias("valid_from"),
         F.lead("ts").over(w).alias("valid_to"))
+
+
+@register("agg_lorenz_gini", """
+WITH ux AS (
+  SELECT user_id, sum(value) AS x FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id),
+r AS (
+  SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM ux),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx FROM ux)
+SELECT n,
+       round(sx, 4) AS total_value,
+       round(2.0 * sum(i * x) / (n * sx) - (n + 1.0) / n, 6) AS gini
+FROM r, n
+GROUP BY n, sx
+""")
+def agg_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user purchase value — the full Lorenz-
+    curve inequality measure next to agg_pareto_users' single top-share
+    point: G = 2*sum(i * x_(i)) / (n * sum(x)) - (n+1)/n with i the
+    ascending global rank.  The number a marketplace/data-balance
+    report leads with ("how concentrated is the value?") and, on
+    token-count columns, the corpus-balance gate for training mixes.
+
+    Scale shape: the per-user rollup is one map-combined hash
+    aggregate; the GLOBAL rank is the shared TeraSort primitive
+    (operators/ranks.py::range_stage — cuts as driver literals,
+    per-pid counts -> prefix-sum offsets, pid-partitioned row_number +
+    offset), its fourth user; the weighted sum then folds map-side
+    into one 1-row aggregate.  No single-task sort.  The (x, user_id)
+    tie-break keeps ranks — and with them the exact Gini under tied
+    values — engine-portable."""
+    cat = Catalog(spark, sf_dir)
+    ux = (cat.events.filter(F.col("event_type") == "purchase")
+          .groupBy("user_id").agg(F.sum("value").alias("x")))
+
+    staged, offs, totals = range_stage(spark, ux, "x")
+    n_tot = totals["__rows__"]
+    off = offset_at(offs["__rows__"])
+    w = Window.partitionBy("pid").orderBy("x", "user_id")
+    ranked = staged.select(
+        "x", (F.row_number().over(w) + off).alias("i"))
+    agg = ranked.agg(F.sum(F.col("i") * F.col("x")).alias("six"),
+                     F.sum("x").alias("sx"))
+    n = F.lit(n_tot).cast("long")
+    return agg.select(
+        n.alias("n"),
+        F.round(F.col("sx"), 4).alias("total_value"),
+        F.round(2.0 * F.col("six") / (n * F.col("sx"))
+                - (n + 1.0) / n, 6).alias("gini"))

@@ -50,17 +50,18 @@ def oracle_sql() -> dict[str, str]:
 _LOADED = False
 
 # r4 NOTE: once CORRECTNESS_r03 lands green for this window, exactly
-# TWENTY-SEVEN queries will lack a driver row ever: diag_profile_events (the
-# documented r3 sacrifice) plus the twenty-six added after the window froze —
+# TWENTY-EIGHT queries will lack a driver row ever: diag_profile_events (the
+# documented r3 sacrifice) plus the twenty-seven added after the window froze —
 # sim_ann_recall, emb_cluster_quality, text_dsir_weights, text_bigram_nll,
 # text_gopher_rules, dedup_semantic, dedup_source_overlap,
 # dedup_minhash_estimate, dedup_duplicate_passages, agg_quantile_sketch,
 # emb_covariance, text_top2gram_chars, emb_pca_power, dedup_canonical_pick,
 # text_perplexity_buckets, text_bm25_topk, text_rrf_fusion, agg_welch_ttest,
 # sim_mmr_rerank, sim_matryoshka_recall, agg_cuped, agg_mann_whitney,
-# agg_benford_digits, sim_range_search, agg_ks_test, window_scd2_intervals.
-# Rotate those twenty-seven to the front of the r4 priority list (the other
-# 23 slots can re-grade whatever regressed, if anything) for 168/168
+# agg_benford_digits, sim_range_search, agg_ks_test, window_scd2_intervals,
+# agg_lorenz_gini.
+# Rotate those twenty-eight to the front of the r4 priority list (the other
+# 22 slots can re-grade whatever regressed, if anything) for 169/169
 # cumulative driver-verified coverage.
 #
 # Registration order is grading order: the driver grades exactly the first

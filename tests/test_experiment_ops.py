@@ -193,3 +193,21 @@ def test_ks_test_replays_in_python(spark):
     assert (row.n1, row.n2) == (n1, n2)
     assert abs(row.ks_stat - best[0]) < 1e-6
     assert abs(row.ks_at - best[1]) < 1e-3
+
+
+def test_lorenz_gini_replays_in_python(spark):
+    from data_ingestion_system_spark.operators.queries_relational import (
+        agg_lorenz_gini)
+
+    row = agg_lorenz_gini(spark, SF).collect()[0]
+    ux = (Catalog(spark, SF).events
+          .filter(F.col("event_type") == "purchase")
+          .groupBy("user_id").agg(F.sum("value").alias("x")).collect())
+    xs = [r.x for r in sorted(ux, key=lambda r: (r.x, r.user_id))]
+    n, sx = len(xs), sum(xs)
+    gini = 2.0 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * sx) \
+        - (n + 1.0) / n
+    assert row.n == n
+    assert abs(row.total_value - sx) < 1e-2
+    assert abs(row.gini - gini) < 1e-5
+    assert 0.0 <= row.gini < 1.0

@@ -67,7 +67,8 @@ def test_r3_window_contains_only_never_graded_queries():
                              "agg_benford_digits",
                              "sim_range_search",
                              "agg_ks_test",
-                             "window_scd2_intervals"}, never_outside
+                             "window_scd2_intervals",
+                             "agg_lorenz_gini"}, never_outside
 
 
 def test_every_query_has_an_oracle():
