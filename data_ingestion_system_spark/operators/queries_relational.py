@@ -2788,3 +2788,70 @@ def agg_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sx"), 4).alias("total_value"),
         F.round(2.0 * F.col("six") / (n * F.col("sx"))
                 - (n + 1.0) / n, 6).alias("gini"))
+
+
+_FUNNEL_WINDOW_DAYS = 7
+
+
+@register("agg_funnel_window", f"""
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+    AND e.ts <= v.t1 + INTERVAL {_FUNNEL_WINDOW_DAYS} DAY
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+    AND e.ts <= c.t2 + INTERVAL {_FUNNEL_WINDOW_DAYS} DAY
+  GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_click,
+       (SELECT count(*) FROM p) AS n_purchase,
+       round((SELECT count(*) FROM c) * 1.0
+             / (SELECT count(*) FROM v), 6) AS cr_view_click,
+       round((SELECT count(*) FROM p) * 1.0
+             / (SELECT count(*) FROM c), 6) AS cr_click_purchase
+""")
+def agg_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel with BOUNDED conversion windows — the product-analytics
+    form: a click counts only within 7 days of the user's first view,
+    a purchase only within 7 days of that qualifying click (contrast
+    agg_funnel's global-first-occurrence ordering, which credits
+    conversions months apart).  Stage timestamps re-anchor at each
+    qualifying step, which is exactly what first-occurrence aggregation
+    cannot express.
+
+    Scale shape: each stage is one equi-join on user_id (the range
+    predicate rides the join as a filter — no theta join) followed by
+    one map-combined min; per-stage state is ONE timestamp per
+    surviving user, and the funnel narrows monotonically so each stage
+    scans less.  Stage counts are Catalyst-provable 1-row aggregates;
+    the readout assembles on broadcast scalars.  Ref parity: none;
+    product-analytics scope."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events
+    win = F.expr(f"INTERVAL {_FUNNEL_WINDOW_DAYS} DAYS")
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    c = (ev.filter(F.col("event_type") == "click").join(v, "user_id")
+         .filter((F.col("ts") > F.col("t1"))
+                 & (F.col("ts") <= F.col("t1") + win))
+         .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    p = (ev.filter(F.col("event_type") == "purchase").join(c, "user_id")
+         .filter((F.col("ts") > F.col("t2"))
+                 & (F.col("ts") <= F.col("t2") + win))
+         .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    nv = v.agg(F.count("*").alias("n_view"))
+    nc = c.agg(F.count("*").alias("n_click"))
+    np_ = p.agg(F.count("*").alias("n_purchase"))
+    return (nv.crossJoin(F.broadcast(nc)).crossJoin(F.broadcast(np_))
+            .select("n_view", "n_click", "n_purchase",
+                    F.round(F.col("n_click") * 1.0 / F.col("n_view"), 6)
+                    .alias("cr_view_click"),
+                    F.round(F.col("n_purchase") * 1.0 / F.col("n_click"), 6)
+                    .alias("cr_click_purchase")))

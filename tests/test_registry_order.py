@@ -68,7 +68,8 @@ def test_r3_window_contains_only_never_graded_queries():
                              "sim_range_search",
                              "agg_ks_test",
                              "window_scd2_intervals",
-                             "agg_lorenz_gini"}, never_outside
+                             "agg_lorenz_gini",
+                             "agg_funnel_window"}, never_outside
 
 
 def test_every_query_has_an_oracle():
