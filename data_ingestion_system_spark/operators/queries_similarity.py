@@ -1220,21 +1220,28 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     silently truncate dense neighborhoods or pad sparse ones.
 
     Scale shape: identical to the brute-force scorer (broadcast query
-    block x one corpus scan, unrolled codegen'd cosine) except the
-    selective predicate replaces the per-query window — STRICTLY
-    cheaper: no rank state at all, the filter fuses into the scan
-    projection and emits matches streaming.  At corpus scale the same
+    block x one corpus scan) except the selective predicate replaces
+    the per-query window — no rank state at all, matches stream out.
+    The cosine here is the HIGHER-ORDER-FUNCTION form
+    (functions/vectors.py::cosine), NOT the unrolled cosine_fixed the
+    top-k queries use: with a FILTER sitting directly above the
+    expression, Catalyst duplicates the predicate's expression tree
+    into both the filter and the projection, and a 64-term unrolled
+    duplicate blows the whole-stage-codegen method budget (compile
+    failure -> silent interpreted fallback; the same pathology
+    sim_user_timeseries documents for constraint inference).  The HOF
+    loop stays compact in generated code and the fold order still
+    matches DuckDB's list_dot_product.  At corpus scale the same
     radius predicate applies to the IVF/LSH candidate streams instead
     (probe-then-filter), exactly as the ANN family documents.  Ref
     parity: none; north-star similarity scope."""
-    from data_ingestion_system_spark.functions.vectors import cosine_fixed
-    from data_ingestion_system_spark.operators.similarity import DIM
+    from data_ingestion_system_spark.functions.vectors import cosine
 
     corpus, queries = _corpus_queries(spark, sf_dir)
     scored = (corpus.crossJoin(F.broadcast(queries))
               .filter(F.col("vec_id") != F.col("qid"))
               .withColumn("cos_raw",
-                          cosine_fixed(F.col("qv"), F.col("embedding"), DIM)))
+                          cosine(F.col("qv"), F.col("embedding"))))
     return (scored.filter(F.col("cos_raw") >= _RANGE_COS)
             .select("qid", "vec_id",
                     F.round("cos_raw", 6).alias("cosine")))
