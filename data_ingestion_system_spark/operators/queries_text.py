@@ -1520,3 +1520,44 @@ def text_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "rank_bm25", "rank_quality")
             .orderBy(F.col("rrf").desc(), "doc_id")
             .limit(10))
+
+
+_FH_DIMS = 32  # hashed feature-vector width
+
+
+@register("text_feature_hashing", f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents),
+b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % {_FH_DIMS} AS dim
+  FROM words)
+SELECT doc_id, dim, count(*) AS tf
+FROM b GROUP BY doc_id, dim
+""")
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): each document's
+    token-count vector projected into a FIXED 32-dim space by hashing
+    tokens to buckets — the featurizer that needs NO vocabulary pass,
+    no dictionary broadcast, and no growth under Heaps' law, which is
+    why web-scale linear models and collision-tolerant clustering use
+    it instead of TF-IDF's exact vocabulary.  Emitted exploded as
+    (doc_id, dim, tf) — the sparse form downstream trainers consume
+    (and the form the driver's canonicalizer can hash, unlike arrays).
+
+    Scale shape: one explode + one map-combined hash aggregate on
+    (doc_id, dim) — dim is data-independent, so aggregate cardinality
+    is bounded by 32x docs regardless of vocabulary; no joins, no
+    windows, no second pass.  The bucket hash is the portable
+    md5-prefix bigint (same idiom as the SimHash oracle mode), so
+    DuckDB rebuilds identical buckets bit-for-bit.  Ref parity: none;
+    north-star feature-engineering scope."""
+    cat = Catalog(spark, sf_dir)
+    words = cat.documents.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"))
+    dim = (F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+           % _FH_DIMS)
+    return (words.select("doc_id", dim.alias("dim"))
+            .groupBy("doc_id", "dim").agg(F.count("*").alias("tf")))
