@@ -893,3 +893,70 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("canonical_chars"),
                  F.count("*").alias("n_members"),
                  F.sum("n_chars").alias("total_chars")))
+
+
+_TRIANGLE_SQL = _CLUSTER_CTE + """,
+e AS (SELECT id_a, id_b FROM pairs),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT id_a AS node FROM e UNION ALL SELECT id_b FROM e) GROUP BY node),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e2.id_a = e1.id_b
+  JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+wed AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg)
+SELECT (SELECT count(*) FROM e) AS n_edges,
+       n_triangles, n_wedges,
+       CASE WHEN n_wedges = 0 THEN 0.0
+            ELSE round(3.0 * n_triangles / n_wedges, 6) END
+         AS clustering_coeff
+FROM tri, wed
+"""
+
+
+@register("graph_triangles", _TRIANGLE_SQL)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup similarity graph: triangle count,
+    wedge (open-triple) count, and the global clustering coefficient
+    3*triangles/wedges — the one-number answer to "are my duplicate
+    pairs CLIQUES (true duplicate groups) or CHAINS (threshold-straddling
+    drift)?", which decides whether cluster-collapse keeps one doc per
+    component safely.  Complements graph_pagerank with the second
+    classic distributed-graph primitive.
+
+    Scale shape: edges are the already-audited banded candidate
+    pipeline's verified pairs, stored once with id_a < id_b so each
+    triangle counts exactly once via two equi-joins (wedge build on the
+    shared vertex, then the closing-edge hash probe) — the standard
+    join-based lowering; at 100 TB the edge list is re-ordered by
+    DEGREE first (compact-forward) so the wedge join's skew follows
+    degree, not id — noted, not needed at test scale.  Wedges are one
+    combinable degree aggregate.  The 1-row assembly is
+    Catalyst-provable bounded.  Oracle: the identical census over the
+    recursive-CTE prefix's pair list."""
+    cat = Catalog(spark, sf_dir)
+    sh = D.word_shingles(cat.documents, "doc_id", "text", n=3,
+                         hashed=True).persist()
+    e = (D.jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+         .select("id_a", "id_b"))
+    sh.unpersist()
+    deg = (e.select(F.col("id_a").alias("node"))
+           .unionAll(e.select(F.col("id_b").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("d")))
+    e1 = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = e.select(F.col("id_a").alias("b2"), F.col("id_b").alias("c"))
+    e3 = e.select(F.col("id_a").alias("a3"), F.col("id_b").alias("c3"))
+    tri = (e1.join(e2, F.col("b") == F.col("b2"))
+           .join(e3, (F.col("a") == F.col("a3"))
+                 & (F.col("c") == F.col("c3")))
+           .agg(F.count("*").alias("n_triangles")))
+    wed = deg.agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long")
+                  .alias("n_wedges"))
+    ne = e.agg(F.count("*").alias("n_edges"))
+    return (ne.crossJoin(F.broadcast(tri)).crossJoin(F.broadcast(wed))
+            .select("n_edges", "n_triangles", "n_wedges",
+                    F.when(F.col("n_wedges") == 0, F.lit(0.0))
+                    .otherwise(F.round(3.0 * F.col("n_triangles")
+                                       / F.col("n_wedges"), 6))
+                    .alias("clustering_coeff")))

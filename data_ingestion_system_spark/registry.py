@@ -50,8 +50,8 @@ def oracle_sql() -> dict[str, str]:
 _LOADED = False
 
 # r4 NOTE: once CORRECTNESS_r03 lands green for this window, exactly
-# THIRTY queries will lack a driver row ever: diag_profile_events (the
-# documented r3 sacrifice) plus the twenty-nine added after the window froze —
+# THIRTY-ONE queries will lack a driver row ever: diag_profile_events (the
+# documented r3 sacrifice) plus the thirty added after the window froze —
 # sim_ann_recall, emb_cluster_quality, text_dsir_weights, text_bigram_nll,
 # text_gopher_rules, dedup_semantic, dedup_source_overlap,
 # dedup_minhash_estimate, dedup_duplicate_passages, agg_quantile_sketch,
@@ -59,9 +59,10 @@ _LOADED = False
 # text_perplexity_buckets, text_bm25_topk, text_rrf_fusion, agg_welch_ttest,
 # sim_mmr_rerank, sim_matryoshka_recall, agg_cuped, agg_mann_whitney,
 # agg_benford_digits, sim_range_search, agg_ks_test, window_scd2_intervals,
-# agg_lorenz_gini, agg_funnel_window, text_feature_hashing.
-# Rotate those thirty to the front of the r4 priority list (the other
-# 20 slots can re-grade whatever regressed, if anything) for 171/171
+# agg_lorenz_gini, agg_funnel_window, text_feature_hashing,
+# graph_triangles.
+# Rotate those thirty-one to the front of the r4 priority list (the other
+# 19 slots can re-grade whatever regressed, if anything) for 172/172
 # cumulative driver-verified coverage.
 #
 # Registration order is grading order: the driver grades exactly the first

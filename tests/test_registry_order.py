@@ -70,7 +70,8 @@ def test_r3_window_contains_only_never_graded_queries():
                              "window_scd2_intervals",
                              "agg_lorenz_gini",
                              "agg_funnel_window",
-                             "text_feature_hashing"}, never_outside
+                             "text_feature_hashing",
+                             "graph_triangles"}, never_outside
 
 
 def test_every_query_has_an_oracle():
