@@ -29,9 +29,13 @@ def geometric_mean(v: pd.Series) -> float:
     negatives are excluded (the standard practical treatment: one zero
     would otherwise collapse the whole group's mean to 0/NaN; sf0.1
     events contain genuine zero values).  Mirrors the oracle's
-    ``avg(ln(value)) FILTER (WHERE value > 0)``."""
+    ``avg(ln(value)) FILTER (WHERE value > 0)`` — including the
+    degenerate all-non-positive group, where avg-over-nothing is NULL
+    (not NaN, which would break value-hash parity; ADVICE r3)."""
     x = v.to_numpy(dtype="float64")
     x = x[x > 0]
+    if x.size == 0:
+        return None
     return float(np.exp(np.log(x).mean()))
 
 

@@ -39,6 +39,77 @@ from data_ingestion_system_spark.operators.dedup import (
 NUM_PERM = 32
 BANDS = 8
 
+# Sentinel micro-batch id for rows that predate (or bypass) stamping.
+# Real batch ids are non-negative (Structured Streaming batch ids start
+# at 0), so -1 never collides with an ``exclude_mb`` filter.
+LEGACY_MB = -1
+
+
+def _fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the Hadoop API resolved from
+    the path itself — works on local fs, HDFS and object stores alike
+    (same rationale as writers.missing_partitions)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _index_layout(spark: SparkSession, path: str) -> str | None:
+    """Top-level partition layout of an existing index root.
+
+    ``"legacy"`` — ``band=*`` directories at the root (un-stamped,
+    written before mb stamping or via the batch API); ``"mb"`` —
+    ``mb=*`` directories (every row stamped); ``None`` — missing or
+    empty root.  Spark's partition discovery refuses MIXED depths
+    ("conflicting directory structures"), so writers must never create
+    them — see ``write_index``.
+    """
+    fs, hpath = _fs(spark, path)
+    if not fs.exists(hpath):
+        return None
+    names = [st.getPath().getName() for st in fs.listStatus(hpath)]
+    if any(n.startswith("mb=") for n in names):
+        return "mb"
+    if any(n.startswith("band=") for n in names):
+        return "legacy"
+    return None
+
+
+def migrate_index_to_mb(spark: SparkSession, path: str) -> None:
+    """One-time upgrade of a legacy ``band=*``-rooted index to the
+    ``mb=*/band=*`` layout, re-homing every existing row under the
+    ``mb=-1`` sentinel partition.
+
+    Without this, appending ``mb=<id>/band=*`` partitions into a root
+    that already holds ``band=*`` directories leaves partition
+    directories of conflicting depths and every subsequent
+    ``probe_index`` read fails partition discovery.  The rewrite is
+    O(index), not O(corpus) — signature rows only — and runs at most
+    once per index lifetime (``write_index`` invokes it automatically
+    on the first stamped append).  Staged write + rename keeps a
+    concurrent reader from ever seeing the mixed state.
+    """
+    legacy = spark.read.schema("bh bigint, doc_id bigint, band int") \
+        .parquet(path)
+    staging = path.rstrip("/") + ".mb_migrate"
+    (legacy.withColumn("mb", F.lit(LEGACY_MB))
+     .repartition("band")
+     .sortWithinPartitions("bh")
+     .write.mode("overwrite")
+     .partitionBy("mb", "band").parquet(staging))
+    fs, hpath = _fs(spark, path)
+    jvm = spark._jvm
+    for st in fs.listStatus(hpath):
+        if st.getPath().getName().startswith("band="):
+            fs.delete(st.getPath(), True)
+    src = jvm.org.apache.hadoop.fs.Path(
+        staging.rstrip("/") + f"/mb={LEGACY_MB}")
+    dst = jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + f"/mb={LEGACY_MB}")
+    if not fs.rename(src, dst):          # pragma: no cover - fs race
+        raise IOError(f"index migration rename failed: {src} -> {dst}")
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+
 
 def banded_rows(docs: DataFrame, *, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
@@ -67,13 +138,30 @@ def write_index(docs: DataFrame, path: str, *, mode: str = "overwrite",
     ``bh`` within partitions: a probe for one band hash touches the one
     band directory and skips row groups whose min/max exclude the hash.
 
-    ``mb`` (micro-batch id) stamps every row and becomes the LEADING
-    partition key: a streaming writer that re-runs a batch (foreachBatch
-    is at-least-once) overwrites exactly its own ``mb=<id>`` partition
-    under dynamic partition-overwrite instead of appending duplicate
-    signature rows, and a probe can exclude the in-flight batch's own
-    partial rows (see ``probe_index(exclude_mb=...)``).
+    ``mb`` (micro-batch id, non-negative) stamps every row and becomes
+    the LEADING partition key: a streaming writer that re-runs a batch
+    (foreachBatch is at-least-once) overwrites exactly its own
+    ``mb=<id>`` partition under dynamic partition-overwrite instead of
+    appending duplicate signature rows, and a probe can exclude the
+    in-flight batch's own partial rows (see
+    ``probe_index(exclude_mb=...)``).
+
+    Layout discipline: the two partition layouts (``band=*`` legacy vs
+    ``mb=*/band=*`` stamped) must never coexist under one root — Spark
+    partition discovery fails on "conflicting directory structures".
+    The first STAMPED append into a legacy root auto-migrates existing
+    rows under the ``mb=-1`` sentinel (``migrate_index_to_mb``); an
+    UN-stamped append into an mb-layout root is stamped with the same
+    sentinel so depth stays uniform.
     """
+    spark = docs.sparkSession
+    # dynamic partition-overwrite never clears the root, so even
+    # mode="overwrite" must respect the layout already on disk
+    layout = _index_layout(spark, path)
+    if mb is not None and layout == "legacy":
+        migrate_index_to_mb(spark, path)
+    if mb is None and layout == "mb":
+        mb = LEGACY_MB          # keep partition depth uniform
     rows = banded_rows(docs, id_col=id_col, text_col=text_col)
     part_cols = ["band"]
     if mb is not None:
@@ -114,8 +202,10 @@ def probe_index(spark: SparkSession, path: str, batch: DataFrame,
     on an at-least-once REPLAY the index may already hold the current
     batch's own partial write, and probing against it would reject docs
     as duplicates of their same-batch peers, diverging from the
-    original run.  Rows without an ``mb`` stamp (batch-built indexes)
-    are always kept (null-safe comparison).
+    original run.  Rows without a real ``mb`` stamp are always kept:
+    files predating the stamp read as null (null-safe comparison) and
+    migrated/sentinel rows carry ``mb=-1``, which no non-negative batch
+    id matches.
     """
     probe = banded_rows(batch, id_col=id_col, text_col=text_col)
     # explicit schema: a freshly-bootstrapped index may hold zero files

@@ -328,7 +328,11 @@ def _cosine_block_pairs(key, pdf):
     na = np.zeros(n)
     for k in range(dim):
         na += M[:, k] * M[:, k]
-    norm = np.sqrt(na)
+    # 1e-12 floor (same as ivf_assign_udf): a zero-norm embedding would
+    # otherwise yield cos = 0/0 = NaN, which numpy masks out but DuckDB
+    # compares as greater-than-everything — a silent parity break.  With
+    # the floor both sides score the pair 0 and drop it (ADVICE r3).
+    norm = np.maximum(np.sqrt(na), 1e-12)
 
     out_a, out_b, out_c = [], [], []
     for i0 in range(0, n - 1, _PAIR_SLAB_ROWS):
@@ -360,11 +364,13 @@ def _cosine_block_pairs(key, pdf):
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.v, b.v) /
-             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+             (greatest(sqrt(list_dot_product(a.v, a.v)), 1e-12)
+              * greatest(sqrt(list_dot_product(b.v, b.v)), 1e-12)), 6)
            AS cosine
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v) /
-      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      (greatest(sqrt(list_dot_product(a.v, a.v)), 1e-12)
+       * greatest(sqrt(list_dot_product(b.v, b.v)), 1e-12))
       >= {COSINE_NEAR_DUP}
 """)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -416,7 +422,8 @@ pairs AS (
   JOIN e ea ON ea.vec_id = a.vec_id
   JOIN e eb ON eb.vec_id = b.vec_id
   WHERE list_dot_product(ea.v, eb.v) /
-        (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
+        (greatest(sqrt(list_dot_product(ea.v, ea.v)), 1e-12)
+         * greatest(sqrt(list_dot_product(eb.v, eb.v)), 1e-12))
         >= {COSINE_NEAR_DUP})
 SELECT a.vec_id, a.cid AS cluster_id,
        a.vec_id NOT IN (SELECT id_b FROM pairs) AS keep
@@ -723,13 +730,19 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cat = Catalog(spark, sf_dir)
     k, bands = 128, 32
+    # localCheckpoint (eager), NOT persist(): the signature aggregation
+    # (the expensive 128-min shuffle) feeds THREE consumers — banding and
+    # both sides of the pair join — and ReuseExchange does not
+    # canonicalize across them; unmaterialized it runs three times
+    # (measured 6.97s).  A persist() would be pinned in the CacheManager
+    # until an explicit unpersist that nothing here can issue (the
+    # returned plan is lazy — ADVICE r3 flagged the leaked blocks), while
+    # checkpoint blocks are reference-tracked: once the caller drops the
+    # result, the ContextCleaner (periodicGC at 45s, set by Catalog)
+    # frees them.  Same one-pass materialization cost either way.
     sh = D.word_shingles(cat.documents, "doc_id", "text", n=3,
-                         hashed=True).persist()
-    # persist: the signature aggregation (the expensive 128-min shuffle)
-    # feeds THREE consumers — banding and both sides of the pair join —
-    # and ReuseExchange does not canonicalize across them; unpersisted it
-    # runs three times (measured 6.97s -> persisting cuts the recompute).
-    sig = D.minhash_signatures(sh, num_perm=k).persist()
+                         hashed=True).localCheckpoint(eager=True)
+    sig = D.minhash_signatures(sh, num_perm=k).localCheckpoint(eager=True)
     # signature ARRAY built scan-side, once per doc — the join below then
     # moves one array column, and the per-pair math is a HOF loop.
     sig_arr = sig.select(

@@ -56,6 +56,10 @@ def range_stage(
     bounds = df.agg(
         F.percentile_approx(value_col, probs, accuracy).alias("b")
     ).collect()[0]["b"]
+    # empty input: percentile_approx yields NULL -> degrade to a single
+    # pid so downstream aggregates return zero rows instead of raising
+    # (ADVICE r3: an events slice with no purchase/click rows)
+    bounds = bounds or []
 
     pid = F.when(F.col(value_col).isNull(), F.lit(0))
     for i, cut in enumerate(bounds):

@@ -49,67 +49,53 @@ def oracle_sql() -> dict[str, str]:
 
 _LOADED = False
 
-# r4 NOTE: once CORRECTNESS_r03 lands green for this window, exactly
-# THIRTY-ONE queries will lack a driver row ever: diag_profile_events (the
-# documented r3 sacrifice) plus the thirty added after the window froze —
-# sim_ann_recall, emb_cluster_quality, text_dsir_weights, text_bigram_nll,
-# text_gopher_rules, dedup_semantic, dedup_source_overlap,
-# dedup_minhash_estimate, dedup_duplicate_passages, agg_quantile_sketch,
-# emb_covariance, text_top2gram_chars, emb_pca_power, dedup_canonical_pick,
-# text_perplexity_buckets, text_bm25_topk, text_rrf_fusion, agg_welch_ttest,
-# sim_mmr_rerank, sim_matryoshka_recall, agg_cuped, agg_mann_whitney,
-# agg_benford_digits, sim_range_search, agg_ks_test, window_scd2_intervals,
-# agg_lorenz_gini, agg_funnel_window, text_feature_hashing,
-# graph_triangles.
-# Rotate those thirty-one to the front of the r4 priority list (the other
-# 19 slots can re-grade whatever regressed, if anything) for 172/172
-# cumulative driver-verified coverage.
+# r4 rotation (VERDICT r3 "Next round" #1): CORRECTNESS_r03 landed green
+# for the whole r3 window, so cumulative driver-verified coverage is
+# 141/172.  Exactly THIRTY-ONE queries have never had a driver row — the
+# thirty added after the r3 window froze plus diag_profile_events (the
+# documented r3 sacrifice).  This round's window: those 31 first (in
+# registration order), then 19 fills taken from the OLDEST-graded set
+# (CORRECTNESS_r01's leading keys, untouched since r1) as regression
+# re-grades.  Green r4 rows for the front 31 → 172/172 cumulative.
 #
-# Registration order is grading order: the driver grades exactly the first
-# 50 registered queries (verified in r1 AND r2: the CORRECTNESS_r{N} key set
-# equals list(queries())[:50] each round).  Rounds 1+2 together banked green
-# driver rows for 91 of the 142 queries; this round the 50-slot window is
-# given to the queries that have NEVER had a driver row (all of text_*, the
-# dedup cluster/containment/cleaning tail, graph_pagerank,
-# align_cogroup_interp, the join_/window_/agg_/diag_ relational diagnostics)
-# so cumulative driver-verified coverage reaches 141/142.  The one sacrifice
-# — there are 51 never-graded names and 50 slots — is diag_profile_events,
-# a describe-style per-column profile whose every component aggregate
-# (count/nulls/min/max/approx-distinct) already appears in graded queries;
-# it keeps full driver-sim + pytest evidence (scripts/driver_sim.py).
-_R3_PRIORITY: tuple[str, ...] = (
-    # text family (21) — r2 additions, zero driver rows so far
-    "text_quality", "text_langid", "text_fingerprint", "text_unigram_nll",
-    "text_repetition", "text_chunk_windows", "text_redact_pii",
-    "text_pack_sequences", "text_stratified_sample", "text_winnow_fingerprint",
-    "text_tfidf_topk", "text_heavy_hitters", "text_mix_entropy",
-    "text_boilerplate_ngrams", "text_bigram_pmi", "text_temperature_sample",
-    "text_zipf_slope", "text_sample_per_stratum", "text_kfold_assign",
-    "text_ttr", "text_charset_profile",
-    # dedup tail (3)
-    "dedup_cluster_star", "dedup_containment", "dedup_cleaning_report",
-    # graph / alignment (2)
-    "graph_pagerank", "align_cogroup_interp",
-    # joins (3)
-    "join_full_outer", "join_skew_salted", "join_asof_tolerance",
-    # windows (1)
-    "window_range_frame",
-    # aggregate diagnostics (19)
-    "agg_group_percentiles", "agg_market_share", "agg_volume_shipping",
-    "agg_product_profit", "agg_hll_sketch", "agg_decayed_score",
-    "agg_sessionize", "agg_cooccurrence_lift", "agg_psi_value_drift",
-    "agg_winsorized_stats", "agg_attribution_last_touch",
-    "agg_rolling_median_anomaly", "agg_mad_outliers", "agg_chi2_type_by_dow",
-    "agg_regression_per_type", "agg_ship_lag_priority", "agg_rfm_segments",
-    "agg_activity_heatmap", "agg_pareto_users",
-    # key-skew diagnostic (1)
-    "diag_key_skew",
+# Freeze-then-add discipline (VERDICT #2): this window is FROZEN as of
+# r4 turn 1.  Queries added during r4 MUST register behind slot 50 —
+# _load_all() puts non-priority names after the window, so a new
+# @register anywhere lands behind automatically; never edit
+# _R4_PRIORITY after the round's first commit.
+_R4_PRIORITY: tuple[str, ...] = (
+    # --- 31 never-driver-graded (registration order) ---
+    # similarity / embedding analytics (7)
+    "sim_ann_recall", "emb_cluster_quality", "emb_covariance",
+    "emb_pca_power", "sim_mmr_rerank", "sim_matryoshka_recall",
+    "sim_range_search",
+    # text r3-tail (8)
+    "text_dsir_weights", "text_bigram_nll", "text_gopher_rules",
+    "text_top2gram_chars", "text_perplexity_buckets", "text_bm25_topk",
+    "text_rrf_fusion", "text_feature_hashing",
+    # dedup r3-tail + graph (6)
+    "dedup_semantic", "dedup_source_overlap", "dedup_minhash_estimate",
+    "dedup_duplicate_passages", "dedup_canonical_pick", "graph_triangles",
+    # the r3 sacrifice (1)
+    "diag_profile_events",
+    # experimentation / order statistics (9)
+    "agg_quantile_sketch", "agg_welch_ttest", "agg_cuped",
+    "agg_mann_whitney", "agg_benford_digits", "agg_ks_test",
+    "window_scd2_intervals", "agg_lorenz_gini", "agg_funnel_window",
+    # --- 19 oldest-graded fills (CORRECTNESS_r01 leading keys) ---
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_cluster_components", "dedup_levenshtein",
+    "dedup_contamination", "dedup_embedding_cosine", "ingest_keys",
+    "ingest_project_cast", "ingest_expectations", "agg_corr_stats",
+    "ingest_variant_payload", "multimodal_meta", "multimodal_features",
+    "multimodal_frame_sample", "multimodal_near_dup",
+    "agg_pricing_summary", "agg_revenue_by_nation",
 )
 
 
 def _load_all() -> None:
     """Import every module that registers queries (idempotent), then
-    reorder so the driver's 50-entry grading window covers _R3_PRIORITY."""
+    reorder so the driver's 50-entry grading window covers _R4_PRIORITY."""
     global _LOADED, _REGISTRY
     if _LOADED:
         return
@@ -126,9 +112,9 @@ def _load_all() -> None:
     # explicit priority first (in listed order), everything else after in
     # registration order; ordering intent pinned by
     # tests/test_registry_order.py.
-    rest = {n: v for n, v in _REGISTRY.items() if n not in set(_R3_PRIORITY)}
+    rest = {n: v for n, v in _REGISTRY.items() if n not in set(_R4_PRIORITY)}
     _REGISTRY = {
-        **{n: _REGISTRY[n] for n in _R3_PRIORITY if n in _REGISTRY},
+        **{n: _REGISTRY[n] for n in _R4_PRIORITY if n in _REGISTRY},
         **rest,
     }
     _LOADED = True

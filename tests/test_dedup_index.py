@@ -118,3 +118,71 @@ def test_probe_exclude_mb_skips_own_partial_write(spark, tmp_path):
     append_index(corpus, idx, mb=5)
     rows = spark.read.parquet(idx)
     assert rows.count() == rows.distinct().count() == 8  # BANDS per doc
+
+
+def test_stamped_append_migrates_legacy_layout(spark, tmp_path):
+    """Upgrading a legacy (band=-only) index with an mb-stamped append
+    must not leave conflicting partition-directory depths: existing
+    rows are re-homed under the mb=-1 sentinel and every subsequent
+    probe still sees them (ADVICE r3, dedup_index.py:118)."""
+    doc_a = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi")
+    doc_b = ("red orange yellow green blue indigo violet cyan magenta "
+             "black white gray brown pink teal navy olive maroon lime "
+             "aqua silver gold bronze copper")
+    idx = str(tmp_path / "idx_upgrade")
+    legacy_corpus = spark.createDataFrame([(1, doc_a)],
+                                          "doc_id long, text string")
+    write_index(legacy_corpus, idx)            # legacy band=* layout
+
+    day1 = spark.createDataFrame([(2, doc_b)], "doc_id long, text string")
+    append_index(day1, idx, mb=7)              # triggers migration
+
+    # uniform mb=*/band=* layout: partition discovery succeeds and the
+    # legacy rows read back under the sentinel
+    rows = spark.read.parquet(idx)
+    assert rows.count() == 16                  # BANDS rows per doc x 2
+    assert set(r["mb"] for r in rows.select("mb").distinct().collect()) \
+        == {-1, 7}
+
+    # probes see BOTH generations...
+    corpus = legacy_corpus.unionByName(day1)
+    probe_a = spark.createDataFrame([(10, _perturb(doc_a))],
+                                    "doc_id long, text string")
+    probe_b = spark.createDataFrame([(11, _perturb(doc_b))],
+                                    "doc_id long, text string")
+    assert probe_index(spark, idx, probe_a, corpus).count() == 1
+    assert probe_index(spark, idx, probe_b, corpus).count() == 1
+    # ...and exclude_mb semantics hold across the migration: excluding
+    # batch 7 hides day1 but never the migrated legacy rows
+    assert probe_index(spark, idx, probe_b, corpus, exclude_mb=7).count() == 0
+    assert probe_index(spark, idx, probe_a, corpus, exclude_mb=7).count() == 1
+    # migration staging dir is cleaned up
+    import os
+    assert not os.path.exists(idx + ".mb_migrate")
+
+
+def test_unstamped_append_into_mb_layout_keeps_depth_uniform(spark,
+                                                             tmp_path):
+    """The reverse upgrade hazard: a batch-API (un-stamped) append into
+    an mb-layout root is sentinel-stamped so partition depths never
+    mix."""
+    doc_a = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi")
+    doc_b = ("red orange yellow green blue indigo violet cyan magenta "
+             "black white gray brown pink teal navy olive maroon lime "
+             "aqua silver gold bronze copper")
+    idx = str(tmp_path / "idx_mb_first")
+    first = spark.createDataFrame([(1, doc_a)], "doc_id long, text string")
+    write_index(first, idx, mb=3)
+    later = spark.createDataFrame([(2, doc_b)], "doc_id long, text string")
+    append_index(later, idx)                   # no stamp -> sentinel
+
+    rows = spark.read.parquet(idx)
+    assert rows.count() == 16
+    assert set(r["mb"] for r in rows.select("mb").distinct().collect()) \
+        == {-1, 3}
+    probe_b = spark.createDataFrame([(11, _perturb(doc_b))],
+                                    "doc_id long, text string")
+    assert probe_index(spark, idx, probe_b,
+                       first.unionByName(later), exclude_mb=3).count() == 1
