@@ -29,10 +29,34 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def wait_for_quiet_host(threshold: float = 1.5,
+                        max_wait_sec: float = 600.0,
+                        poll_sec: float = 15.0) -> float:
+    """Bounded spin-wait for 1-min loadavg < ``threshold`` before timing.
+
+    BENCH_r03 was captured at loadavg 3.69 while a quieter committed run
+    existed — best-of-3 absorbs mid-run stalls but cannot fix a capture
+    that STARTS contended.  Waiting (up to 10 min) costs nothing the
+    timings don't repay; if the host never quiets we proceed anyway and
+    the ``contended`` flag records it.  Disable with
+    SPARK_GRAFT_BENCH_NO_WAIT=1 (unit tests, known-quiet hosts)."""
+    if os.environ.get("SPARK_GRAFT_BENCH_NO_WAIT"):
+        return os.getloadavg()[0]
+    deadline = time.monotonic() + max_wait_sec
+    load = os.getloadavg()[0]
+    while load >= threshold and time.monotonic() < deadline:
+        print(f"# waiting for quiet host: loadavg {load:.2f} >= "
+              f"{threshold}", file=sys.stderr)
+        time.sleep(poll_sec)
+        load = os.getloadavg()[0]
+    return load
+
+
 def main() -> None:
     from data_ingestion_system_spark.session import get_spark
     from data_ingestion_system_spark import registry
 
+    wait_for_quiet_host()
     spark = get_spark(app_name="bench", cpus=CPUS)
     qs = registry.queries()
 
