@@ -942,6 +942,29 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_approx_distinct_prod", None)
+def agg_approx_distinct_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION form of `agg_approx_distinct`: estimate-only, no exact
+    count-distinct legs — the plan a 100 TB deployment actually runs.
+
+    The bounds-checked twin exists to let the driver hash-verify the
+    sketch against DuckDB, at the price of a full distinct shuffle (its
+    plan expands every (group, value) pair); THIS query is the declared
+    production posture, whose only shuffle payload is KB-sized HLL
+    registers with map-side partial merge.  Estimates are
+    engine-specific, so no cross-engine oracle exists (rows-only driver
+    check, per the registry contract for non-SQL-expressible results);
+    accuracy evidence is (a) the twin's driver-checked bounds row and
+    (b) tests/test_sketch_prod_twins.py, which pins this query's
+    estimates within 3*rsd of exact AND asserts the plan carries no
+    Expand/exact-distinct stage."""
+    cat = Catalog(spark, sf_dir)
+    return cat.lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.05).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.05).alias("approx_supps"),
+    )
+
+
 # --------------------------------------------------------------------------
 # window functions (§2.12 gap)
 
@@ -1264,6 +1287,29 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     union_all = union_est.crossJoin(global_exact).select(
         F.lit("__all__").alias("event_type"), "exact_users",
         within(F.col("est"), F.col("exact_users")).alias("within_bounds"))
+    return est.unionByName(union_all)
+
+
+@register("agg_hll_sketch_prod", None)
+def agg_hll_sketch_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION form of `agg_hll_sketch`: per-type estimates plus the
+    union-of-sketches global row, WITHOUT the exact count-distinct legs
+    — daily-sketch/monthly-union rollups never rescan raw data, and this
+    plan's shuffles carry only lgK=14 sketch registers.
+
+    Same evidence contract as `agg_approx_distinct_prod`: estimates are
+    engine-specific (rows-only driver check); the bounds-checked twin
+    plus tests/test_sketch_prod_twins.py pin accuracy and the
+    no-exact-distinct plan shape."""
+    cat = Catalog(spark, sf_dir)
+    per_type = cat.events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    est = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_users"))
+    union_all = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    ).select(F.lit("__all__").alias("event_type"), "approx_users")
     return est.unionByName(union_all)
 
 

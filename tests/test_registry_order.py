@@ -71,9 +71,12 @@ def test_r4_window_fills_are_oldest_graded():
 
 
 def test_every_query_has_an_oracle():
-    """Every declared query is oracle-checked: the sketch queries ship
-    bounds-style oracles (estimate within published error of the
-    DuckDB-verified exact distinct) instead of rows-only rows."""
+    """Every declared query is oracle-checked, with exactly two
+    documented exceptions: the PRODUCTION sketch twins, whose estimates
+    are engine-specific (no cross-engine hash is possible) and whose
+    accuracy is pinned by their bounds-checked verification twins
+    (driver-graded) plus tests/test_sketch_prod_twins.py."""
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     rows_only = sorted(set(qs) - set(oracles))
-    assert rows_only == [], rows_only
+    assert rows_only == ["agg_approx_distinct_prod",
+                         "agg_hll_sketch_prod"], rows_only
