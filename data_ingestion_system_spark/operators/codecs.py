@@ -1,0 +1,260 @@
+"""Pure-Python media codecs for the multimodal column ops.
+
+The container has no PIL/ffmpeg, but "real decode" for the common
+interchange formats needs nothing beyond the stdlib + numpy:
+
+* **PNG** — chunk walk + zlib inflate + per-row unfilter (None/Sub/Up/
+  Average/Paeth, the complete filter set of the PNG spec §9); 8-bit
+  gray / gray+alpha / RGB / RGBA, non-interlaced (the overwhelming
+  majority of real PNGs; Adam7 and 16-bit raise cleanly).
+* **BMP** — BITMAPINFOHEADER, uncompressed (BI_RGB) 8/24/32-bit,
+  bottom-up or top-down, 4-byte row padding.
+* **PPM/PGM** — netpbm P5/P6 binary, maxval <= 255.
+* **WAV** — stdlib ``wave`` (PCM 8/16/32-bit) to a (frames, channels)
+  int array + sample rate.
+
+Every decoder takes ``bytes`` and returns numpy — no files, no global
+state — so they drop straight into the Arrow-batched ``mapInPandas``
+ops in ``multimodal.py`` and behave identically on every executor.
+``encode_png`` exists so tests can synthesize images with EVERY filter
+type and round-trip them (and gives the binary sink a real preview
+writer).  Video stays out of scope by contract: no container/codec
+parsing belongs in pure Python at 100 TB; see COVERAGE.md.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> channel count (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def sniff_format(content: bytes) -> str | None:
+    """Magic-byte format detection for the supported codecs."""
+    if content[:8] == _PNG_MAGIC:
+        return "png"
+    if content[:2] == b"BM":
+        return "bmp"
+    if content[:2] in (b"P5", b"P6"):
+        return "pnm"
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+# ---------------------------------------------------------------- PNG
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec §9.4), vectorized over one row."""
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 array of shape (h, w, channels)."""
+    if content[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(content):
+        (length,), ctype = struct.unpack(">I", content[pos:pos + 4]), \
+            content[pos + 4:pos + 8]
+        data = content[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("truncated PNG (missing IHDR/IDAT)")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG: depth={depth} color={color}")
+    if interlace != 0:
+        raise ValueError("unsupported PNG: Adam7 interlacing")
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG size mismatch after inflate")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride,
+            offset=y * (stride + 1) + 1).copy()
+        if ftype == 0:                                  # None
+            pass
+        elif ftype == 1:                                # Sub
+            for x in range(ch, stride):
+                row[x] = (int(row[x]) + int(row[x - ch])) & 0xFF
+        elif ftype == 2:                                # Up
+            row = (row.astype(np.int16) + prev).astype(np.uint8)
+        elif ftype == 3:                                # Average
+            for x in range(stride):
+                left = int(row[x - ch]) if x >= ch else 0
+                row[x] = (int(row[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif ftype == 4:                                # Paeth
+            for x in range(stride):
+                a = int(row[x - ch]) if x >= ch else 0
+                c = int(prev[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                row[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = row
+        prev = out[y]
+    return out.reshape(h, w, ch)
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 (h, w[, channels]) -> PNG bytes, one filter type for all
+    rows (0..4) — the test-side inverse of ``decode_png``, and a real
+    preview writer for the binary sink."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    img = img.astype(np.uint8)
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(np.int16)
+    rows = []
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        cur = flat[y]
+        left = np.concatenate([np.zeros(ch, np.int16), cur[:-ch]])
+        pleft = np.concatenate([np.zeros(ch, np.int16), prev[:-ch]])
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:
+            enc = cur - left
+        elif filter_type == 2:
+            enc = cur - prev
+        elif filter_type == 3:
+            enc = cur - (left + prev) // 2
+        elif filter_type == 4:
+            pred = _paeth(left.astype(np.uint8), prev.astype(np.uint8),
+                          pleft.astype(np.uint8)).astype(np.int16)
+            enc = cur - pred
+        else:
+            raise ValueError(f"bad filter type {filter_type}")
+        rows.append(bytes([filter_type]) + (enc & 0xFF).astype(np.uint8)
+                    .tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(b"".join(rows))
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
+# ---------------------------------------------------------------- BMP
+
+
+def decode_bmp(content: bytes) -> np.ndarray:
+    """BMP (BITMAPINFOHEADER, BI_RGB, 8/24/32-bit) -> uint8 (h, w, ch),
+    rows returned top-down, channels in RGB[A] order."""
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack("<I", content[10:14])[0]
+    hdr_size = struct.unpack("<I", content[14:18])[0]
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP: pre-BITMAPINFOHEADER")
+    w, h = struct.unpack("<ii", content[18:26])
+    bpp = struct.unpack("<H", content[28:30])[0]
+    compression = struct.unpack("<I", content[30:34])[0]
+    if compression != 0 or bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported BMP: bpp={bpp} comp={compression}")
+    top_down, h = h < 0, abs(h)
+    ch = bpp // 8
+    row_bytes = (w * ch + 3) & ~3  # 4-byte aligned rows
+    px = np.frombuffer(content, dtype=np.uint8, count=row_bytes * h,
+                       offset=data_off).reshape(h, row_bytes)
+    px = px[:, :w * ch].reshape(h, w, ch)
+    if not top_down:
+        px = px[::-1]
+    if ch >= 3:                      # BGR(A) -> RGB(A)
+        px = px[:, :, [2, 1, 0] + ([3] if ch == 4 else [])]
+    return np.ascontiguousarray(px)
+
+
+# ---------------------------------------------------------------- PNM
+
+
+def decode_pnm(content: bytes) -> np.ndarray:
+    """Binary netpbm (P5 gray / P6 RGB, maxval <= 255) -> uint8 array."""
+    magic = content[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM")
+    # header: magic, whitespace/comment-separated w, h, maxval, then 1 ws
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(content) and content[pos:pos + 1].isspace():
+            pos += 1
+        if content[pos:pos + 1] == b"#":
+            while pos < len(content) and content[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(content[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("unsupported PNM: 16-bit maxval")
+    ch = 3 if magic == b"P6" else 1
+    px = np.frombuffer(content, dtype=np.uint8, count=w * h * ch,
+                       offset=pos)
+    return px.reshape(h, w, ch).copy()
+
+
+# ---------------------------------------------------------------- WAV
+
+
+def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV -> (int32 samples of shape (frames, channels), rate)."""
+    with wave.open(io.BytesIO(content), "rb") as f:
+        nch, sw, rate = f.getnchannels(), f.getsampwidth(), f.getframerate()
+        raw = f.readframes(f.getnframes())
+    if sw == 1:                      # 8-bit WAV is unsigned
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
+    elif sw == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.int32)
+    elif sw == 4:
+        samples = np.frombuffer(raw, dtype="<i4").astype(np.int32)
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    return samples.reshape(-1, nch), rate
+
+
+def decode_image(content: bytes) -> np.ndarray:
+    """Dispatch on magic bytes -> uint8 (h, w, ch)."""
+    fmt = sniff_format(content)
+    if fmt == "png":
+        return decode_png(content)
+    if fmt == "bmp":
+        return decode_bmp(content)
+    if fmt == "pnm":
+        return decode_pnm(content)
+    raise ValueError("unrecognized image format (PNG/BMP/PNM supported)")

@@ -17,14 +17,14 @@ Design:
   Batch size is governed by ``spark.sql.execution.arrow.maxRecordsPerBatch``
   — at 100 TB tune it down so `batch_rows x blob_size` fits executor
   memory (the ops are map-only, so there is no shuffle to size).
-* **codecs**: real image/audio decoding (PIL/ffmpeg) is NOT in this
-  container — ``decode_real`` raises NotImplementedError behind an
-  import-try, and every op takes its features from ``fake_decode``, a
-  deterministic byte-level stand-in (block means over the raw buffer)
-  whose values are reproducible in tests and across engines.  The Spark
-  plumbing — schemas, UDF signatures, Arrow batch shapes, partitioning —
-  is the real thing; swap ``fake_decode`` for a codec and nothing else
-  changes.
+* **codecs**: images (PNG/BMP/PNM) and audio (PCM WAV) decode for REAL
+  via the pure-Python codecs in ``operators/codecs.py`` (stdlib
+  zlib/wave + numpy — PIL is preferred when importable but not
+  required); ``media_features_decoded`` is the decoded-pixel twin of
+  ``media_features``.  The ORACLE-CHECKED queries keep ``fake_decode``
+  (deterministic byte-level block means) so their values stay
+  engine-portable; video decode stays out of scope by contract (no
+  container parsing in pure Python — COVERAGE.md).
 """
 
 from __future__ import annotations
@@ -59,21 +59,37 @@ FRAME_BYTES = 256  # fake-codec "frame" granularity
 
 
 def decode_real(content: bytes, kind: str):
-    """Real codec path — not available in this environment.
+    """Real codec path.
 
-    Swap-in point for PIL (image), soundfile (audio), av/ffmpeg (video);
-    each import is tried lazily so environments that have them work."""
-    try:
-        if kind == "image":
+    * ``image`` -> uint8 pixel array (h, w, channels).  PIL when the
+      environment has it (widest format coverage); otherwise the
+      pure-Python PNG/BMP/PNM decoders in ``operators/codecs.py``
+      (stdlib zlib + numpy, full PNG filter set).
+    * ``audio`` -> (int32 samples (frames, channels), sample_rate) via
+      stdlib ``wave`` — PCM 8/16/32-bit.
+    * ``video`` -> NotImplementedError BY CONTRACT: container demuxing
+      plus inter-frame codecs are not sanely re-implementable in pure
+      Python; deployments plug av/ffmpeg here, and every video op's
+      Spark plumbing is exercised through ``fake_decode`` (COVERAGE.md).
+    """
+    from data_ingestion_system_spark.operators import codecs
+
+    if kind == "image":
+        try:
             import io
 
-            from PIL import Image  # noqa: F401
+            from PIL import Image
 
-            return Image.open(io.BytesIO(content))
-    except ImportError:
-        pass
+            return np.asarray(Image.open(io.BytesIO(content)))
+        except ImportError:
+            pass
+        return codecs.decode_image(content)
+    if kind == "audio":
+        return codecs.decode_wav(content)
     raise NotImplementedError(
-        f"no codec for kind={kind!r} in this environment; use fake_decode"
+        f"no codec for kind={kind!r}: video decode is contractually "
+        "delegated to av/ffmpeg deployments (see COVERAGE.md); every "
+        "video op runs on fake_decode in this environment"
     )
 
 
@@ -111,6 +127,68 @@ def media_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
                 "byte_len": [len(c or b"") for c in pdf["content"]],
                 "features": [f.tolist() for f in feats],
             })
+
+    return df.mapInPandas(compute, out_schema)
+
+
+def media_features_decoded(df: DataFrame,
+                           dim: int = FEATURE_DIM) -> DataFrame:
+    """Decoded-pixel/sample features — the REAL-codec twin of
+    ``media_features``: images decode via ``decode_real`` to pixels and
+    featurize as ``dim`` block means of the luminance plane, audio
+    decodes to PCM samples and featurizes as ``dim`` block RMS
+    (plus true width/height/sample-rate metadata).  Rows whose payload
+    fails to decode land in an error column instead of killing the
+    batch (the quarantine posture of O-27) — at 100 TB a corrupt blob
+    is a certainty, not an edge case.  Same Arrow-batched mapInPandas
+    shape as every other media op; only the kernel differs."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+        T.StructField("decode_error", T.StringType()),
+    ])
+
+    def block_stat(x: np.ndarray, reduce_rms: bool) -> list[float]:
+        if x.size == 0:
+            return [0.0] * dim
+        blocks = np.array_split(x.astype(np.float64), dim)
+        if reduce_rms:
+            return [float(np.sqrt((b ** 2).mean())) if len(b) else 0.0
+                    for b in blocks]
+        return [float(b.mean()) if len(b) else 0.0 for b in blocks]
+
+    def compute(batches):
+        for pdf in batches:
+            rows = []
+            for mid, kind, content in zip(pdf["media_id"], pdf["kind"],
+                                          pdf["content"]):
+                rec = {"media_id": mid, "kind": kind, "width": None,
+                       "height": None, "sample_rate": None,
+                       "features": None, "decode_error": None}
+                try:
+                    if kind == "image":
+                        px = decode_real(bytes(content or b""), "image")
+                        lum = px.mean(axis=2) if px.ndim == 3 else px
+                        rec.update(width=int(px.shape[1]),
+                                   height=int(px.shape[0]),
+                                   features=[v / 255.0 for v in
+                                             block_stat(lum.ravel(), False)])
+                    elif kind == "audio":
+                        samples, rate = decode_real(
+                            bytes(content or b""), "audio")
+                        mono = samples.mean(axis=1)
+                        rec.update(sample_rate=int(rate),
+                                   features=block_stat(mono, True))
+                    else:
+                        rec["decode_error"] = f"no real codec for {kind}"
+                except Exception as exc:  # noqa: BLE001 — quarantine, don't kill the batch
+                    rec["decode_error"] = f"{type(exc).__name__}: {exc}"
+                rows.append(rec)
+            yield pd.DataFrame(rows)
 
     return df.mapInPandas(compute, out_schema)
 

@@ -40,36 +40,88 @@ def canonical_key(prefix: str, filters: Mapping[str, Any]) -> str:
     return prefix + ":" + json.dumps(filters, sort_keys=True, default=str)
 
 
-@dataclass
-class ResultCache:
-    """TTL + LRU cache-aside for collected query results."""
+class CacheBackend:
+    """Storage contract behind ``ResultCache`` — the reference's Redis
+    slot (``audit.services.ts:35-103``).
 
-    ttl_seconds: float = DEFAULT_TTL_SECONDS
+    Three methods, shaped like every external KV store's client
+    (GET / SET-with-TTL / FLUSH): ``get`` returns the live value or
+    None (the backend owns expiry — Redis does TTL server-side),
+    ``set`` stores under a per-entry TTL, ``clear`` drops everything
+    (the streaming-append freshness hook).  Eviction policy is also the
+    backend's business: the in-driver default does LRU itself; Redis
+    gets it from maxmemory policy.  Implementations may raise — the
+    service layer's degraded mode catches and self-disables."""
+
+    def get(self, key: str) -> Any | None:
+        raise NotImplementedError
+
+    def set(self, key: str, value: Any, ttl_seconds: float) -> None:
+        raise NotImplementedError
+
+    def clear(self) -> None:
+        raise NotImplementedError
+
+
+@dataclass
+class InMemoryLRUBackend(CacheBackend):
+    """Default backend: in-driver dict with TTL + LRU eviction (Redis
+    got bounded memory from maxmemory policy; a dict must do it
+    itself).  Single-driver deployments need nothing more; swap in a
+    shared-store backend when multiple drivers must share the cache
+    (SCALING.md's known concession)."""
+
     max_entries: int = DEFAULT_MAX_ENTRIES
     clock: Callable[[], float] = time.monotonic
-    hits: int = 0
-    misses: int = 0
     _store: OrderedDict = field(default_factory=OrderedDict)
 
-    def get(self, key: str):
+    def get(self, key: str) -> Any | None:
         entry = self._store.get(key)
         if entry is None:
-            self.misses += 1
             return None
         expires_at, value = entry
         if self.clock() >= expires_at:
             del self._store[key]
-            self.misses += 1
             return None
         self._store.move_to_end(key)
-        self.hits += 1
         return value
 
-    def put(self, key: str, value) -> None:
-        self._store[key] = (self.clock() + self.ttl_seconds, value)
+    def set(self, key: str, value: Any, ttl_seconds: float) -> None:
+        self._store[key] = (self.clock() + ttl_seconds, value)
         self._store.move_to_end(key)
         while len(self._store) > self.max_entries:
             self._store.popitem(last=False)
+
+    def clear(self) -> None:
+        self._store.clear()
+
+
+class ResultCache:
+    """TTL cache-aside for collected query results, storage-pluggable.
+
+    Policy (TTL length, hit/miss accounting, run-on-miss) lives here;
+    storage (expiry enforcement, eviction) lives in the backend."""
+
+    def __init__(self, ttl_seconds: float = DEFAULT_TTL_SECONDS,
+                 max_entries: int = DEFAULT_MAX_ENTRIES,
+                 clock: Callable[[], float] = time.monotonic,
+                 backend: CacheBackend | None = None):
+        self.ttl_seconds = ttl_seconds
+        self.backend = backend if backend is not None else \
+            InMemoryLRUBackend(max_entries=max_entries, clock=clock)
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key: str):
+        value = self.backend.get(key)
+        if value is None:
+            self.misses += 1
+        else:
+            self.hits += 1
+        return value
+
+    def put(self, key: str, value) -> None:
+        self.backend.set(key, value, self.ttl_seconds)
 
     def get_or_run(self, key: str, run: Callable[[], Any]):
         cached = self.get(key)
@@ -82,7 +134,7 @@ class ResultCache:
     def invalidate_all(self) -> None:
         """Freshness hook: call when a streaming append lands in the base
         table (TTL alone serves stale top-k for up to ttl_seconds)."""
-        self._store.clear()
+        self.backend.clear()
 
 
 class CachedSearchService:

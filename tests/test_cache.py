@@ -4,7 +4,9 @@ cache-aside service behavior."""
 from __future__ import annotations
 
 from data_ingestion_system_spark.plans.cache import (
+    CacheBackend,
     CachedSearchService,
+    InMemoryLRUBackend,
     ResultCache,
     canonical_key,
 )
@@ -134,3 +136,85 @@ def test_degraded_mode_on_fill_failure(spark):
     r1 = svc.search({"x": 9})                        # probe misses, fill dies
     assert [row.id for row in r1] == [0]
     assert svc.cache_enabled is False and svc.cache_errors == 1
+
+
+class FakeRedisBackend(CacheBackend):
+    """Test double for the reference's Redis slot: server-side TTL
+    (SET key value EX ttl), no client-side eviction, FLUSHALL clear.
+    Records every call so the swap is provable."""
+
+    def __init__(self, clock):
+        self.clock = clock
+        self.kv: dict = {}
+        self.calls: list = []
+
+    def get(self, key):
+        self.calls.append(("GET", key))
+        entry = self.kv.get(key)
+        if entry is None:
+            return None
+        expires_at, value = entry
+        if self.clock() >= expires_at:       # server-side expiry
+            del self.kv[key]
+            return None
+        return value
+
+    def set(self, key, value, ttl_seconds):
+        self.calls.append(("SET", key, ttl_seconds))
+        self.kv[key] = (self.clock() + ttl_seconds, value)
+
+    def clear(self):
+        self.calls.append(("FLUSHALL",))
+        self.kv.clear()
+
+
+def test_backend_swap_preserves_cache_semantics():
+    """ResultCache policy (TTL length, hit/miss counters, run-on-miss)
+    is backend-agnostic: the Redis-shaped double passes the same TTL /
+    invalidate / get_or_run contract as the in-driver default."""
+    clock = FakeClock()
+    be = FakeRedisBackend(clock)
+    c = ResultCache(ttl_seconds=300, backend=be)
+    c.put("k", [1, 2])
+    assert ("SET", "k", 300) in be.calls             # TTL handed to store
+    assert c.get("k") == [1, 2]
+    clock.t = 300.1
+    assert c.get("k") is None                        # server-side expiry
+    assert c.hits == 1 and c.misses == 1
+
+    calls = []
+    assert c.get_or_run("q", lambda: calls.append(1) or "rows") == "rows"
+    assert c.get_or_run("q", lambda: calls.append(1) or "rows") == "rows"
+    assert len(calls) == 1
+    c.invalidate_all()
+    assert ("FLUSHALL",) in be.calls
+    assert c.get("q") is None
+
+
+def test_backend_swap_through_the_service(spark):
+    """End-to-end through CachedSearchService: same hit behavior on the
+    swapped backend, and degraded mode still triggers if the swapped
+    backend dies."""
+    clock = FakeClock()
+    svc = CachedSearchService(
+        lambda f: spark.range(2).toDF("id"),
+        cache=ResultCache(backend=FakeRedisBackend(clock)))
+    r1 = svc.search({"a": 1})
+    r2 = svc.search({"a": 1})
+    assert r1 == r2 and svc.cache.hits == 1
+
+    class DyingBackend(CacheBackend):
+        def get(self, key):
+            raise ConnectionError("down")
+
+    svc2 = CachedSearchService(
+        lambda f: spark.range(1).toDF("id"),
+        cache=ResultCache(backend=DyingBackend()))
+    assert [r.id for r in svc2.search({"a": 1})] == [0]
+    assert svc2.cache_enabled is False
+
+
+def test_default_backend_is_in_memory_lru():
+    c = ResultCache(max_entries=7)
+    assert isinstance(c.backend, InMemoryLRUBackend)
+    assert c.backend.max_entries == 7
