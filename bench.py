@@ -120,9 +120,17 @@ def main() -> None:
         "contended": load_start[0] > 1.5,
         "full": "BENCH_FULL.json",
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_FULL.json"), "w") as f:
-        json.dump({**summary, "queries": timings}, f, indent=1)
+    repo = os.path.dirname(os.path.abspath(__file__))
+    full = {**summary, "queries": timings}
+    # fold in the sf0.1-vs-sf1 spot-bench (scripts/bench_scale.py) if one
+    # has been captured, so scale-trend evidence survives re-benching
+    try:
+        with open(os.path.join(repo, "SCALEUP.json")) as f:
+            full["scaleup"] = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        pass
+    with open(os.path.join(repo, "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1)
     print(json.dumps(summary))
 
 

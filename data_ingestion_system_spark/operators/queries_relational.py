@@ -2901,3 +2901,90 @@ def agg_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("cr_view_click"),
                     F.round(F.col("n_purchase") * 1.0 / F.col("n_click"), 6)
                     .alias("cr_click_purchase")))
+
+
+@register("join_interval_bucketed", """
+WITH s AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events),
+chg AS (
+  SELECT user_id, event_type AS status, ts, event_id FROM s
+  WHERE prev IS NULL OR prev <> event_type),
+iv AS (
+  SELECT user_id, status, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS valid_to
+  FROM chg)
+SELECT e.event_id, e.user_id, e.ts, iv.status AS status_at_event
+FROM events e JOIN iv
+  ON e.user_id = iv.user_id
+ AND iv.valid_from <= e.ts
+ AND (iv.valid_to IS NULL OR e.ts < iv.valid_to)
+WHERE e.event_type = 'purchase'
+""")
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval enrichment join — every purchase event tagged
+    with the user's SCD2 status valid AT ITS TIMESTAMP (valid_from <=
+    ts < valid_to, open current interval matches everything after its
+    start).  The "status as of T" read that window_scd2_intervals'
+    history build exists to answer, and the third member of the
+    temporal-join family next to as-of (nearest earlier) and range
+    (radius) joins.
+
+    Scale shape — the bucketed range-join lowering (what Databricks'
+    range-join optimization does under the hood): Spark would execute
+    the naive form as an equi-join on user_id with the range predicate
+    as a post-join residual, which degenerates to (events_per_user x
+    intervals_per_user) pairs per user — quadratic for a power user
+    with a years-long history.  Instead each interval EXPLODES to the
+    daily buckets it covers (sequence over date_trunc'd endpoints;
+    open intervals clamp to the probe-side max day, a 1-row broadcast
+    scalar), the join runs on (user_id, day) equality, and the exact
+    range predicate filters the survivors: per-key fan-out is bounded
+    by intervals-overlapping-one-day, not per-user history length.
+    Interval day-spans are bounded by status-change cadence; a
+    pathological never-changing user costs rows in the SMALL (interval)
+    branch only.  Oracle: the plain inequality join (same rows — the
+    buckets are a pure partitioning of the match space, pinned
+    disjoint+complete by construction: every match's probe day falls
+    in exactly one covered bucket).  Ref parity: none; temporal
+    warehouse scope."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = cat.events.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lag("event_type").over(w).alias("prev"))
+    chg = s.filter(F.col("prev").isNull()
+                   | (F.col("prev") != F.col("event_type")))
+    iv = chg.select(
+        "user_id", F.col("event_type").alias("status"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"))
+
+    probes = (cat.events.filter(F.col("event_type") == "purchase")
+              .select("event_id", "user_id", "ts",
+                      F.date_trunc("day", "ts").alias("day")))
+    # clamp open intervals to the probe-side max day: 1-row broadcast
+    max_day = probes.agg(F.max("day").alias("max_day"))
+    buckets = (iv.crossJoin(F.broadcast(max_day))
+               .withColumn(
+                   "day",
+                   F.explode(F.sequence(
+                       F.date_trunc("day", "valid_from"),
+                       F.greatest(
+                           F.date_trunc(
+                               "day",
+                               F.coalesce(F.col("valid_to"),
+                                          F.col("max_day"))),
+                           F.date_trunc("day", "valid_from")),
+                       F.expr("INTERVAL 1 DAY"))))
+               .select("user_id", "day", "status", "valid_from",
+                       "valid_to"))
+    return (probes.join(buckets, ["user_id", "day"])
+            .filter((F.col("valid_from") <= F.col("ts"))
+                    & (F.col("valid_to").isNull()
+                       | (F.col("ts") < F.col("valid_to"))))
+            .select("event_id", "user_id", "ts",
+                    F.col("status").alias("status_at_event")))

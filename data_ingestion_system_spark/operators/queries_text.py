@@ -1561,3 +1561,47 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
            % _FH_DIMS)
     return (words.select("doc_id", dim.alias("dim"))
             .groupBy("doc_id", "dim").agg(F.count("*").alias("tf")))
+
+
+@register("text_bpe_merges", """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents),
+pairs AS (
+  SELECT substr(w, i + 1, 2) AS pair
+  FROM toks, UNNEST(range(length(w) - 1)) AS t(i)
+  WHERE length(w) >= 2)
+SELECT pair, count(*) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair LIMIT 20
+""")
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-round BPE merge candidates: the 20 most frequent ADJACENT
+    character pairs within words across the corpus — the statistic the
+    byte-pair-encoding tokenizer-training loop (Sennrich et al. 2016)
+    computes each round to pick its next merge.  Corpus-level pair
+    counts are also the vocabulary-induction health signal next to
+    text_bigram_pmi's word-level collocations.
+
+    Scale shape: tokens explode once, each word expands to length-1
+    overlapping 2-grams via a codegen'd transform(sequence(...)) over
+    the word's character positions (bounded by word length — no join,
+    no window), then ONE map-combined hash aggregate on the pair string
+    (alphabet-bounded cardinality: <= |charset|^2 groups, a few
+    thousand) and a global top-20 = TakeOrderedAndProject.  This is the
+    flat shape the full BPE trainer iterates; one round is the declared
+    query (iteration count is a constant, not a scale factor).
+    Ref parity: none; north-star tokenizer scope."""
+    cat = Catalog(spark, sf_dir)
+    words = (cat.documents
+             .select(F.explode(
+                 F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+                 .alias("w"))
+             .filter(F.length("w") >= 2))
+    pairs = words.select(
+        F.explode(
+            F.transform(F.sequence(F.lit(1), F.length("w") - 1),
+                        lambda i: F.col("w").substr(i, F.lit(2))))
+        .alias("pair"))
+    return (pairs.groupBy("pair").agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), "pair").limit(20))
