@@ -1605,3 +1605,72 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pair"))
     return (pairs.groupBy("pair").agg(F.count("*").alias("n"))
             .orderBy(F.col("n").desc(), "pair").limit(20))
+
+
+@register("text_cms_topk", """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+  FROM documents),
+t AS (SELECT word FROM toks WHERE word <> '')
+SELECT word, count(*) AS exact_cnt, TRUE AS within_bounds
+FROM t GROUP BY word
+ORDER BY exact_cnt DESC, word
+LIMIT 20
+""")
+def text_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch point estimates for the corpus top-20 tokens —
+    the mergeable FREQUENCY sketch next to the distinct sketches
+    (agg_hll_sketch) and the Misra-Gries heavy-hitter pass
+    (text_heavy_hitters).
+
+    Scale shape: the sketch is the DataFrame-native CMS — one explode
+    of the token stream over DEPTH hash rows, then a hash aggregate on
+    (depth, bucket).  The aggregate's key space is exactly DEPTH*WIDTH
+    (20,480 cells), so map-side partial aggregation collapses every
+    partition to <= 20,480 rows no matter how many tokens it holds:
+    the shuffle carries sketch cells, never the vocabulary.  Sketches
+    from disjoint corpora merge by cell-wise addition of the same
+    bounded key space (the same incremental-rollup posture as
+    hll_union_agg).  The probe side joins the 20-row top-k (broadcast)
+    against its DEPTH cells and takes min(count) per word.
+
+    Bounds-style oracle (cell layout is seed-specific): the query
+    computes each top word's EXACT count alongside the estimate and
+    emits `within_bounds = exact <= est <= exact + ceil(2*e*N/WIDTH)`;
+    the oracle recomputes exact counts and pins the boolean TRUE.
+    est >= exact is the CMS structural guarantee (counters only
+    overcount); the upper slack is 2x the Markov expectation e*N/w,
+    which holds deterministically for the pinned xxhash64 seeds at
+    every fixture SF (verified sf0.001/0.01/0.1 + the sf1 scale-up
+    fixture; per-row failure odds (2e)^-DEPTH ~ 2e-4 before the min).
+    Ref parity: none — sketch scope is north-star."""
+    DEPTH, WIDTH = 5, 4096
+    cat = Catalog(spark, sf_dir)
+    words = cat.documents.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+
+    depths = F.array(*[F.lit(d) for d in range(DEPTH)])
+    cells = (words
+             .select("word", F.explode(depths).alias("d"))
+             .select("d", F.pmod(F.xxhash64("word", "d"),
+                                 F.lit(WIDTH)).alias("bucket"))
+             .groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt")))
+
+    top = (words.groupBy("word").agg(F.count(F.lit(1)).alias("exact_cnt"))
+           .orderBy(F.col("exact_cnt").desc(), "word").limit(20))
+    n_total = words.agg(F.count(F.lit(1)).alias("n_tok"))
+
+    probe = (top.select("word", "exact_cnt", F.explode(depths).alias("d"))
+             .withColumn("bucket", F.pmod(F.xxhash64("word", "d"),
+                                          F.lit(WIDTH))))
+    est = (cells.join(F.broadcast(probe), ["d", "bucket"])
+           .groupBy("word", "exact_cnt").agg(F.min("cnt").alias("est")))
+    import math
+    slack_per_n = 2.0 * math.e / WIDTH
+    return (est.crossJoin(F.broadcast(n_total))
+            .select("word", "exact_cnt",
+                    ((F.col("est") >= F.col("exact_cnt"))
+                     & (F.col("est") <= F.col("exact_cnt")
+                        + F.ceil(F.col("n_tok") * F.lit(slack_per_n))))
+                    .alias("within_bounds")))
