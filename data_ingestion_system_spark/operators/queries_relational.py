@@ -942,26 +942,53 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct_prod", None)
-def agg_approx_distinct_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PRODUCTION form of `agg_approx_distinct`: estimate-only, no exact
-    count-distinct legs — the plan a 100 TB deployment actually runs.
-
-    The bounds-checked twin exists to let the driver hash-verify the
-    sketch against DuckDB, at the price of a full distinct shuffle (its
-    plan expands every (group, value) pair); THIS query is the declared
-    production posture, whose only shuffle payload is KB-sized HLL
-    registers with map-side partial merge.  Estimates are
-    engine-specific, so no cross-engine oracle exists (rows-only driver
-    check, per the registry contract for non-SQL-expressible results);
-    accuracy evidence is (a) the twin's driver-checked bounds row and
-    (b) tests/test_sketch_prod_twins.py, which pins this query's
-    estimates within 3*rsd of exact AND asserts the plan carries no
-    Expand/exact-distinct stage."""
-    cat = Catalog(spark, sf_dir)
+def approx_distinct_prod_estimates(cat: Catalog) -> DataFrame:
+    """THE production plan: estimate-only, no exact count-distinct legs —
+    what a 100 TB deployment actually runs.  Its shuffle payload is
+    KB-sized HLL registers with map-side partial merge; no Expand, no
+    distinct-keyed aggregate (plan shape pinned by
+    tests/test_sketch_prod_twins.py)."""
     return cat.lineitem.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.05).alias("approx_parts"),
         F.approx_count_distinct("l_suppkey", rsd=0.05).alias("approx_supps"),
+    )
+
+
+@register("agg_approx_distinct_prod", """
+SELECT l_returnflag, TRUE AS parts_ok, TRUE AS supps_ok
+FROM (SELECT DISTINCT l_returnflag FROM lineitem) t
+""")
+def agg_approx_distinct_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable wrapper around the PRODUCTION estimate-only plan
+    (`approx_distinct_prod_estimates`).
+
+    The raw estimates are engine-specific, so they can't be
+    hash-compared cross-engine; what CAN be (VERDICT r4 #5, the
+    text_cms_topk pattern) is the bound: join the untouched production
+    subtree to a SEPARATE exact aggregation and emit
+    ``*_ok = |approx - exact| <= 3*rsd*exact`` booleans the DuckDB
+    oracle pins TRUE over the same group keys.  Unlike the verification
+    twin `agg_approx_distinct` — whose single groupBy mixes sketch and
+    exact legs, forcing the Expand lowering onto the WHOLE aggregate —
+    the production subtree here keeps its own sketch-only shuffle and
+    the exact legs ride a separate subtree that exists only for
+    verification; production deployments select the estimates and drop
+    the join.  Plan shape of the production subtree pinned by
+    tests/test_sketch_prod_twins.py."""
+    cat = Catalog(spark, sf_dir)
+    rsd = 0.05
+    est = approx_distinct_prod_estimates(cat)
+    exact = cat.lineitem.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_suppkey").alias("exact_supps"))
+
+    def ok(approx, exact_col):
+        return (F.abs(approx - exact_col) <= 3 * rsd * exact_col)
+
+    return est.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        ok(F.col("approx_parts"), F.col("exact_parts")).alias("parts_ok"),
+        ok(F.col("approx_supps"), F.col("exact_supps")).alias("supps_ok"),
     )
 
 
@@ -1290,18 +1317,12 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.unionByName(union_all)
 
 
-@register("agg_hll_sketch_prod", None)
-def agg_hll_sketch_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PRODUCTION form of `agg_hll_sketch`: per-type estimates plus the
-    union-of-sketches global row, WITHOUT the exact count-distinct legs
-    — daily-sketch/monthly-union rollups never rescan raw data, and this
-    plan's shuffles carry only lgK=14 sketch registers.
-
-    Same evidence contract as `agg_approx_distinct_prod`: estimates are
-    engine-specific (rows-only driver check); the bounds-checked twin
-    plus tests/test_sketch_prod_twins.py pin accuracy and the
-    no-exact-distinct plan shape."""
-    cat = Catalog(spark, sf_dir)
+def hll_sketch_prod_estimates(cat: Catalog) -> DataFrame:
+    """THE production plan: per-type estimates plus the
+    union-of-sketches global row, WITHOUT exact count-distinct legs —
+    daily-sketch/monthly-union rollups never rescan raw data, and this
+    plan's shuffles carry only lgK=14 sketch registers.  Plan shape
+    pinned by tests/test_sketch_prod_twins.py."""
     per_type = cat.events.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
     est = per_type.select(
@@ -1311,6 +1332,38 @@ def agg_hll_sketch_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
     ).select(F.lit("__all__").alias("event_type"), "approx_users")
     return est.unionByName(union_all)
+
+
+@register("agg_hll_sketch_prod", """
+SELECT event_type, TRUE AS within_bounds
+FROM (SELECT DISTINCT event_type FROM events
+      UNION ALL SELECT '__all__') t
+""")
+def agg_hll_sketch_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable wrapper around the PRODUCTION sketch-rollup plan
+    (`hll_sketch_prod_estimates`).
+
+    Same evidence contract as `agg_approx_distinct_prod` (VERDICT r4
+    #5): estimates are engine-specific, bounds are not — the untouched
+    production subtree joins a SEPARATE exact-distinct aggregation
+    (verification-only; production selects the estimates and drops it)
+    and emits ``within_bounds = |est - exact| <= 0.03 * exact``
+    (lgK=14 → rsd ≈ 0.81%; 3σ rounded up), which the oracle pins TRUE
+    over the per-type keys plus the '__all__' merge row — so a hash
+    match proves both the per-group and the union-of-sketches MERGE
+    path accuracy against a DuckDB-verified exact."""
+    cat = Catalog(spark, sf_dir)
+    est = hll_sketch_prod_estimates(cat)
+    per_type_exact = cat.events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"))
+    global_exact = cat.events.agg(
+        F.count_distinct("user_id").alias("exact_users")).select(
+        F.lit("__all__").alias("event_type"), "exact_users")
+    exact = per_type_exact.unionByName(global_exact)
+    return est.join(exact, "event_type").select(
+        "event_type",
+        (F.abs(F.col("approx_users") - F.col("exact_users"))
+         <= 0.03 * F.col("exact_users")).alias("within_bounds"))
 
 
 @register("join_skew_salted", """
@@ -3010,7 +3063,7 @@ dlat AS (
     FROM ev WHERE ts >= TIMESTAMP '2024-01-21 00:00:00')
   WHERE rn = 1)
 SELECT user_id, status, status_ts FROM base
-WHERE user_id NOT IN (SELECT user_id FROM dlat)
+WHERE NOT EXISTS (SELECT 1 FROM dlat d WHERE d.user_id = base.user_id)
 UNION ALL
 SELECT user_id, status, status_ts FROM dlat WHERE status <> 'error'
 """)
@@ -3037,9 +3090,13 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     response rows into `api_audit` one batch at a time
     (src/lambda/processQueue.ts:179-238) — this is that merge,
     engine-native.  Tombstone + applied-row pins:
-    tests/test_round4_ops.py."""
+    tests/test_cdc_merge.py.  The oracle uses NOT EXISTS (not NOT IN)
+    so a NULL-keyed base row would match the anti join's
+    keep-NULL-keys semantics rather than zeroing the branch."""
     cat = Catalog(spark, sf_dir)
-    cutoff = F.lit("2024-01-21 00:00:00").cast("timestamp")
+    # timestamp_ntz to match the events.ts column type exactly — no
+    # dependence on the session timezone pin (ADVICE r4)
+    cutoff = F.lit("2024-01-21 00:00:00").cast("timestamp_ntz")
     ev = cat.events.select("user_id", "event_type", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc())

@@ -1643,6 +1643,15 @@ def text_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     which holds deterministically for the pinned xxhash64 seeds at
     every fixture SF (verified sf0.001/0.01/0.1 + the sf1 scale-up
     fixture; per-row failure odds (2e)^-DEPTH ~ 2e-4 before the min).
+    NOTE (FIXTURES.md): regenerating fixtures requires re-validating
+    this probabilistic bound.
+
+    Two tokenization passes, not three (ADVICE r4): N is a sketch
+    property — every token lands in exactly DEPTH cells, so
+    N = sum(cnt)/DEPTH — and the bounded cell table (<= DEPTH*WIDTH
+    rows) is localCheckpoint'ed once and read by both the probe join
+    and the N fold; only the cells pass and the exact-top-k pass
+    touch the corpus.
     Ref parity: none — sketch scope is north-star."""
     DEPTH, WIDTH = 5, 4096
     cat = Catalog(spark, sf_dir)
@@ -1651,15 +1660,22 @@ def text_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("word") != "")
 
     depths = F.array(*[F.lit(d) for d in range(DEPTH)])
+    # eager localCheckpoint, not persist(): bounded (<= 20,480 rows),
+    # feeds two consumers, and checkpoint blocks are reference-tracked
+    # (see queries_dedup.py for the full rationale)
     cells = (words
              .select("word", F.explode(depths).alias("d"))
              .select("d", F.pmod(F.xxhash64("word", "d"),
                                  F.lit(WIDTH)).alias("bucket"))
-             .groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt")))
+             .groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+             .localCheckpoint(eager=True))
 
     top = (words.groupBy("word").agg(F.count(F.lit(1)).alias("exact_cnt"))
            .orderBy(F.col("exact_cnt").desc(), "word").limit(20))
-    n_total = words.agg(F.count(F.lit(1)).alias("n_tok"))
+    # every token increments exactly DEPTH cells, so the total token
+    # count is a property of the sketch itself — no third corpus pass
+    n_total = cells.agg(
+        (F.sum("cnt") / F.lit(DEPTH)).cast("long").alias("n_tok"))
 
     probe = (top.select("word", "exact_cnt", F.explode(depths).alias("d"))
              .withColumn("bucket", F.pmod(F.xxhash64("word", "d"),

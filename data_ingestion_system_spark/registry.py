@@ -49,53 +49,75 @@ def oracle_sql() -> dict[str, str]:
 
 _LOADED = False
 
-# r4 rotation (VERDICT r3 "Next round" #1): CORRECTNESS_r03 landed green
-# for the whole r3 window, so cumulative driver-verified coverage is
-# 141/172.  Exactly THIRTY-ONE queries have never had a driver row — the
-# thirty added after the r3 window froze plus diag_profile_events (the
-# documented r3 sacrifice).  This round's window: those 31 first (in
-# registration order), then 19 fills taken from the OLDEST-graded set
-# (CORRECTNESS_r01's leading keys, untouched since r1) as regression
-# re-grades.  Green r4 rows for the front 31 → 172/172 cumulative.
-#
-# Freeze-then-add discipline (VERDICT #2): this window is FROZEN as of
-# r4 turn 1.  Queries added during r4 MUST register behind slot 50 —
-# _load_all() puts non-priority names after the window, so a new
-# @register anywhere lands behind automatically; never edit
-# _R4_PRIORITY after the round's first commit.
-_R4_PRIORITY: tuple[str, ...] = (
-    # --- 31 never-driver-graded (registration order) ---
-    # similarity / embedding analytics (7)
-    "sim_ann_recall", "emb_cluster_quality", "emb_covariance",
-    "emb_pca_power", "sim_mmr_rerank", "sim_matryoshka_recall",
-    "sim_range_search",
-    # text r3-tail (8)
-    "text_dsir_weights", "text_bigram_nll", "text_gopher_rules",
-    "text_top2gram_chars", "text_perplexity_buckets", "text_bm25_topk",
-    "text_rrf_fusion", "text_feature_hashing",
-    # dedup r3-tail + graph (6)
-    "dedup_semantic", "dedup_source_overlap", "dedup_minhash_estimate",
-    "dedup_duplicate_passages", "dedup_canonical_pick", "graph_triangles",
-    # the r3 sacrifice (1)
-    "diag_profile_events",
-    # experimentation / order statistics (9)
-    "agg_quantile_sketch", "agg_welch_ttest", "agg_cuped",
-    "agg_mann_whitney", "agg_benford_digits", "agg_ks_test",
-    "window_scd2_intervals", "agg_lorenz_gini", "agg_funnel_window",
-    # --- 19 oldest-graded fills (CORRECTNESS_r01 leading keys) ---
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_cluster_components", "dedup_levenshtein",
-    "dedup_contamination", "dedup_embedding_cosine", "ingest_keys",
-    "ingest_project_cast", "ingest_expectations", "agg_corr_stats",
-    "ingest_variant_payload", "multimodal_meta", "multimodal_features",
-    "multimodal_frame_sample", "multimodal_near_dup",
-    "agg_pricing_summary", "agg_revenue_by_nation",
-)
+
+def _grade_history() -> dict[str, tuple[int, bool]]:
+    """name -> (latest_graded_round, latest_grade_green) from the
+    committed ``CORRECTNESS_r*.json`` files at the repo root.
+
+    A driver row is *green* iff ``err`` is null and rows/schema/hash all
+    matched.  Rows-only grades (``err == "no_oracle"``) count as green
+    ONLY for queries that genuinely register no oracle — for a query
+    that has one, a ``no_oracle`` row means the oracle was missing when
+    graded, i.e. the evidence is stale, so it must rotate forward.
+    """
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rows_only_ok = {n for n, (_, sql) in _REGISTRY.items() if sql is None}
+    hist: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")]
+        try:
+            rnd = int(m)
+            with open(path) as f:
+                graded = json.load(f)
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        for name, row in graded.items():
+            green = row.get("err") is None and all(
+                row.get(k) is True
+                for k in ("rows_match", "schema_match", "hash_match"))
+            if (row.get("err") == "no_oracle" and name in rows_only_ok
+                    and row.get("spark_rows") is not None):
+                green = True
+            prev = hist.get(name)
+            if prev is None or rnd >= prev[0]:
+                hist[name] = (rnd, green)
+    return hist
+
+
+def _rotated_order() -> list[str]:
+    """Grading order, derived — never hand-maintained (VERDICT r4 #1).
+
+    The driver grades ``list(queries())[:50]`` each round, so ordering IS
+    the grading window.  Buckets, each stable in registration order:
+
+    1. never driver-graded (no row in any committed CORRECTNESS file);
+    2. latest grade red — fixes land here until a green row banks them;
+    3. greens, stalest round first (regression re-grades).
+
+    Committed CORRECTNESS files only change between rounds, so the
+    derived order is frozen for the whole round by construction; queries
+    added mid-round are never-graded and enter the window automatically.
+    """
+    reg_pos = {n: i for i, n in enumerate(_REGISTRY)}
+    hist = _grade_history()
+
+    def key(name: str) -> tuple[int, int, int]:
+        if name not in hist:
+            return (0, 0, reg_pos[name])
+        rnd, green = hist[name]
+        return (2, rnd, reg_pos[name]) if green else (1, rnd, reg_pos[name])
+
+    return sorted(_REGISTRY, key=key)
 
 
 def _load_all() -> None:
     """Import every module that registers queries (idempotent), then
-    reorder so the driver's 50-entry grading window covers _R4_PRIORITY."""
+    reorder so the driver's 50-entry grading window covers the derived
+    rotation (never-graded → red-latest → stalest-green)."""
     global _LOADED, _REGISTRY
     if _LOADED:
         return
@@ -109,12 +131,6 @@ def _load_all() -> None:
         queries_dedup,
         queries_relational,
     )
-    # explicit priority first (in listed order), everything else after in
-    # registration order; ordering intent pinned by
-    # tests/test_registry_order.py.
-    rest = {n: v for n, v in _REGISTRY.items() if n not in set(_R4_PRIORITY)}
-    _REGISTRY = {
-        **{n: _REGISTRY[n] for n in _R4_PRIORITY if n in _REGISTRY},
-        **rest,
-    }
+    # Derived grading order; intent pinned by tests/test_registry_order.py.
+    _REGISTRY = {n: _REGISTRY[n] for n in _rotated_order()}
     _LOADED = True
