@@ -129,9 +129,56 @@ def main() -> None:
             full["scaleup"] = json.load(f)
     except (FileNotFoundError, json.JSONDecodeError):
         pass
+    full["regressions"] = _triage_regressions(
+        repo, sf, timings, summary)
     with open(os.path.join(repo, "BENCH_FULL.json"), "w") as f:
         json.dump(full, f, indent=1)
     print(json.dumps(summary))
+
+
+def _triage_regressions(repo: str, sf, timings: dict[str, float],
+                        summary: dict) -> list[dict]:
+    """Automated regression triage (VERDICT r4 #3): compare each query
+    against the best-known QUIET record (BENCH_BEST.json — per-query min
+    over all non-contended runs, with the loadavg it was captured at)
+    and list every >1.5x-and->1s excursion with both loadavgs attached,
+    so a co-tenant load spike reads as contention at a glance instead of
+    needing git archaeology (r4: dedup_simhash 3.43->5.76s was exactly
+    this).  A contended run never updates the record — its excursions
+    are annotated, not canonized."""
+    best_path = os.path.join(repo, "BENCH_BEST.json")
+    try:
+        with open(best_path) as f:
+            best = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        best = {"sf": sf, "queries": {}}
+    if best.get("sf") != sf:  # records are per-scale; don't cross-compare
+        best = {"sf": sf, "queries": {}}
+
+    regressions = []
+    for name, t in timings.items():
+        b = best["queries"].get(name)
+        if b and t > 1.5 * b["sec"] and t - b["sec"] > 1.0:
+            regressions.append({
+                "query": name,
+                "sec": t,
+                "best_sec": b["sec"],
+                "ratio": round(t / b["sec"], 2),
+                "best_loadavg": b["loadavg"],
+                "loadavg": summary["loadavg_start"],
+                "likely_contention": summary["contended"],
+            })
+    regressions.sort(key=lambda r: -r["ratio"])
+
+    if not summary["contended"]:
+        for name, t in timings.items():
+            b = best["queries"].get(name)
+            if b is None or t < b["sec"]:
+                best["queries"][name] = {
+                    "sec": t, "loadavg": summary["loadavg_start"]}
+        with open(best_path, "w") as f:
+            json.dump(best, f, indent=1)
+    return regressions
 
 
 if __name__ == "__main__":

@@ -258,3 +258,115 @@ def decode_image(content: bytes) -> np.ndarray:
     if fmt == "pnm":
         return decode_pnm(content)
     raise ValueError("unrecognized image format (PNG/BMP/PNM supported)")
+
+
+# ---------------------------------------------------------------- AVI
+# Minimal RIFF/AVI demux (VERDICT r4 #8): the CONTAINER is plain chunk
+# walking — headers + frame payload extraction need nothing beyond
+# struct — so the "video is delegated" contract narrows to what truly
+# requires a codec library: inter-frame/DCT bitstream decode.  Raw
+# uncompressed frames ('DIB '/BI_RGB, 24-bit) decode fully here, same
+# as BMP pixel data; MJPEG demuxes to per-frame JPEG blobs whose pixel
+# decode stays delegated to av/ffmpeg deployments.
+
+_AVI_RAW_FOURCC = (b"DIB ", b"\x00\x00\x00\x00", b"RGB ")
+
+
+def encode_avi(frames: list[bytes], width: int, height: int,
+               fps: int = 10, fourcc: bytes = b"DIB ") -> bytes:
+    """Mux pre-encoded frame payloads into a single-stream AVI.
+
+    ``frames``: one payload per frame — bottom-up BGR rows padded to
+    4 bytes for raw (``fourcc=b'DIB '``), or JPEG blobs for
+    ``fourcc=b'MJPG'``.  Exists so tests and the oracle-checked video
+    query can synthesize containers deterministically."""
+    us_per_frame = 1_000_000 // fps
+    n = len(frames)
+    max_bytes = max((len(f) for f in frames), default=0)
+    compression = 0 if fourcc in _AVI_RAW_FOURCC else \
+        int.from_bytes(fourcc, "little")
+    avih = struct.pack(
+        "<14I", us_per_frame, max_bytes * fps, 0, 0x10, n, 0, 1,
+        max_bytes, width, height, 0, 0, 0, 0)
+    strh = (b"vids" + fourcc
+            + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0, 1, fps, 0, n,
+                          max_bytes, -1, 0)
+            + struct.pack("<4H", 0, 0, width, height))
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24,
+                       compression, len(frames[0]) if frames else 0,
+                       0, 0, 0, 0)
+
+    def chunk(ckid: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return ckid + struct.pack("<I", len(data)) + data + pad
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    ckid = b"00db" if fourcc in _AVI_RAW_FOURCC else b"00dc"
+    movi_frames, idx, off = b"", b"", 4
+    for f in frames:
+        idx += ckid + struct.pack("<III", 0x10, off, len(f))
+        c = chunk(ckid, f)
+        movi_frames += c
+        off += len(c)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    body = b"AVI " + hdrl + lst(b"movi", movi_frames) + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def demux_avi(content: bytes) -> dict:
+    """Parse an AVI container -> header metadata + raw frame payloads.
+
+    Returns ``{"fourcc", "width", "height", "n_frames",
+    "us_per_frame", "frames": [bytes, ...]}``.  Frame COUNT comes from
+    the movi chunk walk (the authoritative stream), and a header
+    mismatch raises — a truncated upload must quarantine, not
+    silently under-report.  No pixel decode happens here."""
+    if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not an AVI (RIFF/'AVI ') container")
+    meta: dict = {"frames": []}
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            ckid = buf[pos:pos + 4]
+            size = struct.unpack_from("<I", buf, pos + 4)[0]
+            data_start = pos + 8
+            if data_start + size > end:
+                raise ValueError("truncated AVI chunk")
+            if ckid == b"LIST":
+                walk(buf, data_start + 4, data_start + size)
+            elif ckid == b"avih":
+                vals = struct.unpack_from("<14I", buf, data_start)
+                meta["us_per_frame"] = vals[0]
+                meta["hdr_frames"] = vals[4]
+                meta["width"], meta["height"] = vals[8], vals[9]
+            elif ckid == b"strh" and buf[data_start:data_start + 4] == b"vids":
+                meta["fourcc"] = buf[data_start + 4:data_start + 8] \
+                    .decode("ascii", "replace").strip("\x00 ") or "DIB"
+            elif ckid[2:4] in (b"db", b"dc") and ckid[:2].isdigit():
+                meta["frames"].append(buf[data_start:data_start + size])
+            pos = data_start + size + (size % 2)
+
+    walk(content, 12, len(content))
+    if "width" not in meta:
+        raise ValueError("AVI missing avih header")
+    meta["n_frames"] = len(meta["frames"])
+    if meta.pop("hdr_frames") != meta["n_frames"]:
+        raise ValueError("AVI header frame count != movi stream")
+    meta.setdefault("fourcc", "DIB")
+    return meta
+
+
+def decode_avi_raw_frame(payload: bytes, width: int,
+                         height: int) -> np.ndarray:
+    """One uncompressed 24-bit DIB frame -> uint8 (h, w, 3) RGB
+    (bottom-up BGR rows, 4-byte padded — BMP pixel-data rules)."""
+    stride = (width * 3 + 3) & ~3
+    if len(payload) < stride * height:
+        raise ValueError("raw frame payload shorter than stride*height")
+    rows = np.frombuffer(payload[:stride * height], dtype=np.uint8)
+    img = rows.reshape(height, stride)[:, :width * 3] \
+        .reshape(height, width, 3)[::-1, :, ::-1]
+    return np.ascontiguousarray(img)

@@ -21,10 +21,12 @@ Design:
   via the pure-Python codecs in ``operators/codecs.py`` (stdlib
   zlib/wave + numpy — PIL is preferred when importable but not
   required); ``media_features_decoded`` is the decoded-pixel twin of
-  ``media_features``.  The ORACLE-CHECKED queries keep ``fake_decode``
+  ``media_features``.  Most ORACLE-CHECKED queries keep ``fake_decode``
   (deterministic byte-level block means) so their values stay
-  engine-portable; video decode stays out of scope by contract (no
-  container parsing in pure Python — COVERAGE.md).
+  engine-portable.  Video: the AVI container demux + raw-DIB frame
+  decode are native (``codecs.demux_avi`` — oracle-checked via
+  ``multimodal_video_demux``); compressed-bitstream pixel decode
+  (MJPEG/H.26x) stays delegated to av/ffmpeg deployments (COVERAGE.md).
 """
 
 from __future__ import annotations
@@ -67,10 +69,13 @@ def decode_real(content: bytes, kind: str):
       (stdlib zlib + numpy, full PNG filter set).
     * ``audio`` -> (int32 samples (frames, channels), sample_rate) via
       stdlib ``wave`` — PCM 8/16/32-bit.
-    * ``video`` -> NotImplementedError BY CONTRACT: container demuxing
-      plus inter-frame codecs are not sanely re-implementable in pure
-      Python; deployments plug av/ffmpeg here, and every video op's
-      Spark plumbing is exercised through ``fake_decode`` (COVERAGE.md).
+    * ``video`` -> (meta dict, list of uint8 frame arrays) for AVI
+      containers: the demux (RIFF chunk walk, ``codecs.demux_avi``) is
+      native, raw 24-bit DIB frames decode fully, and MJPEG frames come
+      back as per-frame JPEG blobs (pixel decode of compressed
+      bitstreams stays delegated to av/ffmpeg deployments — the
+      narrowed contract in COVERAGE.md).  Non-AVI containers raise
+      NotImplementedError.
     """
     from data_ingestion_system_spark.operators import codecs
 
@@ -86,11 +91,21 @@ def decode_real(content: bytes, kind: str):
         return codecs.decode_image(content)
     if kind == "audio":
         return codecs.decode_wav(content)
-    raise NotImplementedError(
-        f"no codec for kind={kind!r}: video decode is contractually "
-        "delegated to av/ffmpeg deployments (see COVERAGE.md); every "
-        "video op runs on fake_decode in this environment"
-    )
+    if kind == "video":
+        if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+            meta = codecs.demux_avi(content)
+            frames = meta.pop("frames")
+            if meta["fourcc"] in ("DIB", "RGB"):
+                frames = [codecs.decode_avi_raw_frame(
+                    p, meta["width"], meta["height"]) for p in frames]
+            return meta, frames
+        raise NotImplementedError(
+            "non-AVI video containers (and compressed-bitstream pixel "
+            "decode) are contractually delegated to av/ffmpeg "
+            "deployments (see COVERAGE.md); AVI demux + raw-DIB decode "
+            "are native (operators/codecs.py)"
+        )
+    raise NotImplementedError(f"no codec for kind={kind!r}")
 
 
 def fake_decode(buf: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
@@ -183,6 +198,20 @@ def media_features_decoded(df: DataFrame,
                         mono = samples.mean(axis=1)
                         rec.update(sample_rate=int(rate),
                                    features=block_stat(mono, True))
+                    elif kind == "video":
+                        meta, frames = decode_real(
+                            bytes(content or b""), "video")
+                        rec.update(width=int(meta["width"]),
+                                   height=int(meta["height"]))
+                        if frames and isinstance(frames[0], np.ndarray):
+                            lum = np.concatenate(
+                                [f.mean(axis=2).ravel() for f in frames])
+                            rec["features"] = [
+                                v / 255.0 for v in block_stat(lum, False)]
+                        else:  # MJPEG: demuxed, pixel decode delegated
+                            rec["decode_error"] = (
+                                f"{meta['fourcc']} bitstream decode "
+                                "delegated (frames demuxed)")
                     else:
                         rec["decode_error"] = f"no real codec for {kind}"
                 except Exception as exc:  # noqa: BLE001 — quarantine, don't kill the batch
@@ -328,3 +357,57 @@ def pack_media(binary_df: DataFrame, kind_from_ext: bool = True) -> DataFrame:
         F.col("content"),
         meta.alias("meta"),
     )
+
+
+def video_demux_stats(df: DataFrame) -> DataFrame:
+    """(media_id, content) AVI rows -> per-container stats via the
+    native RIFF demux (codecs.demux_avi): fourcc, dimensions, frame
+    count, frame cadence, total payload bytes, and the mean decoded
+    pixel value for raw-DIB streams (NULL for compressed fourccs, whose
+    bitstream decode is delegated).  Corrupt containers quarantine into
+    ``demux_error`` instead of killing the batch — same Arrow-batched
+    mapInPandas shape as every media op."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("fourcc", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("us_per_frame", T.IntegerType()),
+        T.StructField("payload_bytes", T.LongType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+        T.StructField("demux_error", T.StringType()),
+    ])
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from data_ingestion_system_spark.operators import codecs
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                rec = {"media_id": mid, "fourcc": None, "width": None,
+                       "height": None, "n_frames": None,
+                       "us_per_frame": None, "payload_bytes": None,
+                       "mean_pixel": None, "demux_error": None}
+                try:
+                    meta = codecs.demux_avi(bytes(content or b""))
+                    frames = meta.pop("frames")
+                    rec.update(fourcc=meta["fourcc"],
+                               width=int(meta["width"]),
+                               height=int(meta["height"]),
+                               n_frames=int(meta["n_frames"]),
+                               us_per_frame=int(meta["us_per_frame"]),
+                               payload_bytes=sum(len(f) for f in frames))
+                    if meta["fourcc"] in ("DIB", "RGB") and frames:
+                        # exact integer sum, one float64 division — the
+                        # oracle reproduces this bit-for-bit
+                        total = sum(int(codecs.decode_avi_raw_frame(
+                            f, meta["width"], meta["height"])
+                            .astype(np.int64).sum()) for f in frames)
+                        rec["mean_pixel"] = total / rec["payload_bytes"]
+                except Exception as exc:  # noqa: BLE001 — quarantine, don't kill the batch
+                    rec["demux_error"] = f"{type(exc).__name__}: {exc}"
+                rows.append(rec)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(compute, out_schema)

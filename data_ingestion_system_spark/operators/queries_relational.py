@@ -3002,45 +3002,20 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch only.  Oracle: the plain inequality join (same rows — the
     buckets are a pure partitioning of the match space, pinned
     disjoint+complete by construction: every match's probe day falls
-    in exactly one covered bucket).  Ref parity: none; temporal
-    warehouse scope."""
-    cat = Catalog(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    s = cat.events.select(
-        "user_id", "event_type", "ts", "event_id",
-        F.lag("event_type").over(w).alias("prev"))
-    chg = s.filter(F.col("prev").isNull()
-                   | (F.col("prev") != F.col("event_type")))
-    iv = chg.select(
-        "user_id", F.col("event_type").alias("status"),
-        F.col("ts").alias("valid_from"),
-        F.lead("ts").over(w).alias("valid_to"))
+    in exactly one covered bucket).  Both halves live in
+    operators/temporal.py so the streaming enrichment
+    (streaming/enrich.py) runs the identical plan per micro-batch.
+    Ref parity: none; temporal warehouse scope."""
+    from data_ingestion_system_spark.operators.temporal import (
+        point_in_interval_enrich,
+        scd2_intervals,
+    )
 
+    cat = Catalog(spark, sf_dir)
+    iv = scd2_intervals(cat.events)
     probes = (cat.events.filter(F.col("event_type") == "purchase")
-              .select("event_id", "user_id", "ts",
-                      F.date_trunc("day", "ts").alias("day")))
-    # clamp open intervals to the probe-side max day: 1-row broadcast
-    max_day = probes.agg(F.max("day").alias("max_day"))
-    buckets = (iv.crossJoin(F.broadcast(max_day))
-               .withColumn(
-                   "day",
-                   F.explode(F.sequence(
-                       F.date_trunc("day", "valid_from"),
-                       F.greatest(
-                           F.date_trunc(
-                               "day",
-                               F.coalesce(F.col("valid_to"),
-                                          F.col("max_day"))),
-                           F.date_trunc("day", "valid_from")),
-                       F.expr("INTERVAL 1 DAY"))))
-               .select("user_id", "day", "status", "valid_from",
-                       "valid_to"))
-    return (probes.join(buckets, ["user_id", "day"])
-            .filter((F.col("valid_from") <= F.col("ts"))
-                    & (F.col("valid_to").isNull()
-                       | (F.col("ts") < F.col("valid_to"))))
-            .select("event_id", "user_id", "ts",
-                    F.col("status").alias("status_at_event")))
+              .select("event_id", "user_id", "ts"))
+    return point_in_interval_enrich(probes, iv)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,85 @@
+"""Streaming point-in-interval enrichment against an SCD2 silver table.
+
+The temporal family end-to-end (VERDICT r4 #6): the batch query
+``join_interval_bucketed`` answers "status as of T" over history; the
+stateful correlator (streaming/stateful.py) answers latest-wins as
+events arrive.  This module closes the gap between them — a live event
+stream enriched with the SCD2 status valid AT EACH EVENT'S OWN
+TIMESTAMP, the lookup a feature pipeline needs when a late-arriving
+event must be attributed to the status the user had *then*, not now.
+
+Mechanics: ``foreachBatch`` re-reads the silver intervals table per
+micro-batch (so interval updates between batches are picked up — the
+stream-static join contract) and runs the IDENTICAL bucketed lowering
+the batch query uses (operators/temporal.py::point_in_interval_enrich)
+— batch/stream parity by construction, pinned on a shared fixture by
+tests/test_streaming_windowed.py.  The watermark + dropDuplicates pair
+bounds replay: a redelivered event_id within the lateness horizon
+dedupes in the state store (O(open horizon) state, not O(stream)), so
+restarts cannot double-enrich.
+
+Scale posture: each micro-batch's probe side is small by construction
+(one trigger's worth), the silver side is partition-pruned parquet, and
+the bucketed join bounds fan-out exactly as in batch — no stateful join
+state grows with the interval table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from data_ingestion_system_spark.operators.temporal import (
+    point_in_interval_enrich,
+)
+
+PROBE_SCHEMA = "event_id long, user_id long, ts timestamp_ntz"
+
+# JSON timestamps default to millisecond precision; interval membership
+# compares at full microsecond resolution, so the landing contract pins
+# a lossless format (writers must use the same option)
+TS_NTZ_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
+def interval_enrich_batch(batch_df: DataFrame,
+                          silver_path: str) -> DataFrame:
+    """One micro-batch's enrichment: identical plan to the batch query."""
+    spark = batch_df.sparkSession
+    intervals = spark.read.parquet(silver_path)
+    return point_in_interval_enrich(
+        batch_df.select("event_id", "user_id", "ts"), intervals)
+
+
+def start_interval_enrich(
+    spark: SparkSession,
+    landing_dir: str,
+    silver_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    max_lateness: str = "1 hour",
+) -> StreamingQuery:
+    """Enrich a JSON landing stream of events with their SCD2
+    status-at-event, exactly-once into parquet at ``out_path``."""
+    stream = (
+        spark.readStream.schema(PROBE_SCHEMA)
+        .option("timestampNTZFormat", TS_NTZ_FORMAT).json(landing_dir)
+        # dedupe replays within the lateness horizon; the watermark
+        # (needs an instant, so cast NTZ -> LTZ under the UTC session
+        # pin) bounds the dedup state store
+        .withColumn("event_time", F.col("ts").cast("timestamp"))
+        .withWatermark("event_time", max_lateness)
+        .dropDuplicates(["event_id"])
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (interval_enrich_batch(batch_df, silver_path)
+         .write.mode("append").parquet(out_path))
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .foreachBatch(sink)
+        .start()
+    )

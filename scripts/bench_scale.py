@@ -75,6 +75,15 @@ def main() -> None:
               f"ratio {row['ratio_at_10x']}x"
               + ("  <-- SUPERLINEAR" if row["superlinear"] else ""))
 
+    # merge with any prior capture: later runs EXTEND the evidence
+    # (re-measured queries take the new row; others are kept)
+    out_path = os.path.join(_REPO, "SCALEUP.json")
+    prior: dict = {}
+    try:
+        with open(out_path) as f:
+            prior = json.load(f).get("queries", {})
+    except (FileNotFoundError, json.JSONDecodeError):
+        pass
     payload = {
         "method": "best-of-2 noop-sink wall clock per scale, cache "
                   "cleared between runs; sf1 fixture = 10x sf0.1 via "
@@ -83,9 +92,9 @@ def main() -> None:
                   "sizes constant)",
         "ratio_bar": RATIO_BAR,
         "loadavg_start": round(os.getloadavg()[0], 2),
-        "queries": results,
+        "queries": {**prior, **results},
     }
-    with open(os.path.join(_REPO, "SCALEUP.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
     bad = [n for n, r in results.items() if r["superlinear"]]
     print(json.dumps({"superlinear": bad,

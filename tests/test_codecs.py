@@ -160,3 +160,95 @@ def test_media_features_decoded(spark):
     assert "video" in got[3]["decode_error"]
     assert got[3]["features"] is None
     assert got[4]["decode_error"] is not None and got[4]["features"] is None
+
+
+# ---------------------------------------------------------------- AVI
+
+
+def _raw_frame_payload(img: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) RGB -> bottom-up BGR rows, 4-byte padded."""
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    out = np.zeros((h, stride), np.uint8)
+    out[:, :w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+    return out.tobytes()
+
+
+def test_avi_raw_roundtrip():
+    from data_ingestion_system_spark.operators.codecs import (
+        decode_avi_raw_frame,
+        demux_avi,
+        encode_avi,
+    )
+
+    frames = [_img(4, 5, 3, seed=20 + i) for i in range(3)]
+    avi = encode_avi([_raw_frame_payload(f) for f in frames], 5, 4, fps=12)
+    m = demux_avi(avi)
+    assert (m["width"], m["height"], m["n_frames"]) == (5, 4, 3)
+    assert m["us_per_frame"] == 1_000_000 // 12
+    assert m["fourcc"] == "DIB"
+    for payload, want in zip(m["frames"], frames):
+        assert (decode_avi_raw_frame(payload, 5, 4) == want).all()
+
+
+def test_avi_odd_payload_padding():
+    """RIFF chunks pad odd sizes with one byte; the walker must skip the
+    pad, and the payload must come back WITHOUT it."""
+    from data_ingestion_system_spark.operators.codecs import (
+        demux_avi,
+        encode_avi,
+    )
+
+    blobs = [b"\xff\xd8" + b"j" * 13 + b"\xff\xd9"]  # 17 bytes, odd
+    m = demux_avi(encode_avi(blobs, 8, 8, fps=5, fourcc=b"MJPG"))
+    assert m["frames"] == blobs and m["n_frames"] == 1
+
+
+def test_avi_mjpeg_demux_only():
+    from data_ingestion_system_spark.operators.codecs import (
+        demux_avi,
+        encode_avi,
+    )
+
+    blobs = [b"\xff\xd8fake-jpeg-one\xff\xd9", b"\xff\xd8two\xff\xd9"]
+    m = demux_avi(encode_avi(blobs, 16, 9, fps=30, fourcc=b"MJPG"))
+    assert m["fourcc"] == "MJPG"
+    assert m["frames"] == blobs
+    assert (m["width"], m["height"]) == (16, 9)
+
+
+def test_avi_corrupt_raises():
+    from data_ingestion_system_spark.operators.codecs import (
+        demux_avi,
+        encode_avi,
+    )
+
+    good = encode_avi([b"\x00" * 192], 16, 4)
+    with pytest.raises(ValueError, match="not an AVI"):
+        demux_avi(b"garbage header")
+    with pytest.raises(ValueError, match="truncated"):
+        demux_avi(good[:40])
+    # header/stream frame-count mismatch must raise, not under-report
+    hacked = bytearray(good)
+    # avih dwTotalFrames sits 16 bytes into the avih payload
+    pos = good.index(b"avih") + 8 + 16
+    hacked[pos:pos + 4] = struct.pack("<I", 99)
+    with pytest.raises(ValueError, match="frame count"):
+        demux_avi(bytes(hacked))
+
+
+def test_decode_real_video_avi():
+    from data_ingestion_system_spark.operators.codecs import encode_avi
+    from data_ingestion_system_spark.operators.multimodal import decode_real
+
+    frames = [_img(4, 5, 3, seed=31)]
+    meta, decoded = decode_real(
+        encode_avi([_raw_frame_payload(f) for f in frames], 5, 4), "video")
+    assert meta["fourcc"] == "DIB" and meta["n_frames"] == 1
+    assert (decoded[0] == frames[0]).all()
+    # MJPEG: demuxed blobs, not pixels
+    meta2, blobs = decode_real(
+        encode_avi([b"\xff\xd8z\xff\xd9"], 2, 2, fourcc=b"MJPG"), "video")
+    assert meta2["fourcc"] == "MJPG" and blobs == [b"\xff\xd8z\xff\xd9"]
+    with pytest.raises(NotImplementedError, match="delegated"):
+        decode_real(b"\x00\x01\x02\x03" * 16, "video")

@@ -124,3 +124,39 @@ def test_near_dup_finds_planted_duplicates(spark):
 def test_decode_real_is_gated():
     with pytest.raises(NotImplementedError):
         decode_real(b"\x89PNG", "video")
+
+
+def test_video_demux_stats_mixed_batch(spark):
+    """Container stats over a mixed batch: raw-DIB decodes to an exact
+    mean pixel, MJPEG demuxes with NULL mean (bitstream delegated),
+    corrupt containers quarantine into demux_error."""
+    import numpy as np
+
+    from data_ingestion_system_spark.operators.codecs import encode_avi
+    from data_ingestion_system_spark.operators.multimodal import (
+        video_demux_stats,
+    )
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (4, 16, 3), dtype=np.uint8)
+    payload = img[::-1, :, ::-1].reshape(4, 48).tobytes()  # stride == w*3
+    raw = encode_avi([payload, payload], 16, 4, fps=25)
+    mj = encode_avi([b"\xff\xd8data\xff\xd9"], 8, 8, fps=5, fourcc=b"MJPG")
+    rows = [(1, bytearray(raw)), (2, bytearray(mj)),
+            (3, bytearray(b"not a riff at all"))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in video_demux_stats(df).collect()}
+
+    r1 = got[1]
+    assert (r1["fourcc"], r1["width"], r1["height"]) == ("DIB", 16, 4)
+    assert r1["n_frames"] == 2 and r1["us_per_frame"] == 40_000
+    assert r1["payload_bytes"] == 2 * 192
+    assert r1["mean_pixel"] == pytest.approx(float(img.mean()))
+    assert r1["demux_error"] is None
+
+    r2 = got[2]
+    assert r2["fourcc"] == "MJPG" and r2["n_frames"] == 1
+    assert r2["mean_pixel"] is None and r2["demux_error"] is None
+
+    r3 = got[3]
+    assert r3["demux_error"] is not None and r3["fourcc"] is None
