@@ -15,6 +15,11 @@ Usage: python scripts/bench_scale.py [N_QUERIES] [query ...]
   sf1 dir from $SPARK_GRAFT_SF1_DIR (default /tmp/spark_graft_sf1;
   generate with scripts/make_scale_fixture.py).  With explicit query
   names, N_QUERIES is ignored.
+
+Second decade: point $SPARK_GRAFT_SF_DIR at the sf1 fixture and
+$SPARK_GRAFT_SF1_DIR at an sf10 one (make_scale_fixture FACTOR=10 from
+sf1), and set $SPARK_GRAFT_SCALE_LABELS="sf1,sf10" — rows are keyed
+"query@lo->hi", so decades accumulate side by side in SCALEUP.json.
 """
 
 from __future__ import annotations
@@ -29,6 +34,7 @@ sys.path.insert(0, _REPO)
 
 SF01_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+LABELS = os.environ.get("SPARK_GRAFT_SCALE_LABELS", "sf0.1,sf1").split(",")
 RATIO_BAR = 15.0
 
 
@@ -56,10 +62,12 @@ def main() -> None:
     run(qs[names[0]](spark, SF01_DIR))
     run(qs[names[0]](spark, SF1_DIR))
 
+    lo_label, hi_label = LABELS[0].strip(), LABELS[1].strip()
+    default_decade = (lo_label, hi_label) == ("sf0.1", "sf1")
     results: dict[str, dict] = {}
     for name in names:
         row: dict = {}
-        for key, sf_dir in (("sf0.1", SF01_DIR), ("sf1", SF1_DIR)):
+        for key, sf_dir in ((lo_label, SF01_DIR), (hi_label, SF1_DIR)):
             best = None
             for _ in range(2):          # best-of-2 absorbs one stall
                 spark.catalog.clearCache()
@@ -68,10 +76,15 @@ def main() -> None:
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             row[key] = round(best, 3)
-        row["ratio_at_10x"] = round(row["sf1"] / max(row["sf0.1"], 1e-9), 2)
+        row["ratio_at_10x"] = round(row[hi_label] / max(row[lo_label], 1e-9),
+                                    2)
         row["superlinear"] = row["ratio_at_10x"] > RATIO_BAR
-        results[name] = row
-        print(f"{name}: sf0.1 {row['sf0.1']}s  sf1 {row['sf1']}s  "
+        # default decade keeps bare names (r4-era format); other decades
+        # key by query@lo->hi so they accumulate side by side
+        results[name if default_decade
+                else f"{name}@{lo_label}->{hi_label}"] = row
+        print(f"{name}: {lo_label} {row[lo_label]}s  "
+              f"{hi_label} {row[hi_label]}s  "
               f"ratio {row['ratio_at_10x']}x"
               + ("  <-- SUPERLINEAR" if row["superlinear"] else ""))
 
