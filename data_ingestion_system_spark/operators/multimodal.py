@@ -289,13 +289,24 @@ def near_dup_pairs(feats: DataFrame, threshold: float = 0.999,
     column (never an all-pairs join: quadratic per block, and a
     3-value blocking key would bottleneck 3 partitions); survivors are
     verified with exact centered cosine.  Byte-identical media share
-    every bucket, so exact duplicates are found with probability 1."""
+    every bucket, so exact duplicates are found with probability 1.
+
+    Bits are sized for the NEAR-DUP regime (r5, acting on the measured
+    SCALEUP trend: 14.5x at 10x rows with 8 bits): at threshold 0.999
+    the angle is ~2.6 degrees, so one bit disagrees w.p. theta/pi ~
+    0.0142 and a true near-dup collides per 12-bit table w.p. 0.986^12
+    ~ 0.84 — 8 tables miss w.p. ~4e-7 — while 4096 buckets/table cut
+    bucket occupancy (and the quadratic within-bucket candidate count)
+    16x vs 8 bits.  Recall-vs-candidate-density knobs move WITH the
+    threshold: this is the sharp-threshold end; moderate-similarity
+    searches (sim_user_timeseries) sit at the few-bits/many-tables
+    end."""
     from data_ingestion_system_spark.functions.vectors import cosine_fixed
     from data_ingestion_system_spark.operators.similarity import srp_buckets_udf
 
     mean = F.aggregate("features", F.lit(0.0), lambda a, x: a + x) / F.lit(
         float(FEATURE_DIM))
-    buckets = srp_buckets_udf(dim=FEATURE_DIM)
+    buckets = srp_buckets_udf(dim=FEATURE_DIM, n_bits=12, n_tables=8)
     # both pair-join branches scan this: persist so the Arrow decode +
     # bucket UDF chain runs once, not once per branch
     centered = feats.select(

@@ -217,6 +217,23 @@ HEADLINERS = {
         "solely to power the rank-error bounds oracle and is dropped in "
         "the production form."
     ),
+    "join_interval_bucketed": (
+        "Point-in-interval (SCD2 status-at-event) join, r4/r5: intervals "
+        "explode to the daily buckets they cover, the join runs on "
+        "(user_id, day) EQUALITY with the exact range predicate as a "
+        "post-join filter — per-key fan-out is bounded by intervals-"
+        "overlapping-one-day, never events x intervals; the open-"
+        "interval clamp is a 1-row broadcast scalar.  The identical "
+        "lowering (operators/temporal.py) runs per micro-batch in "
+        "streaming/enrich.py."
+    ),
+    "multimodal_video_demux": (
+        "Native AVI demux (r5): two chained Arrow map stages "
+        "(mux-from-text stand-in, then RIFF demux + raw-DIB frame "
+        "decode) and NO exchange anywhere — video container stats at "
+        "100 TB are embarrassingly parallel, bounded by scan + Python "
+        "batch throughput."
+    ),
 }
 
 

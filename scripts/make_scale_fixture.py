@@ -42,8 +42,11 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OFFSET = 10_000_000
-LABEL_OFFSET = 100_000
+# key shift per copy — when scaling an ALREADY-SCALED fixture (second
+# decade), raise these above the source's max key so copies stay
+# disjoint (e.g. OFFSET=1e9, LABEL_OFFSET=1e7 for sf1 -> sf10)
+OFFSET = int(os.environ.get("SPARK_GRAFT_KEY_OFFSET", 10_000_000))
+LABEL_OFFSET = int(os.environ.get("SPARK_GRAFT_LABEL_OFFSET", 100_000))
 
 # table -> columns that get the key offset
 KEY_COLS = {
