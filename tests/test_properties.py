@@ -348,3 +348,109 @@ def test_exact_dedup_survivors_reference(spark, docs):
                                       "doc_id long"), "doc_id", "left_semi"),
         "doc_id", "text").collect()
     assert {(r["doc_id"], r["fingerprint"]) for r in twice} == expected
+
+
+# ---------------------------------------------------------------- AVI codec
+
+_frame_strategy = st.lists(
+    st.binary(min_size=0, max_size=64), min_size=0, max_size=6)
+
+
+@settings(max_examples=200, deadline=None)
+@given(frames=_frame_strategy,
+       w=st.integers(min_value=1, max_value=64),
+       h=st.integers(min_value=1, max_value=64),
+       fps=st.integers(min_value=1, max_value=120))
+def test_avi_mux_demux_roundtrip(frames, w, h, fps):
+    """Any payload list survives mux -> demux byte-for-byte (MJPG path:
+    payloads are opaque, including empty and odd-sized ones), with the
+    header metadata intact."""
+    from data_ingestion_system_spark.operators.codecs import (
+        demux_avi,
+        encode_avi,
+    )
+
+    m = demux_avi(encode_avi(frames, w, h, fps=fps, fourcc=b"MJPG"))
+    assert m["frames"] == frames
+    assert (m["width"], m["height"]) == (w, h)
+    assert m["n_frames"] == len(frames)
+    assert m["us_per_frame"] == 1_000_000 // fps
+
+
+@settings(max_examples=100, deadline=None)
+@given(data=st.data(),
+       w=st.integers(min_value=1, max_value=16),
+       h=st.integers(min_value=1, max_value=16),
+       n=st.integers(min_value=1, max_value=4))
+def test_avi_raw_frame_pixel_roundtrip(data, w, h, n):
+    """Raw-DIB frames round-trip to the exact pixel array for every
+    (width, height) including stride-padded widths."""
+    import numpy as np
+
+    from data_ingestion_system_spark.operators.codecs import (
+        decode_avi_raw_frame,
+        demux_avi,
+        encode_avi,
+    )
+
+    imgs = [np.frombuffer(
+        data.draw(st.binary(min_size=w * h * 3, max_size=w * h * 3)),
+        dtype=np.uint8).reshape(h, w, 3) for _ in range(n)]
+    stride = (w * 3 + 3) & ~3
+
+    def payload(img):
+        out = np.zeros((h, stride), np.uint8)
+        out[:, :w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+        return out.tobytes()
+
+    m = demux_avi(encode_avi([payload(i) for i in imgs], w, h))
+    assert m["fourcc"] == "DIB"
+    for p, img in zip(m["frames"], imgs):
+        assert (decode_avi_raw_frame(p, w, h) == img).all()
+
+
+# ------------------------------------------------- point-in-interval join
+
+_interval_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),      # user_id
+        st.sampled_from(["a", "b", "purchase"]),    # event_type
+        st.integers(min_value=0, max_value=10_000), # minutes offset
+    ),
+    min_size=1, max_size=30,
+)
+
+
+@SPARK_SETTINGS
+@given(rows=_interval_events)
+def test_bucketed_interval_join_equals_naive(spark, rows):
+    """The bucketed lowering is a pure partitioning of the match space:
+    for ANY event log it must return exactly the rows of the naive
+    inequality join (valid_from <= ts < valid_to, open interval matches
+    everything after its start) — including logs whose intervals span
+    many days, start and end inside one day, or never close."""
+    import datetime as dt
+
+    from data_ingestion_system_spark.operators.temporal import (
+        point_in_interval_enrich,
+        scd2_intervals,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    data = [(i, u, e, base + dt.timedelta(minutes=m))
+            for i, (u, e, m) in enumerate(rows)]
+    ev = spark.createDataFrame(
+        data, "event_id long, user_id long, event_type string, "
+              "ts timestamp_ntz")
+    iv = scd2_intervals(ev)
+    probes = (ev.filter(F.col("event_type") == "purchase")
+              .select("event_id", "user_id", "ts"))
+    got = {(r.event_id, r.status_at_event)
+           for r in point_in_interval_enrich(probes, iv).collect()}
+    naive = (probes.join(iv, "user_id")
+             .filter((F.col("valid_from") <= F.col("ts"))
+                     & (F.col("valid_to").isNull()
+                        | (F.col("ts") < F.col("valid_to"))))
+             .select("event_id", F.col("status").alias("s")))
+    expect = {(r.event_id, r.s) for r in naive.collect()}
+    assert got == expect
