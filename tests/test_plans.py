@@ -384,3 +384,13 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
         lineitem, orders.o_orderkey == lineitem.l_orderkey)
     plan = hashed._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan
+
+
+def test_video_demux_is_map_only(spark, sf_dir):
+    """multimodal_video_demux: two chained Arrow map stages over a
+    column-pruned scan and NO exchange anywhere — container stats are
+    embarrassingly parallel (the PLANS.md claim, pinned)."""
+    plan = plan_of(spark, sf_dir, "multimodal_video_demux")
+    assert plan.count("MapInPandas") == 2
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
