@@ -1,0 +1,156 @@
+"""Incremental IVF vector index: parity with the one-shot build AND
+with topk_ivf over the full corpus, replay idempotence, in-flight
+exclusion, and partition-pruned probes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.catalog import Catalog
+from data_ingestion_system_spark.operators.similarity import (
+    DIM,
+    label_centroids,
+    topk_ivf,
+)
+from data_ingestion_system_spark.operators.vector_index import (
+    append_vector_index,
+    load_centroids,
+    probe_vector_index,
+    save_centroids,
+    write_vector_index,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    return Catalog(spark, sf_dir).embeddings.select(
+        "vec_id", "embedding", "label")
+
+
+@pytest.fixture(scope="module")
+def centroids(corpus):
+    return label_centroids(corpus)
+
+
+@pytest.fixture(scope="module")
+def queries(corpus):
+    return (corpus.orderBy("vec_id").limit(5)
+            .select(F.col("vec_id").alias("qid"),
+                    F.col("embedding").alias("qv")))
+
+
+def _probe_rows(spark, path, queries, **kw):
+    return {(r.qid, r.rnk): (r.vec_id, r.cosine)
+            for r in probe_vector_index(spark, path, queries,
+                                        k=5, nprobe=2, **kw).collect()}
+
+
+def test_incremental_build_equals_one_shot_and_topk_ivf(
+        spark, corpus, centroids, queries, tmp_path_factory):
+    one = str(tmp_path_factory.mktemp("ivf_one") / "idx")
+    inc = str(tmp_path_factory.mktemp("ivf_inc") / "idx")
+    save_centroids(spark, centroids, one)
+    save_centroids(spark, centroids, inc)
+
+    vecs = corpus.select("vec_id", "embedding")
+    write_vector_index(vecs, one, centroids)
+    # three increments split by id range — arbitrary, disjoint, complete
+    for mb, (lo, hi) in enumerate([(0, 600), (600, 1300), (1300, 10**9)]):
+        append_vector_index(
+            vecs.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            inc, centroids, mb=mb)
+
+    got_one = _probe_rows(spark, one, queries)
+    got_inc = _probe_rows(spark, inc, queries)
+    assert got_one == got_inc and got_inc
+
+    # and both equal the from-scratch IVF over the full corpus
+    want = {(r.qid, r.rnk): (r.vec_id, r.cosine)
+            for r in topk_ivf(corpus, centroids, queries,
+                              k=5, nprobe=2).collect()}
+    assert got_inc == want
+
+
+def test_replayed_batch_does_not_duplicate(spark, corpus, centroids,
+                                           queries, tmp_path):
+    path = str(tmp_path / "idx")
+    save_centroids(spark, centroids, path)
+    vecs = corpus.select("vec_id", "embedding")
+    append_vector_index(vecs, path, centroids, mb=0)
+    n0 = spark.read.parquet(path).count()
+    before = _probe_rows(spark, path, queries)
+    append_vector_index(vecs, path, centroids, mb=0)   # at-least-once replay
+    assert spark.read.parquet(path).count() == n0
+    assert _probe_rows(spark, path, queries) == before
+
+
+def test_exclude_mb_hides_in_flight_batch(spark, corpus, centroids,
+                                          queries, tmp_path):
+    path = str(tmp_path / "idx")
+    save_centroids(spark, centroids, path)
+    vecs = corpus.select("vec_id", "embedding")
+    append_vector_index(vecs.filter(F.col("vec_id") % 2 == 0), path,
+                        centroids, mb=0)
+    committed = _probe_rows(spark, path, queries)
+    append_vector_index(vecs.filter(F.col("vec_id") % 2 == 1), path,
+                        centroids, mb=1)
+    assert _probe_rows(spark, path, queries, exclude_mb=1) == committed
+
+
+def test_probe_is_partition_pruned(spark, corpus, centroids, queries,
+                                   tmp_path):
+    path = str(tmp_path / "idx")
+    save_centroids(spark, centroids, path)
+    write_vector_index(corpus.select("vec_id", "embedding"), path, centroids)
+    df = probe_vector_index(spark, path, queries, k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "cid" in plan.split("PartitionFilters")[1][:200], \
+        "probe scan not pruned on the list id"
+
+
+def test_centroid_sidecar_roundtrip(spark, centroids, tmp_path):
+    path = str(tmp_path / "idx")
+    save_centroids(spark, centroids, path)
+    back = load_centroids(spark, path)
+    assert back.shape == centroids.shape
+    assert np.allclose(back, centroids)
+
+
+def test_streaming_ingest_parity_and_replay(spark, corpus, centroids,
+                                            queries, tmp_path):
+    """An index maintained by the stream (two landing files -> two
+    micro-batches) probes identically to the one-shot batch build; a
+    checkpoint-restarted drain over the same files is a no-op."""
+    from data_ingestion_system_spark.streaming.vectors import (
+        start_vector_index_stream,
+    )
+
+    batch_path = str(tmp_path / "batch_idx")
+    stream_path = str(tmp_path / "stream_idx")
+    save_centroids(spark, centroids, batch_path)
+    save_centroids(spark, centroids, stream_path)
+    vecs = corpus.select("vec_id", "embedding")
+    write_vector_index(vecs, batch_path, centroids)
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (vecs.filter(F.col("vec_id") % 2 == 0).coalesce(1)
+     .write.json(str(landing / "f0")))
+    (vecs.filter(F.col("vec_id") % 2 == 1).coalesce(1)
+     .write.json(str(landing / "f1")))
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = start_vector_index_stream(
+            spark, str(landing) + "/*/", stream_path, ckpt)
+        assert q.awaitTermination(180)
+
+    drain()
+    got = _probe_rows(spark, stream_path, queries)
+    assert got == _probe_rows(spark, batch_path, queries)
+    n = spark.read.parquet(stream_path).count()
+    drain()  # restart over the same files: checkpoint makes it a no-op
+    assert spark.read.parquet(stream_path).count() == n
