@@ -136,3 +136,21 @@ def probe_vector_index(spark: SparkSession, path: str, queries: DataFrame,
         .select("qid", "vec_id", F.round("cos_raw", 6).alias("cosine"),
                 "rnk")
     )
+
+
+def rebuild_vector_index(spark: SparkSession, src_path: str,
+                         dst_path: str, new_centroids: np.ndarray, *,
+                         dim: int = DIM) -> None:
+    """Re-quantization (centroid drift) as an explicit BLUE/GREEN
+    rebuild: read every indexed vector once, re-assign against the new
+    codebook, and land a fresh index + centroid sidecar under
+    ``dst_path`` — never in place.  Serving flips to the new root only
+    when the write completes (at 100 TB the flip is a catalog pointer
+    swap; readers on the old root are undisturbed, and a failed rebuild
+    leaves nothing half-quantized).  Incremental appends then resume
+    against the new sidecar; the mb lineage restarts (the old stamps
+    encode replay state of the OLD root and must not carry over)."""
+    rows = spark.read.parquet(src_path).select("vec_id", "embedding")
+    save_centroids(spark, new_centroids, dst_path)
+    write_vector_index(rows, dst_path, new_centroids,
+                       mode="overwrite", dim=dim)

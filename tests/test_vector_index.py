@@ -154,3 +154,30 @@ def test_streaming_ingest_parity_and_replay(spark, corpus, centroids,
     n = spark.read.parquet(stream_path).count()
     drain()  # restart over the same files: checkpoint makes it a no-op
     assert spark.read.parquet(stream_path).count() == n
+
+
+def test_rebuild_blue_green(spark, corpus, centroids, queries, tmp_path):
+    """Re-quantizing into a fresh root: probes against the rebuilt index
+    equal a from-scratch build with the new centroids; the old root is
+    untouched."""
+    from data_ingestion_system_spark.operators.vector_index import (
+        rebuild_vector_index,
+    )
+
+    old = str(tmp_path / "old")
+    new = str(tmp_path / "new")
+    fresh = str(tmp_path / "fresh")
+    save_centroids(spark, centroids, old)
+    vecs = corpus.select("vec_id", "embedding")
+    write_vector_index(vecs, old, centroids)
+    before = _probe_rows(spark, old, queries)
+
+    drifted = centroids + 0.01  # a new codebook version
+    rebuild_vector_index(spark, old, new, drifted)
+    save_centroids(spark, drifted, fresh)
+    write_vector_index(vecs, fresh, drifted)
+
+    assert _probe_rows(spark, new, queries) == _probe_rows(
+        spark, fresh, queries)
+    assert _probe_rows(spark, old, queries) == before  # blue untouched
+    assert np.allclose(load_centroids(spark, new), drifted)
