@@ -176,13 +176,15 @@ def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
       search, NOT an all-pairs join: within-kind all-pairs is quadratic
       per kind AND the kind key has only 3 values (3 busy partitions on
       any cluster).  At a 0.999 threshold the per-table collision
-      probability for a true near-dup is ~0.9, so 8 tables give
-      ~1 - 1e-8 recall; byte-identical media share every bucket.
+      probability for a true near-dup is ~0.84 with the 12-bit tables
+      (r5 — sized to the threshold after SCALEUP measured the 8-bit
+      candidate density, see near_dup_pairs), so 8 tables give
+      ~1 - 4e-7 recall; byte-identical media share every bucket.
 
     The oracle is the EXACT all-pairs centered cosine at the same
     threshold — the two agree iff SRP-LSH recall is 1 on the data, which
     holds here (byte-identical dups share every bucket; a true 0.999-dup
-    collides per table w.p. ~0.9, so 8 tables miss w.p. ~1e-8).
+    collides per 12-bit table w.p. ~0.84, so 8 tables miss w.p. ~4e-7).
 
     Planted-duplicate recovery is pinned in tests/test_multimodal.py.
     """
