@@ -195,21 +195,23 @@ def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _VIDEO_SQL = """
-WITH m AS (SELECT doc_id AS media_id, text,
-                  CAST(strlen(text) AS BIGINT) AS L
+WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS L
            FROM documents),
-f AS (SELECT media_id, L,
-             CAST(ceil(L / 192.0) AS INT) AS n_frames
+f AS (SELECT media_id,
+             greatest(1, CAST(ceil(L / 192.0) AS INT)) AS n_frames
       FROM m),
 s AS (SELECT media_id,
-             sum(ascii(substr(text, CAST(i + 1 AS INT), 1))) AS total
-      FROM (SELECT media_id, text, unnest(range(L)) AS i FROM m)
+             sum(('0x' || substr(h, CAST(2 * i + 1 AS INT), 2))::INT)
+               AS total
+      FROM (SELECT media_id, h, unnest(range(L)) AS i FROM m)
       GROUP BY media_id)
 SELECT f.media_id, 'DIB' AS fourcc, 16 AS width, 4 AS height, f.n_frames,
        CAST(1000000 // (10 + f.media_id % 20) AS INT) AS us_per_frame,
        CAST(f.n_frames AS BIGINT) * 192 AS payload_bytes,
-       round(CAST(s.total AS DOUBLE) / (f.n_frames * 192.0), 6) AS mean_pixel
-FROM f JOIN s USING (media_id)
+       round(CAST(coalesce(s.total, 0) AS DOUBLE)
+             / (f.n_frames * 192.0), 6) AS mean_pixel
+FROM f LEFT JOIN s USING (media_id)
 """
 
 
@@ -225,7 +227,11 @@ def multimodal_video_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame count, cadence, payload size, and the mean decoded pixel
     (= sum of text bytes / padded payload length, exact int sum + one
     float64 division) — so a hash match proves the demux/decode chain
-    end-to-end, not just the plumbing.  MJPEG demux (payloads
+    end-to-end, not just the plumbing.  The oracle is byte-exact, not
+    character-exact (r5 ADVICE): it sums UTF-8 bytes via hex pairs of
+    ``encode(text)`` rather than ``ascii()`` code points, and its
+    ``greatest(1, ceil(...))`` matches the mux's one-zero-frame padding
+    of empty text, so it holds for non-ASCII or empty fixtures too.  MJPEG demux (payloads
     extracted, bitstream decode delegated) and corrupt-container
     quarantine are pinned in tests/test_codecs.py/test_multimodal.py.
 

@@ -52,6 +52,21 @@ def centroids_path(path: str) -> str:
     return path.rstrip("/") + "__centroids"
 
 
+def compacted_path(path: str) -> str:
+    """Sidecar manifest of mb stamps folded into LEGACY by compaction."""
+    return path.rstrip("/") + "__compacted"
+
+
+def compacted_mbs(spark: SparkSession, path: str) -> set:
+    """mb stamps already folded into the LEGACY partition (empty set if
+    the index has never been compacted)."""
+    try:
+        return {int(r.mb)
+                for r in spark.read.parquet(compacted_path(path)).collect()}
+    except Exception:  # sidecar absent: never compacted
+        return set()
+
+
 def save_centroids(spark: SparkSession, centroids: np.ndarray,
                    path: str) -> None:
     """Version the coarse quantizer beside the index (one tiny file)."""
@@ -75,17 +90,25 @@ def write_vector_index(vectors: DataFrame, path: str,
     them partitioned by (mb, cid), sorted by vec_id within partitions.
 
     One Arrow matmul per batch of rows — map-only, no shuffle except
-    the partitioned-write repartition on the (small) list-id key."""
+    the partitioned-write repartition on the (small) list-id key.
+
+    Overwrite semantics: dynamic partition overwrite is applied ONLY to
+    mb-stamped replay writes (where "replace your own partitions" is the
+    point).  A plain ``mode="overwrite"`` build (mb=None) truncates the
+    whole index root, so rebuilding over a previously-appended index
+    cannot leave stale (mb, cid) partitions behind to be silently served
+    by later probes."""
     assigned = vectors.select(
         "vec_id", "embedding",
         ivf_assign_udf(centroids, 1)(F.col("embedding"))[0].alias("cid"),
     ).withColumn("mb", F.lit(LEGACY_MB if mb is None else mb))
-    (assigned
-     .repartition("cid")
-     .sortWithinPartitions("vec_id")
-     .write.mode(mode)
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("mb", "cid").parquet(path))
+    writer = (assigned
+              .repartition("cid")
+              .sortWithinPartitions("vec_id")
+              .write.mode(mode))
+    if mb is not None:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.partitionBy("mb", "cid").parquet(path)
 
 
 def append_vector_index(vectors: DataFrame, path: str,
@@ -93,9 +116,76 @@ def append_vector_index(vectors: DataFrame, path: str,
                         mb: int | None = None, dim: int = DIM) -> None:
     """Idempotent append: with an mb stamp this is a dynamic partition
     OVERWRITE of the batch's own partitions — a replayed batch replaces
-    itself, never duplicates."""
+    itself, never duplicates.  A batch whose stamp has already been
+    folded into LEGACY by compact_vector_index is a pure no-op: its
+    rows live under mb=-1 now, so re-materializing mb=<id> would
+    double-count them."""
+    if mb is not None and mb in compacted_mbs(vectors.sparkSession, path):
+        return
     mode = "append" if mb is None else "overwrite"
     write_vector_index(vectors, path, centroids, mode=mode, mb=mb, dim=dim)
+
+
+def compact_vector_index(spark: SparkSession, path: str, *,
+                         up_to_mb: int | None = None) -> int:
+    """Small-files maintenance: fold committed ``mb=<id>`` partitions
+    into the LEGACY (``mb=-1``) partition and drop the per-batch dirs.
+
+    Streaming ingest creates one ``mb=<id>/cid=<k>`` dir per micro-batch
+    per touched list — at streaming cadence that is thousands of tiny
+    parquet files per list within days, and at 100 TB the file COUNT
+    (scan planning, S3 listing) kills probes long before the byte count
+    does (same failure mode as sources/writers.py::compact_partitions).
+    Folding restores one-dir-per-list while rewriting only
+    O(legacy + folded) bytes, never the whole corpus per run.
+
+    ``up_to_mb`` bounds the fold to batches at or below that stamp —
+    the replay horizon: leave the most recent (possibly uncommitted)
+    batches replayable in place.  Even without the bound, replay of a
+    folded batch stays a no-op because the fold is recorded in the
+    ``__compacted`` manifest that append_vector_index consults.
+
+    Crash-safe and idempotent: the fold stages to a sibling dir, lands
+    via dynamic overwrite of the LEGACY partitions, dedupes on vec_id
+    (so a re-run after a crash between the legacy write and the mb-dir
+    deletes converges instead of double-counting), and deletes the
+    folded dirs last.  Returns the number of mb stamps folded."""
+    index = spark.read.parquet(path)
+    stamps = sorted(int(r.mb) for r in index.select("mb").distinct()
+                    .collect())
+    folded = [m for m in stamps
+              if m != LEGACY_MB and (up_to_mb is None or m <= up_to_mb)]
+    if not folded:
+        return 0
+
+    staging = path.rstrip("/") + "__compact_staging"
+    (index.filter(F.col("mb").isin(folded + [LEGACY_MB]))
+     .select("vec_id", "embedding", "cid")
+     .dropDuplicates(["vec_id"])
+     .withColumn("mb", F.lit(LEGACY_MB))
+     .repartition("cid")
+     .sortWithinPartitions("vec_id")
+     .write.mode("overwrite").partitionBy("mb", "cid").parquet(staging))
+
+    # land from the staged copy (Spark cannot overwrite a path it is
+    # reading), replacing exactly the LEGACY partitions
+    (spark.read.parquet(staging)
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("mb", "cid").parquet(path))
+
+    # record the fold BEFORE dropping the dirs: a replay racing the
+    # deletes must already see its stamp as compacted
+    rows = [(int(m),) for m in folded]
+    (spark.createDataFrame(rows, "mb int")
+     .coalesce(1).write.mode("append").parquet(compacted_path(path)))
+
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    for m in folded:
+        fs.delete(jpath(path.rstrip("/") + f"/mb={m}"), True)
+    fs.delete(jpath(staging), True)
+    return len(folded)
 
 
 def probe_vector_index(spark: SparkSession, path: str, queries: DataFrame,

