@@ -90,6 +90,9 @@ def main() -> None:
         sf = float(sf)
     except ValueError:
         pass
+    repo = os.path.dirname(os.path.abspath(__file__))
+    _retime_contended_suspects(spark, qs, run, timings,
+                               _load_best(repo, sf))
     # The driver records only a bounded tail of stdout (r1: the full
     # 103-entry per-query map overflowed it and "parsed" came back null),
     # so the ONE line printed here is compact — totals, quantiles, and the
@@ -120,7 +123,6 @@ def main() -> None:
         "contended": load_start[0] > 1.5,
         "full": "BENCH_FULL.json",
     }
-    repo = os.path.dirname(os.path.abspath(__file__))
     full = {**summary, "queries": timings}
     # fold in the sf0.1-vs-sf1 spot-bench (scripts/bench_scale.py) if one
     # has been captured, so scale-trend evidence survives re-benching
@@ -136,6 +138,46 @@ def main() -> None:
     print(json.dumps(summary))
 
 
+def _load_best(repo: str, sf) -> dict:
+    """BENCH_BEST.json — per-query quiet-run minima, per scale."""
+    try:
+        with open(os.path.join(repo, "BENCH_BEST.json")) as f:
+            best = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        best = {"sf": sf, "queries": {}}
+    if best.get("sf") != sf:  # records are per-scale; don't cross-compare
+        best = {"sf": sf, "queries": {}}
+    return best
+
+
+def _retime_contended_suspects(spark, qs, run, timings: dict[str, float],
+                               best: dict, ratio: float = 1.3) -> None:
+    """Self-adjudicating tail noise (VERDICT r5 #6): when the capture
+    ENDED on a busy host, any query reading > ``ratio`` x its best
+    quiet record gets one more timed run after a fresh quiet-wait, and
+    keeps the min.  r5's capture started quiet (1.48) but ended at 4.23,
+    leaving tail-family numbers (align_cogroup_interp 7.34 vs 6.36
+    quiet best) for a human to re-time by hand — now the harness does
+    its own follow-up, so a triage entry that survives really is a
+    regression, not co-tenancy."""
+    if os.getloadavg()[0] <= 1.5 or os.environ.get("SPARK_GRAFT_BENCH_NO_WAIT"):
+        return
+    suspects = sorted(
+        n for n, t in timings.items()
+        if (b := best["queries"].get(n)) and t > ratio * b["sec"])
+    if not suspects:
+        return
+    print(f"# end-loadavg high: re-timing {len(suspects)} suspects "
+          f"after quiet-wait", file=sys.stderr)
+    wait_for_quiet_host()
+    for name in suspects:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        run(qs[name](spark, SF_DIR))
+        timings[name] = round(
+            min(timings[name], time.perf_counter() - t0), 4)
+
+
 def _triage_regressions(repo: str, sf, timings: dict[str, float],
                         summary: dict) -> list[dict]:
     """Automated regression triage (VERDICT r4 #3): compare each query
@@ -147,13 +189,7 @@ def _triage_regressions(repo: str, sf, timings: dict[str, float],
     this).  A contended run never updates the record — its excursions
     are annotated, not canonized."""
     best_path = os.path.join(repo, "BENCH_BEST.json")
-    try:
-        with open(best_path) as f:
-            best = json.load(f)
-    except (FileNotFoundError, json.JSONDecodeError):
-        best = {"sf": sf, "queries": {}}
-    if best.get("sf") != sf:  # records are per-scale; don't cross-compare
-        best = {"sf": sf, "queries": {}}
+    best = _load_best(repo, sf)
 
     regressions = []
     for name, t in timings.items():

@@ -1789,31 +1789,54 @@ def _pagerank_iter_sql(prev: str, out: str) -> str:
 
 
 def pagerank_iterate(pairs: DataFrame, *, iters: int = _PR_ITERS,
-                     damping: float = _PR_D) -> DataFrame:
+                     damping: float = _PR_D,
+                     tol: float | None = None) -> DataFrame:
     """Synchronous PageRank over an undirected pair list (a, b) — the
     reusable Pregel-as-join+agg core behind `graph_pagerank`, exposed
     so any edge relation (and the property tests) can drive it.
-    Returns (node, pr) unrounded."""
+    Returns (node, pr) unrounded.
+
+    One shuffle per iteration (r5 verdict #3): the degree column is
+    pre-joined into the persisted edge relation ONCE, so each round is
+    a single join + hash-agg whose only exchange is the O(messages)
+    re-key onto ``dst`` — the rank side arrives already partitioned on
+    the node key from the previous round's aggregate (alias-preserved
+    hashpartitioning), and the edge side reads straight from the
+    src-co-partitioned cache.  tests/test_plans.py pins the
+    one-exchange-per-iteration shape against the compiled plan.
+
+    ``tol`` adds convergence early-exit: iteration stops when
+    max |pr - prev| < tol (an O(nodes) check per round, materializing
+    each round's ranks).  Left None for the oracle-parity query, whose
+    fixed unrolled iterations the SQL replays term-for-term."""
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionAll(pairs.select(F.col("b").alias("src"),
                                F.col("a").alias("dst")))
-        .repartition("src")
-        .persist()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).persist()
+    # one O(edges) relation carrying its source degree, co-partitioned
+    # on src and reused every round — removes the per-iteration deg join
+    edges_deg = edges.join(deg, "src").persist()
     n_nodes = deg.count()  # tiny: node-cardinality agg, also warms the caches
     pr = deg.select(F.col("src").alias("node"),
                     (F.lit(1.0) / F.lit(float(n_nodes))).alias("pr"))
     for _ in range(iters):
-        pr = (
-            edges.join(pr.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
+        nxt = (
+            edges_deg.join(pr.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg((F.lit((1.0 - damping) / n_nodes)
                   + F.lit(damping) * F.sum(F.col("pr") / F.col("d")))
                  .alias("pr"))
         )
+        if tol is not None:
+            nxt = nxt.persist()
+            delta = (nxt.join(pr.withColumnRenamed("pr", "prev"), "node")
+                     .agg(F.max(F.abs(F.col("pr") - F.col("prev"))))
+                     .first()[0])
+            if delta is not None and delta < tol:
+                return nxt
+        pr = nxt
     return pr
 
 
@@ -1844,25 +1867,34 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected-components family in `operators/dedup.py`.
 
     Scale shape: the edge list is built once (distinct on the pair,
-    both directions materialized) and every iteration is one shuffle —
-    join rank onto edge source, hash-agg on destination — i.e. Pregel's
-    message pass expressed as join+groupBy, the same plan GraphX lowers
-    to.  Degrees and ranks are O(nodes); only the edge relation is
-    O(edges), and it re-partitions on `src` once then reuses that
-    layout every round.  The oracle unrolls the same 3
-    iterations as chained CTEs, so convergence math is checked
-    term-for-term, not just in shape."""
+    both directions materialized, degree pre-joined) and every
+    iteration is ONE shuffle — the O(messages) hash-agg re-key onto
+    the destination; the rank side rides the previous round's
+    aggregate partitioning and the edge side its cache layout
+    (pinned by tests/test_plans.py).  Degrees and ranks are O(nodes);
+    only the edge relation is O(edges).  Iterations run over packed
+    LONG node ids (2*custkey / 2*suppkey+1), not the display strings —
+    8-byte fixed keys hash, compare, and shuffle far cheaper than
+    variable-length text at 3 rounds x 2|E| messages; the bijection is
+    undone in one O(nodes) projection at the end.  The oracle unrolls
+    the same 3 iterations as chained CTEs, so convergence math is
+    checked term-for-term, not just in shape."""
     cat = Catalog(spark, sf_dir)
     pairs = (
         cat.orders.join(cat.lineitem,
                         cat.orders.o_orderkey == cat.lineitem.l_orderkey)
-        .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
-                F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"))
+        .select((F.col("o_custkey") * 2).alias("a"),
+                (F.col("l_suppkey") * 2 + 1).alias("b"))
         .distinct()
     )
     pr = pagerank_iterate(pairs)
+    node_str = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), (F.col("node") / 2).cast("long")),
+    ).otherwise(
+        F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long")))
     return (
-        pr.select("node", F.round("pr", 6).alias("pagerank"))
+        pr.select(node_str.alias("node"), F.round("pr", 6).alias("pagerank"))
         .orderBy(F.col("pagerank").desc(), "node")
         .limit(20)
     )

@@ -108,6 +108,7 @@ def start_curation_stream(
     threshold: float = 0.7,
     available_now: bool = True,
     processing_time: str = "1 second",
+    result_cache=None,
 ) -> StreamingQuery:
     """Landing JSON docs -> accepted corpus + rejected-dup audit + index.
 
@@ -118,7 +119,12 @@ def start_curation_stream(
     near-dups are whatever the index probe verifies at ``threshold``.
     Rejects carry the matched doc and the verified Jaccard — the
     human-auditable reason a doc never entered the corpus (O-27's
-    quarantine pattern applied to content dedup)."""
+    quarantine pattern applied to content dedup).
+
+    ``result_cache`` (a plans.cache.ResultCache) is invalidated after
+    each committed batch — cached search results over the clean corpus
+    must not outlive the data they summarize (the freshness hook
+    pipeline.py already gives the bronze stream; SURVEY §7.4)."""
     if not os.path.isdir(index_dir):
         # bootstrap an empty, schema-complete index so the first batch's
         # probe is uniform with every later one
@@ -176,6 +182,8 @@ def start_curation_stream(
                     # die and the replay overwrites cleanly
                     with open(marker, "w") as f:
                         f.write("committed")
+                    if result_cache is not None:
+                        result_cache.invalidate_all()
                 finally:
                     hits.unpersist()
             finally:

@@ -73,9 +73,14 @@ def start_interval_enrich(
     out_path: str,
     checkpoint_dir: str,
     max_lateness: str = "1 hour",
+    result_cache=None,
 ) -> StreamingQuery:
     """Enrich a JSON landing stream of events with their SCD2
-    status-at-event, exactly-once into parquet at ``out_path``."""
+    status-at-event, exactly-once into parquet at ``out_path``.
+
+    ``result_cache`` (a plans.cache.ResultCache) is invalidated after
+    each batch lands — cached search results over the enriched table
+    must not be served stale across a batch commit (SURVEY §7.4)."""
     stream = (
         spark.readStream.schema(PROBE_SCHEMA)
         .option("timestampNTZFormat", TS_NTZ_FORMAT).json(landing_dir)
@@ -100,6 +105,8 @@ def start_interval_enrich(
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("mb").parquet(out_path))
+        if result_cache is not None:
+            result_cache.invalidate_all()
 
     return (
         stream.writeStream.outputMode("append")

@@ -144,3 +144,49 @@ def test_curation_stream_replay_is_idempotent(spark, tmp_path):
     shutil.rmtree(paths["ck"])
     run()
     assert state() == first
+
+
+def test_cached_search_not_stale_across_batch_commit(spark, tmp_path):
+    """Result-cache freshness under streaming appends (r5 verdict #7):
+    a CachedSearchService answer over the clean corpus is invalidated
+    when the curation stream commits a batch — within the TTL, the next
+    probe re-runs the query and sees the new rows instead of serving
+    the pre-batch result."""
+    from data_ingestion_system_spark.plans.cache import (
+        CachedSearchService,
+        ResultCache,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    paths = {k: str(tmp_path / k)
+             for k in ("clean", "rejects", "index", "ck")}
+    cache = ResultCache(ttl_seconds=3600)  # TTL alone would serve stale
+
+    def run():
+        _drain(start_curation_stream(
+            spark, str(landing), paths["clean"], paths["rejects"],
+            paths["index"], paths["ck"], threshold=0.7,
+            available_now=True, result_cache=cache))
+
+    (landing / "b1.json").write_text(json.dumps(
+        {"doc_id": 1, "text": DOC_A, "lang": "en"}))
+    run()
+
+    def search(filters):
+        return (spark.read.parquet(paths["clean"])
+                .filter(F.col("lang") == filters["lang"])
+                .select("doc_id"))
+
+    svc = CachedSearchService(search, cache=cache)
+    assert {r["doc_id"] for r in svc.search({"lang": "en"})} == {1}
+    assert {r["doc_id"] for r in svc.search({"lang": "en"})} == {1}
+    assert svc.cache.hits == 1  # second call served from cache
+
+    # a new batch lands and commits -> the cached entry must die with it
+    (landing / "b2.json").write_text(json.dumps(
+        {"doc_id": 2, "text": "fresh corpus material qq ww ee rr tt yy "
+         "uu ii oo pp aa ss dd ff gg hh jj kk", "lang": "en"}))
+    run()
+    assert {r["doc_id"] for r in svc.search({"lang": "en"})} == {1, 2}, \
+        "cached search served a pre-batch result after the commit"

@@ -454,3 +454,26 @@ def test_bucketed_interval_join_equals_naive(spark, rows):
              .select("event_id", F.col("status").alias("s")))
     expect = {(r.event_id, r.s) for r in naive.collect()}
     assert got == expect
+
+
+def test_pagerank_tol_early_exit(spark):
+    """Convergence early-exit: on a k-regular graph the uniform rank is
+    the exact fixed point, so with tol set the loop must stop after the
+    first iteration (the returned plan is 1 aggregate deep, not 50) and
+    still return the fixed point."""
+    from data_ingestion_system_spark.operators.queries_relational import (
+        pagerank_iterate,
+    )
+
+    # complete graph K4: 3-regular
+    nodes = ["n0", "n1", "n2", "n3"]
+    pairs = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1:]],
+        "a string, b string")
+    pr = pagerank_iterate(pairs, iters=50, tol=1e-12)
+    plan = pr._jdf.queryExecution().analyzed().toString()
+    n_aggs = plan.count("Aggregate")
+    assert n_aggs < 10, f"early exit did not trigger ({n_aggs} aggregates)"
+    rows = pr.collect()
+    assert len(rows) == 4
+    assert all(abs(r["pr"] - 0.25) < 1e-12 for r in rows)
