@@ -26,7 +26,7 @@ though its candidate signatures aren't.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.operators.text import normalized_text
@@ -501,4 +501,95 @@ def containment_pairs(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
              / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
             .alias("jaccard"),
         )
+    )
+
+
+# --- Bloom-filter ingest prefilter -----------------------------------------
+#
+# The space-bounded complement of the MinHash signature index
+# (dedup_index.py): where the index stores O(docs) signature rows to
+# answer "which doc is this a near-dup of", a Bloom filter stores a
+# FIXED m bits to answer "might this exact content have been ingested
+# before" — no false negatives, tunable false-positive rate
+# (Bloom, CACM 1970).  At 100 TB ingest the common case is "never seen"
+# (most landing docs are new), and the bloom answers it from a
+# broadcast-resident bitmap without touching the corpus; only the
+# maybe-seen sliver pays the exact verify join.
+
+def bloom_positions(fp: Column, m_bits: int, k: int) -> list:
+    """k independent bit positions for one fingerprint: xxhash64 seeded
+    by the member index (a cheap hash family), folded into [0, m)."""
+    return [F.pmod(F.xxhash64(fp, F.lit(i)), F.lit(m_bits)) for i in range(k)]
+
+
+def bloom_bit_words(df: DataFrame, fp_col: str, m_bits: int,
+                    k: int) -> DataFrame:
+    """Bloom filter over ``df[fp_col]`` as a (word_idx, word) bitmap
+    relation: <= m/64 rows of packed longs, built in one pass (explode
+    k positions, bit_or per 64-bit word) and small enough to broadcast
+    (m = 2^22 bits -> 64k rows / 1 MB).  The relation form keeps the
+    whole structure declarative — no driver-side bitmap, no UDF."""
+    pos = F.explode(F.array(*bloom_positions(F.col(fp_col), m_bits, k)))
+    return (
+        df.select(pos.alias("pos"))
+        .select(F.shiftright("pos", 6).alias("word_idx"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), "
+                       "CAST(pmod(pos, 64) AS INT))").alias("mask"))
+        .groupBy("word_idx").agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def bloom_maybe_seen(df: DataFrame, bit_words: DataFrame, id_col: str,
+                     fp_col: str, m_bits: int, k: int) -> DataFrame:
+    """ids from ``df`` whose ALL k bloom positions are set — a superset
+    of the truly-seen ids (no false negatives: a member's bits were all
+    set at build time), linear in the probe side with the bitmap
+    broadcast."""
+    probes = (
+        df.select(id_col, F.explode(F.array(
+            *bloom_positions(F.col(fp_col), m_bits, k))).alias("pos"))
+        .select(id_col, F.shiftright("pos", 6).alias("word_idx"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), "
+                       "CAST(pmod(pos, 64) AS INT))").alias("mask"))
+    )
+    hit = F.when(F.col("word").isNotNull()
+                 & (F.col("word").bitwiseAND(F.col("mask")) != 0), 1) \
+        .otherwise(0)
+    return (
+        probes.join(F.broadcast(bit_words), "word_idx", "left")
+        .groupBy(id_col).agg(F.sum(hit).alias("n_hit"))
+        .filter(F.col("n_hit") == k)
+        .select(id_col)
+    )
+
+
+def bloom_prefiltered_seen(incoming: DataFrame, history: DataFrame,
+                           id_col: str, text_col: str, *,
+                           m_bits: int = 1 << 22, k: int = 7) -> DataFrame:
+    """Exact already-ingested detection with a Bloom prefilter: which
+    ``incoming`` docs' normalized content already exists in ``history``.
+
+    Three stages, each the cheap shape at its scale: (1) build the m-bit
+    bloom over history fingerprints (one pass over history, bitmap <<
+    history); (2) prefilter incoming against the broadcast bitmap (map +
+    tiny-agg, no join against history at all); (3) exact-verify ONLY the
+    maybe-seen sliver with the fingerprint equi-join — false positives
+    die here, so the result is exact and oracle-checkable while history
+    rows shuffle only for candidates, never for the (dominant) fresh
+    docs.  Returns (id, matched_id) with matched_id = min history id of
+    the matching content."""
+    from data_ingestion_system_spark.operators.text import fingerprint_md5
+
+    hist_fp = history.select(
+        F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fp"))
+    inc_fp = incoming.select(
+        F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fp"))
+    words = bloom_bit_words(hist_fp, "fp", m_bits, k)
+    candidates = bloom_maybe_seen(inc_fp, words, id_col, "fp", m_bits, k)
+    matches = hist_fp.groupBy("fp").agg(
+        F.min(id_col).alias("matched_id"))
+    return (
+        inc_fp.join(candidates, id_col)        # prefilter: survivors only
+        .join(matches, "fp")                   # exact verify
+        .select(id_col, "matched_id")
     )

@@ -27,6 +27,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from data_ingestion_system_spark.operators.vector_index import (
     append_vector_index,
+    compact_vector_index,
     load_centroids,
 )
 
@@ -39,14 +40,27 @@ def start_vector_index_stream(
     index_path: str,
     checkpoint_dir: str,
     centroids: np.ndarray | None = None,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """JSON landing stream of (vec_id, embedding) -> mb-stamped IVF
-    index appends, exactly-once under replay."""
+    index appends, exactly-once under replay.
+
+    ``compact_every=N`` folds batches older than the current one into
+    the LEGACY partition every N batches (vector_index.py::
+    compact_vector_index) — without it, streaming cadence mints one
+    ``mb=<id>/cid=<k>`` dir per batch per touched list and the FILE
+    COUNT, not the bytes, eventually dominates probe planning.  Safe
+    mid-stream: the fold is idempotent, replays of folded batches are
+    manifest-guarded no-ops, and the current batch always stays
+    replayable in place."""
     cents = load_centroids(spark, index_path) if centroids is None \
         else centroids
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         append_vector_index(batch_df, index_path, cents, mb=int(batch_id))
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_vector_index(spark, index_path,
+                                 up_to_mb=int(batch_id) - 1)
 
     return (
         spark.readStream.schema(VECTOR_SCHEMA).json(landing_dir)

@@ -256,3 +256,48 @@ def test_full_overwrite_truncates_stale_mb_partitions(spark, corpus,
     assert left.count() == half.count()
     assert [r.mb for r in left.select("mb").distinct().collect()] == [-1], \
         "stale mb partitions survived a full overwrite"
+
+
+def test_streaming_ingest_with_inline_compaction(spark, corpus, centroids,
+                                                 queries, tmp_path):
+    """compact_every folds aged batches mid-stream: probe parity with
+    the one-shot build holds, the mb dirs stay bounded, and a
+    checkpoint-restarted drain over the same files is still a no-op."""
+    import glob
+
+    from data_ingestion_system_spark.streaming.vectors import (
+        start_vector_index_stream,
+    )
+
+    batch_path = str(tmp_path / "batch_idx")
+    stream_path = str(tmp_path / "stream_idx")
+    save_centroids(spark, centroids, batch_path)
+    save_centroids(spark, centroids, stream_path)
+    vecs = corpus.select("vec_id", "embedding")
+    write_vector_index(vecs, batch_path, centroids)
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = start_vector_index_stream(
+            spark, str(landing) + "/*/", stream_path, ckpt,
+            compact_every=1)
+        assert q.awaitTermination(240)
+
+    # three separate drains -> three micro-batches (availableNow folds
+    # everything pending into one batch, so land files incrementally)
+    for i in range(3):
+        (vecs.filter(F.col("vec_id") % 3 == i).coalesce(1)
+         .write.json(str(landing / f"f{i}")))
+        drain()
+    assert _probe_rows(spark, stream_path, queries) == \
+        _probe_rows(spark, batch_path, queries)
+    mb_dirs = {d.rsplit("=", 1)[1]
+               for d in glob.glob(f"{stream_path}/mb=*")}
+    assert "-1" in mb_dirs and len(mb_dirs) <= 2, mb_dirs
+
+    n = spark.read.parquet(stream_path).count()
+    drain()  # restart over the same files: no-op (manifest + checkpoint)
+    assert spark.read.parquet(stream_path).count() == n
