@@ -1040,3 +1040,53 @@ def dedup_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat.documents.filter(F.col("doc_id") % 2 == 0),
         cat.documents.filter(F.col("doc_id") % 3 == 0),
         "doc_id", "text")
+
+
+_SPLIT_MULT = 2654435761  # Knuth multiplicative constant (queries_text.py)
+_SPLIT_SQL = _CLUSTER_CTE + f""",
+labels AS (SELECT node AS doc_id, min(root) AS cid FROM reach GROUP BY node),
+assigned AS (
+  SELECT d.doc_id, coalesce(l.cid, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN labels l USING (doc_id))
+SELECT doc_id, cluster_id,
+       CASE (cluster_id * {_SPLIT_MULT}) % 10
+         WHEN 8 THEN 'valid' WHEN 9 THEN 'test' ELSE 'train'
+       END AS split
+FROM assigned
+"""
+
+
+@register("dedup_leakage_safe_split", _SPLIT_SQL)
+def dedup_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split: near-duplicate documents
+    must land in the SAME split, or evaluation scores leak training
+    data — the failure hash-splitting individual doc_ids cannot avoid
+    (two 0.9-Jaccard copies hash independently).  So the split unit is
+    the near-dup CLUSTER: connected components over the word-3-gram
+    Jaccard pair graph (same graph as dedup_cluster_components),
+    singletons cluster as themselves, and the deterministic
+    multiplicative hash of the cluster id picks train/valid/test at
+    80/10/10.
+
+    Scale shape: the pair graph + components are the already-measured
+    clustering path; the split itself adds one LEFT broadcast join of
+    the O(clustered docs) label table onto the corpus and pure integer
+    arithmetic — no RNG state, so reruns and retried tasks agree.  The
+    oracle replays the fixpoint via the recursive CTE and the identical
+    hash."""
+    cat = Catalog(spark, sf_dir)
+    sh = D.word_shingles(cat.documents, "doc_id", "text", n=3,
+                         hashed=True).persist()
+    pairs = D.jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    labels = D.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("cluster_id").alias("cid"))
+    sh.unpersist()
+    cluster = F.coalesce(F.col("cid"), F.col("doc_id"))
+    bucket = (cluster * F.lit(_SPLIT_MULT)) % 10
+    split = (F.when(bucket == 8, "valid")
+             .when(bucket == 9, "test").otherwise("train"))
+    return (
+        cat.documents.select("doc_id")
+        .join(F.broadcast(labels), "doc_id", "left")
+        .select("doc_id", cluster.alias("cluster_id"), split.alias("split"))
+    )

@@ -2,11 +2,16 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.catalog import Catalog
-from data_ingestion_system_spark.operators.similarity import topk_bruteforce, topk_lsh
+from data_ingestion_system_spark.functions.vectors import cosine_fixed
+from data_ingestion_system_spark.operators.similarity import (
+    DIM,
+    topk_bruteforce,
+    topk_lsh,
+)
 from data_ingestion_system_spark.registry import register
 
 K = 10
@@ -1245,3 +1250,67 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.filter(F.col("cos_raw") >= _RANGE_COS)
             .select("qid", "vec_id",
                     F.round("cos_raw", 6).alias("cosine")))
+
+
+_HARD_NEG_K = 5
+
+_HARD_NEG_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id, label, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT q.qid, c.vec_id, c.label,
+         list_dot_product(qv, cv) /
+           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+  FROM q CROSS JOIN c
+  WHERE c.label != q.qlabel),
+ranked AS (
+  SELECT qid, vec_id, label, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+  FROM scored)
+SELECT qid, vec_id, CAST(label AS BIGINT) AS neg_label,
+       round(cos, 6) AS cosine, rnk
+FROM ranked WHERE rnk <= {_HARD_NEG_K}
+"""
+
+
+@register("sim_hard_negatives", _HARD_NEG_SQL)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the 5 most-similar corpus vectors whose label DIFFERS from the
+    query's — the near-miss examples a retrieval/embedding model must
+    learn to push away (random negatives are trivially far; the
+    gradient signal lives in these).
+
+    Unlike sim_topk_filtered's static allowlist, the predicate here is
+    PER-QUERY (c.label != q.label, a join-time inequality on the
+    broadcast side), so it cannot be pushed to the scan — the correct
+    lowering is filter-before-rank inside the bounded broadcast
+    cross-score, and the distributed top-k (window over qid) then ranks
+    only true negatives, never under-filling k the way post-filtering
+    an ANN shortlist would.  At 100 TB the same predicate composes with
+    the IVF candidate join (probe lists, drop same-label rows before
+    ranking) with this exact query as its ground truth — the pattern
+    sim_ann_recall already pins for the unfiltered path."""
+    cat = Catalog(spark, sf_dir)
+    corpus = cat.embeddings.select("vec_id", "label", "embedding")
+    queries = (cat.embeddings.filter(F.col("vec_id") < N_QUERIES)
+               .limit(N_QUERIES)   # provable bound, see _corpus_queries
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("label").alias("qlabel"),
+                       F.col("embedding").alias("qv")))
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("label") != F.col("qlabel"))
+        .withColumn("cos_raw",
+                    cosine_fixed(F.col("qv"), F.col("embedding"), DIM))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _HARD_NEG_K)
+        .select("qid", "vec_id",
+                F.col("label").cast("bigint").alias("neg_label"),
+                F.round("cos_raw", 6).alias("cosine"), "rnk")
+    )

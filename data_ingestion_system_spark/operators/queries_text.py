@@ -1690,3 +1690,60 @@ def text_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      & (F.col("est") <= F.col("exact_cnt")
                         + F.ceil(F.col("n_tok") * F.lit(slack_per_n))))
                     .alias("within_bounds")))
+
+
+_CTX = 512  # tokens per packed training window
+
+
+@register("text_pack_sequences", rf"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents),
+o AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang
+                             ORDER BY n_tokens DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - n_tokens AS off
+  FROM t)
+SELECT doc_id, lang, n_tokens,
+       CAST(off // {_CTX} AS BIGINT) AS win_start,
+       CAST((off + n_tokens - 1) // {_CTX} AS BIGINT) AS win_end,
+       CAST((off + n_tokens - 1) // {_CTX} - off // {_CTX} + 1 AS BIGINT)
+         AS n_windows_spanned
+FROM o
+""")
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing layout audit: assign every document its token
+    offset in the greedy per-language concatenation order (longest
+    first, id tie-break) and report which fixed context windows
+    (C=512 tokens) it lands in — the packing plan a pretraining data
+    loader executes, made queryable so fill efficiency and
+    document-straddle rates (docs split across window boundaries lose
+    attention contiguity) are auditable before tokens are burned.
+
+    Scale shape: one token-count map, one running-sum window per
+    LANGUAGE partition — the partitions are the parallel unit, so no
+    global sort or single-reducer window appears (the same
+    per-group-running-sum shape as window_running); everything after
+    the cumsum is row-local integer arithmetic.  The oracle replays
+    the identical ordered prefix sum."""
+    cat = Catalog(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    n_tokens = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) \
+        .cast("bigint")
+    w = (W.partitionBy("lang")
+         .orderBy(F.col("n_tokens").desc(), "doc_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    t = cat.documents.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    o = t.withColumn("off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    win_start = F.floor(F.col("off") / _CTX)
+    win_end = F.floor((F.col("off") + F.col("n_tokens") - 1) / _CTX)
+    return o.select(
+        "doc_id", "lang", "n_tokens",
+        win_start.cast("bigint").alias("win_start"),
+        win_end.cast("bigint").alias("win_end"),
+        (win_end - win_start + 1).cast("bigint").alias("n_windows_spanned"))

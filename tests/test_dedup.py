@@ -339,3 +339,34 @@ def test_bloom_query_matches_plain_join(spark, sf_dir):
 
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_leakage_safe_split_never_straddles_clusters(spark, sf_dir):
+    """Every near-dup pair (the query's own pair graph) lands in ONE
+    split, proportions are hash-balanced, and every doc is assigned."""
+    import __spark_entry__ as entrymod
+
+    from data_ingestion_system_spark.catalog import Catalog
+    from data_ingestion_system_spark.operators.dedup import (
+        jaccard_pairs,
+        word_shingles,
+    )
+
+    rows = entrymod.queries()["dedup_leakage_safe_split"](
+        spark, sf_dir).collect()
+    split_of = {r.doc_id: r.split for r in rows}
+    cluster_of = {r.doc_id: r.cluster_id for r in rows}
+    docs = Catalog(spark, sf_dir).documents
+    assert len(split_of) == docs.count()
+
+    sh = word_shingles(docs, "doc_id", "text", n=3, hashed=True)
+    pairs = [(r.id_a, r.id_b) for r in
+             jaccard_pairs(sh).filter(F.col("jaccard") >= 0.5).collect()]
+    assert pairs, "fixture has no near-dup pairs"
+    for a, b in pairs:
+        assert split_of[a] == split_of[b], f"pair ({a},{b}) straddles splits"
+        assert cluster_of[a] == cluster_of[b]
+    from collections import Counter
+
+    frac = Counter(split_of.values())
+    assert frac["train"] > frac["valid"] and frac["train"] > frac["test"]

@@ -174,3 +174,25 @@ def test_ivf_pq_recall_vs_ivf(spark, sf_dir):
     # extra on top, never most of it
     assert r_ivfpq >= r_ivf - 0.15, (r_ivf, r_ivfpq)
     assert r_ivfpq >= 0.2, (r_ivf, r_ivfpq)
+
+
+def test_hard_negatives_exclude_query_label(spark, sf_dir):
+    """Every mined hard negative has a label different from its query's,
+    ranks descend by cosine, and each ranked list is exactly k deep."""
+    import __spark_entry__ as entrymod
+
+    from data_ingestion_system_spark.catalog import Catalog
+
+    rows = entrymod.queries()["sim_hard_negatives"](spark, sf_dir).collect()
+    qlabel = {r.vec_id: r.label for r in
+              Catalog(spark, sf_dir).embeddings
+              .filter(F.col("vec_id") < 5).collect()}
+    by_q = {}
+    for r in rows:
+        assert r.neg_label != qlabel[r.qid], "negative shares query label"
+        by_q.setdefault(r.qid, []).append((r.rnk, r.cosine))
+    for q, lst in by_q.items():
+        lst.sort()
+        assert [rk for rk, _ in lst] == list(range(1, 6))
+        cosines = [c for _, c in lst]
+        assert cosines == sorted(cosines, reverse=True)
