@@ -160,3 +160,31 @@ def test_video_demux_stats_mixed_batch(spark):
 
     r3 = got[3]
     assert r3["demux_error"] is not None and r3["fourcc"] is None
+
+
+def test_near_dup_clusters_transitive_and_linear_output(spark):
+    """Cluster-output near-dup: a transitive chain (A~B exact, B~C one
+    flipped byte) collapses into ONE cluster keyed by the min id, pads
+    and non-dups are absent, and output rows = clustered items (not
+    C(c,2) pairs)."""
+    from data_ingestion_system_spark.operators.dedup import (
+        connected_components,
+    )
+    from data_ingestion_system_spark.operators.multimodal import (
+        media_features,
+        near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    blobs = [rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()
+             for _ in range(30)]
+    blobs.append(blobs[0])                 # 30: exact dup of 0
+    near = bytearray(blobs[0])
+    near[0] ^= 0xFF                        # one byte off blob 0
+    blobs += [b"pad1", b"pad2"]            # 31, 32 keep kind alignment
+    blobs.append(bytes(near))              # 33: near dup of 0 AND 30
+    feats = media_features(_media_df(spark, blobs))
+    pairs = near_dup_pairs(feats, threshold=0.999).select("id_a", "id_b")
+    got = {(r.node, r.cluster_id)
+           for r in connected_components(pairs).collect()}
+    assert got == {(0, 0), (30, 0), (33, 0)}
