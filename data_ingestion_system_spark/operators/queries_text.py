@@ -1695,7 +1695,7 @@ def text_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CTX = 512  # tokens per packed training window
 
 
-@register("text_pack_sequences", rf"""
+@register("text_pack_windows", rf"""
 WITH t AS (
   SELECT doc_id, lang,
          CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
@@ -1715,8 +1715,9 @@ SELECT doc_id, lang, n_tokens,
          AS n_windows_spanned
 FROM o
 """)
-def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence-packing layout audit: assign every document its token
+def text_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing audit (the per-WINDOW complement of
+    text_pack_sequences' per-BIN stats): assign every document its token
     offset in the greedy per-language concatenation order (longest
     first, id tie-break) and report which fixed context windows
     (C=512 tokens) it lands in — the packing plan a pretraining data

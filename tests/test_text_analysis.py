@@ -6,7 +6,7 @@ def test_pack_sequences_offsets_are_contiguous(spark, sf_dir):
     order, and window spans match the offsets arithmetically."""
     import __spark_entry__ as entrymod
 
-    rows = entrymod.queries()["text_pack_sequences"](spark, sf_dir) \
+    rows = entrymod.queries()["text_pack_windows"](spark, sf_dir) \
         .collect()
     by_lang = {}
     for r in rows:
