@@ -196,3 +196,55 @@ def test_hard_negatives_exclude_query_label(spark, sf_dir):
         assert [rk for rk, _ in lst] == list(range(1, 6))
         cosines = [c for _, c in lst]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_progressive_tight_pass_matches_exact_topk(spark):
+    """The tight (16-bit x 8-table) pass of the progressive pair search:
+    on a corpus whose top-20 is a tie set of exactly-collinear profiles
+    (the at-scale regime that short-circuits the dense pass), its
+    top-20 equals the exact all-pairs answer — collinear profiles agree
+    with every hyperplane, so tight recall is 1 for them by
+    construction, which is precisely what the escalation guard relies
+    on."""
+    import itertools
+
+    import numpy as np
+
+    from data_ingestion_system_spark.operators.queries_similarity import (
+        _topk_corr_pairs,
+    )
+    from data_ingestion_system_spark.operators.similarity import (
+        srp_buckets_udf,
+    )
+
+    rng = np.random.default_rng(3)
+    profiles = {}
+    for i in range(25):                   # 25 collinear pairs (corr 1.0)
+        base = rng.normal(size=24)
+        base -= base.mean()
+        profiles[2 * i] = base
+        profiles[2 * i + 1] = 2.0 * base  # scaled => correlation exactly 1
+    for u in range(50, 80):               # 30 unrelated users
+        v = rng.normal(size=24)
+        profiles[u] = v - v.mean()
+
+    rows = [(int(u), [float(x) for x in v], float(np.linalg.norm(v)))
+            for u, v in profiles.items()]
+    nrm = spark.createDataFrame(
+        rows, "user_id long, cv array<double>, n double")
+
+    got = [(r.user_a, r.user_b, r.correlation)
+           for r in _topk_corr_pairs(nrm, srp_buckets_udf,
+                                     n_bits=16, n_tables=8).collect()]
+
+    def corr(a, b):
+        va, vb = profiles[a], profiles[b]
+        return round(float(va @ vb / (np.linalg.norm(va)
+                                      * np.linalg.norm(vb))), 6)
+
+    exact = sorted(
+        ((a, b, corr(a, b)) for a, b in
+         itertools.combinations(sorted(profiles), 2) if corr(a, b) >= 0.25),
+        key=lambda t: (-t[2], t[0], t[1]))[:20]
+    assert got == exact
+    assert len(got) == 20 and got[-1][2] == 1.0  # the guard regime
