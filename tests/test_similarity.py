@@ -248,3 +248,47 @@ def test_progressive_tight_pass_matches_exact_topk(spark):
         key=lambda t: (-t[2], t[0], t[1]))[:20]
     assert got == exact
     assert len(got) == 20 and got[-1][2] == 1.0  # the guard regime
+
+
+def test_progressive_gate_skips_tight_pass_below_min_users(spark, sf_dir):
+    """Below _PROGRESSIVE_MIN_USERS the query must go straight to the
+    dense config (the tight pass is pure overhead on corpora whose
+    top-20 floor cannot clear the finality guard): the graded fixture
+    sits under the gate, and its answer equals the dense single-pass
+    run of the same profile relation."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from data_ingestion_system_spark.catalog import Catalog
+    from data_ingestion_system_spark.functions.vectors import dot
+    from data_ingestion_system_spark.operators.queries_similarity import (
+        _HOURS,
+        _PROGRESSIVE_MIN_USERS,
+        _topk_corr_pairs,
+    )
+    from data_ingestion_system_spark.operators.similarity import (
+        srp_buckets_udf,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    n_users = cat.events.select("user_id").distinct().count()
+    assert n_users < _PROGRESSIVE_MIN_USERS   # fixture is sub-gate
+
+    got = [tuple(r) for r in entrymod.queries()["sim_user_timeseries"](
+        spark, sf_dir).collect()]
+
+    hours = [
+        F.coalesce(F.avg(F.when(F.hour("ts") == h, F.col("value"))),
+                   F.lit(0.0)).alias(f"h{h}") for h in _HOURS]
+    hv = F.array(*[F.col(f"h{h}") for h in _HOURS])
+    mu = dot(F.col("hv"), F.array_repeat(F.lit(1.0), 24)) / 24.0
+    vec = cat.events.groupBy("user_id").agg(*hours).select(
+        "user_id", hv.alias("hv"))
+    cent = vec.select("user_id", F.transform("hv", lambda x: x - mu)
+                      .alias("cv"))
+    nrm = cent.select("user_id", "cv",
+                      F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("n")) \
+        .filter(F.col("n") > 0)
+    dense = [tuple(r) for r in _topk_corr_pairs(
+        nrm, srp_buckets_udf, n_bits=4, n_tables=16).collect()]
+    assert got == dense

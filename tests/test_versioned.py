@@ -1,0 +1,145 @@
+"""Versioned snapshot tables: atomic publish, time travel, rollback,
+exactly-once stream commits, vacuum (sources/versioned.py)."""
+
+import os
+
+import pytest
+
+from data_ingestion_system_spark.sources import versioned as V
+
+
+def _df(spark, rows):
+    return spark.createDataFrame([(int(i),) for i in rows], "id long")
+
+
+def _ids(df):
+    return sorted(r.id for r in df.collect())
+
+
+def test_overwrite_commits_and_time_travel(spark, tmp_path):
+    root = str(tmp_path / "t")
+    assert V.commit_snapshot(_df(spark, [1, 2]), root) == 1
+    assert V.commit_snapshot(_df(spark, [7, 8, 9]), root) == 2
+    assert _ids(V.read_snapshot(spark, root)) == [7, 8, 9]
+    assert _ids(V.read_snapshot(spark, root, version=1)) == [1, 2]
+    assert [r["version"] for r in V.versions(root)] == [1, 2]
+
+
+def test_append_shares_parent_dirs_without_rewrite(spark, tmp_path):
+    root = str(tmp_path / "t")
+    V.commit_snapshot(_df(spark, [1]), root)
+    V.commit_snapshot(_df(spark, [2, 3]), root, mode="append")
+    assert _ids(V.read_snapshot(spark, root)) == [1, 2, 3]
+    assert _ids(V.read_snapshot(spark, root, version=1)) == [1]
+    v1, v2 = V.versions(root)
+    # structural sharing: v2 references v1's directory, no data copy
+    assert v1["dirs"][0] in v2["dirs"] and len(v2["dirs"]) == 2
+
+
+def test_crashed_writer_is_invisible_and_vacuumable(spark, tmp_path):
+    root = str(tmp_path / "t")
+    V.commit_snapshot(_df(spark, [1]), root)
+    # a writer that staged data but died before publishing its record
+    orphan = V._stage(_df(spark, [99]), root)
+    assert _ids(V.read_snapshot(spark, root)) == [1]  # reader blind to it
+    assert V.vacuum(root) == [orphan]
+    assert not os.path.exists(os.path.join(root, orphan))
+    assert _ids(V.read_snapshot(spark, root)) == [1]  # live data untouched
+
+
+def test_rollback_is_a_new_commit_pointing_at_old_dirs(spark, tmp_path):
+    root = str(tmp_path / "t")
+    V.commit_snapshot(_df(spark, [1, 2]), root)
+    V.commit_snapshot(_df(spark, [666]), root)          # the bad deploy
+    assert V.rollback(root, 1) == 3
+    assert _ids(V.read_snapshot(spark, root)) == [1, 2]
+    assert _ids(V.read_snapshot(spark, root, version=2)) == [666]  # audit
+
+
+def test_version_claim_is_exclusive(spark, tmp_path):
+    root = str(tmp_path / "t")
+    V.commit_snapshot(_df(spark, [1]), root)
+    # another writer claims version 2 out from under us...
+    assert V._try_commit(root, {"version": 2, "dirs": [], "mode": "x",
+                                "meta": {}})
+    # ...the same slot cannot be claimed twice...
+    assert not V._try_commit(root, {"version": 2, "dirs": [], "mode": "y",
+                                    "meta": {}})
+    # ...and a concurrent commit_snapshot retries onto version 3
+    assert V.commit_snapshot(_df(spark, [5]), root) == 3
+
+
+def test_stream_batch_replay_is_exactly_once(spark, tmp_path):
+    root = str(tmp_path / "t")
+    assert V.commit_stream_batch(_df(spark, [1]), root, batch_id=0) == 1
+    assert V.commit_stream_batch(_df(spark, [2]), root, batch_id=1) == 2
+    # at-least-once foreachBatch re-delivers batch 1 after a restart
+    assert V.commit_stream_batch(_df(spark, [2]), root, batch_id=1) is None
+    assert _ids(V.read_snapshot(spark, root)) == [1, 2]
+
+
+def test_checkpoint_folds_dirs_and_vacuum_reclaims(spark, tmp_path):
+    root = str(tmp_path / "t")
+    for b in range(4):
+        V.commit_stream_batch(_df(spark, [b]), root, batch_id=b)
+    assert len(V.versions(root)[-1]["dirs"]) == 4
+    v = V.checkpoint_snapshot(spark, root)
+    assert len(V._resolve(root, v)["dirs"]) == 1
+    assert _ids(V.read_snapshot(spark, root)) == [0, 1, 2, 3]
+    # history pre-fold still resolves until vacuumed...
+    assert _ids(V.read_snapshot(spark, root, version=2)) == [0, 1]
+    # ...then keep only the folded head and reclaim the batch dirs
+    gone = V.vacuum(root, keep_versions=1)
+    assert len(gone) == 4
+    assert _ids(V.read_snapshot(spark, root)) == [0, 1, 2, 3]
+    with pytest.raises(Exception):
+        V.read_snapshot(spark, root, version=2).collect()
+
+
+def test_empty_and_missing_versions_raise(spark, tmp_path):
+    root = str(tmp_path / "t")
+    with pytest.raises(FileNotFoundError):
+        V.read_snapshot(spark, root)
+    V.commit_snapshot(_df(spark, [1]), root)
+    with pytest.raises(KeyError):
+        V.read_snapshot(spark, root, version=9)
+
+
+def test_stream_to_versioned_table_end_to_end(spark, tmp_path):
+    """Integration leg: a real readStream drains into the versioned
+    table through commit_stream_batch, each micro-batch becomes one
+    append commit, and a full replay of the SAME files from a wiped
+    checkpoint (at-least-once redelivery at its worst) changes nothing
+    — the log's batch-id ledger absorbs it.  Every intermediate version
+    stays time-travel-readable."""
+    import json
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    root = str(tmp_path / "table")
+    ck1, ck2 = str(tmp_path / "ck1"), str(tmp_path / "ck2")
+    for b in range(3):
+        (landing / f"f{b}.json").write_text(
+            "\n".join(json.dumps({"id": 10 * b + i}) for i in range(2)))
+
+    def drain(ck):
+        q = (spark.readStream.schema("id long").option("maxFilesPerTrigger", 1)
+             .json(str(landing))
+             .writeStream
+             .foreachBatch(lambda df, bid: V.commit_stream_batch(df, root, bid))
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    drain(ck1)
+    ids = _ids(V.read_snapshot(spark, root))
+    assert ids == [0, 1, 10, 11, 20, 21]
+    n_versions = V.latest_version(root)
+    assert n_versions == 3          # one commit per micro-batch
+    # (file->batch order is mtime-dependent, so pin shape, not identity)
+    v1 = _ids(V.read_snapshot(spark, root, version=1))
+    assert len(v1) == 2 and set(v1) <= set(ids)
+    # wiped checkpoint: the stream re-delivers every file as batches 0..2
+    drain(ck2)
+    assert V.latest_version(root) == n_versions      # ledger absorbed it
+    assert _ids(V.read_snapshot(spark, root)) == ids
