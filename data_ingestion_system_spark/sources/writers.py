@@ -270,13 +270,21 @@ def compact_partitions(spark: SparkSession, table_path: str) -> int:
 def _dynamic_overwrite(spark: SparkSession, df: DataFrame, path: str) -> None:
     """overwrite mode=dynamic: only partitions present in `df` are
     replaced; everything else on disk survives."""
-    previous = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    key = "spark.sql.sources.partitionOverwriteMode"
+    previous = spark.conf.get(key, None)  # None = never explicitly set
+    spark.conf.set(key, "dynamic")
     try:
         df.write.mode("overwrite").partitionBy("audit_date").parquet(path)
     finally:
+        # ALWAYS restore: leaving "dynamic" set session-wide silently
+        # turns every later plain mode="overwrite" into a partial
+        # overwrite (stale partitions survive and get served) — in a
+        # long-lived application one compaction call would change
+        # overwrite semantics for every subsequent job
         if previous is not None:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", previous)
+            spark.conf.set(key, previous)
+        else:
+            spark.conf.unset(key)
 
 
 def zorder_key(cols: list, mins: list, maxs: list, bits: int = 16):

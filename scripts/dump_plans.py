@@ -234,6 +234,22 @@ HEADLINERS = {
         "100 TB are embarrassingly parallel, bounded by scan + Python "
         "batch throughput."
     ),
+    "text_nb_langid": (
+        "Trained-model filtering (r6): Naive Bayes scoring as ONE "
+        "un-hinted equi-join of exploded tokens against the sparse "
+        "O(observed pairs) model relation (AQE picks broadcast vs hash "
+        "join at runtime — Heaps' law forbids forcing a vocab "
+        "broadcast), a doc-partitioned window for the argmax, and a "
+        "`limit(1000)`-bounded lang-grid attach the plan linter can "
+        "prove finite.  No dense vocab x lang grid exists in the plan."
+    ),
+    "text_novelty_curve": (
+        "Corpus saturation curve (r6): shingles hash to longs before "
+        "the only two shuffles (per-slice distinct, first-occurrence "
+        "min), the membership join is co-partitioned with the "
+        "aggregation that feeds it, and the output is O(slices) — the "
+        "incremental form of the Heaps'-law exhaust measurements."
+    ),
 }
 
 

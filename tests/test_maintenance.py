@@ -273,3 +273,29 @@ def test_missing_partitions_backfill_planner(spark, tmp_path):
         "2024-03-02", "2024-03-04"]
     # empty table dir: everything is missing
     assert missing_partitions(spark, str(tmp_path / "nope"), want) == want
+
+
+def test_compaction_restores_overwrite_mode(spark, tmp_path):
+    """Session-conf hygiene: _dynamic_overwrite must leave
+    partitionOverwriteMode exactly as it found it — including UNSET
+    when it was never set.  The leak this pins: one compaction call
+    turning every later plain mode="overwrite" in the same session
+    into a partial (dynamic) overwrite, so stale partitions survive a
+    rebuild and get silently served (caught by the full suite via
+    test_vector_index's truncation case)."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    base = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02")], "id long, audit_date string")
+    table = str(tmp_path / "t")
+    base.write.partitionBy("audit_date").parquet(table)
+
+    spark.conf.unset(key)
+    compact_partitions(spark, table)
+    assert spark.conf.get(key, None) is None, "conf leaked (was unset)"
+
+    spark.conf.set(key, "static")
+    try:
+        compact_partitions(spark, table)
+        assert spark.conf.get(key) == "static", "explicit value not restored"
+    finally:
+        spark.conf.unset(key)

@@ -143,3 +143,37 @@ def test_stream_to_versioned_table_end_to_end(spark, tmp_path):
     drain(ck2)
     assert V.latest_version(root) == n_versions      # ledger absorbed it
     assert _ids(V.read_snapshot(spark, root)) == ids
+
+
+def test_concurrent_committers_serialize_without_loss(spark, tmp_path):
+    """Optimistic concurrency under real contention: 6 threads race 4
+    commits each against one table; every commit must land (no lost
+    updates), versions must be gap-free and unique, and each append
+    commit's parent must be exactly the version below it — the
+    linearizability the exclusive-create claim promises."""
+    import threading
+
+    root = str(tmp_path / "t")
+    V.commit_snapshot(_df(spark, [0]), root)
+    errs = []
+
+    def worker(w):
+        try:
+            for i in range(4):
+                V.commit_snapshot(_df(spark, [100 * w + i]), root,
+                                  mode="append", _retries=200)
+        except Exception as e:          # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    vs = V.versions(root)
+    assert [r["version"] for r in vs] == list(range(1, 26))  # 1 + 24, gap-free
+    # every commit's dir list extends its parent's by exactly one
+    for parent, child in zip(vs, vs[1:]):
+        assert child["dirs"][:-1] == parent["dirs"]
+    assert len(_ids(V.read_snapshot(spark, root))) == 25
