@@ -1017,6 +1017,76 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("window_seasonal_decompose", """
+WITH y AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, avg(value) AS y
+  FROM events GROUP BY 1, 2),
+t AS (
+  SELECT event_type, h, y,
+         avg(y) OVER (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend
+  FROM y),
+s AS (
+  SELECT event_type, h, y, trend,
+         avg(y - trend) OVER (PARTITION BY event_type,
+                              extract(hour FROM h)) AS seasonal
+  FROM t)
+SELECT event_type, h,
+       floor(y * 10000 + 0.5 + 1e-7) / 10000.0 AS y,
+       floor(trend * 10000 + 0.5 + 1e-7) / 10000.0 AS trend,
+       floor(seasonal * 10000 + 0.5 + 1e-7) / 10000.0 AS seasonal,
+       floor((y - trend - seasonal) * 10000 + 0.5 + 1e-7) / 10000.0
+         AS residual
+FROM s
+""")
+def window_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of each event-type's hourly value
+    series — classical STL reduced to its distributable core: trend via
+    a centered 25-hour moving average, seasonality as the mean
+    detrended value per hour-of-day, residual as what neither explains.
+    The residual column is the pipeline-monitoring signal (rate/latency
+    anomalies pop once the daily rhythm is subtracted); trend feeds
+    capacity planning.
+
+    Scale shape: the raw events collapse FIRST to one row per
+    (event_type, hour) — a single groupBy shuffle over the fact table —
+    and every window after that runs on the tiny aggregated relation,
+    partitioned by event_type (the parallel unit), never over raw
+    events and never global.  Hours with no events are simply absent
+    (gap-filling is agg_resample_ffill's job).
+
+    Determinism: intermediates stay RAW double, and outputs quantize
+    with an epsilon-nudged half-up floor — floor(x*1e4 + 0.5 + 1e-7) —
+    NOT round().  The 2-dp source values make frame averages land
+    EXACTLY on decimal halves (e.g. 25-hour trend = 50.33295), where
+    Spark's round (decimal-string HALF_UP) and DuckDB's (binary-value)
+    disagree even on identical doubles; the 1e-7 nudge moves every such
+    special point safely off the floor threshold, whose own unstable
+    set (x ~ (k - 0.5 - 1e-7)/1e4) is one no aggregate of decimal data
+    lands on."""
+    cat = Catalog(spark, sf_dir)
+
+    def q4(c):
+        return F.floor(c * 10000 + 0.5 + 1e-7) / 10000.0
+
+    y = (cat.events
+         .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+         .agg(F.avg("value").alias("y")))
+    w_ma = (Window.partitionBy("event_type").orderBy("h")
+            .rowsBetween(-12, 12))
+    t = y.withColumn("trend", F.avg("y").over(w_ma))
+    w_season = Window.partitionBy("event_type", F.hour("h"))
+    s = t.withColumn(
+        "seasonal", F.avg(F.col("y") - F.col("trend")).over(w_season))
+    return s.select(
+        "event_type", "h",
+        q4(F.col("y")).alias("y"),
+        q4(F.col("trend")).alias("trend"),
+        q4(F.col("seasonal")).alias("seasonal"),
+        q4(F.col("y") - F.col("trend") - F.col("seasonal"))
+        .alias("residual"))
+
+
 @register("window_running", """
 SELECT event_id, user_id, ts,
        round(sum(value) OVER (PARTITION BY user_id

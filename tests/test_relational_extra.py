@@ -166,3 +166,22 @@ def test_boilerplate_ngrams_planted_span(spark, tmp_path):
         assert rows[i]["n_grams"] == 7
         assert rows[i]["n_boiler"] == 2
     assert rows[9]["n_boiler"] == 0
+
+
+def test_seasonal_decompose_identity_and_constancy(spark, sf_dir):
+    """Decomposition invariants: y = trend + seasonal + residual holds
+    at output precision (each term quantized at 4 dp, so the identity
+    holds within 2e-4), and the seasonal component is CONSTANT within
+    every (event_type, hour-of-day) cell — it is that cell's mean
+    detrended value by definition."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["window_seasonal_decompose"](
+        spark, sf_dir).collect()
+    assert rows
+    cells = {}
+    for r in rows:
+        assert abs(r.y - (r.trend + r.seasonal + r.residual)) < 2e-4, r
+        key = (r.event_type, r.h.hour)
+        cells.setdefault(key, set()).add(r.seasonal)
+    assert all(len(v) == 1 for v in cells.values())
