@@ -43,7 +43,12 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     toks = df.select(
         F.col(id_col),
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("w"),
-    )
+    ).filter(F.size("w") >= n)
+    # Docs shorter than n tokens have NO n-gram shingles — and must be
+    # dropped before the window slide: sequence(0, size-n) with a
+    # negative stop counts DOWN in Spark, emitting null-padded pseudo-
+    # shingles the SQL oracles' UNNEST(range(len-n+1)) (empty on
+    # negatives) never produce.
     # slide an n-window over the token array JVM-side (no UDF)
     grams = toks.select(
         F.col(id_col),

@@ -1791,18 +1791,14 @@ def text_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     with it, and the final rollup is O(n_buckets) rows.  No window, no
     sort, nothing global — each stage is the linear equi-shuffle shape.
     The oracle replays first-occurrence over the raw shingle strings."""
+    from data_ingestion_system_spark.operators.dedup import word_shingles
+
     cat = Catalog(spark, sf_dir)
-    toks = cat.documents.select(
-        (F.expr(f"doc_id div {_NOV_BUCKET}")).alias("bucket"),
-        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w"),
-    ).filter(F.size("w") >= 5)
-    grams = toks.select(
-        "bucket",
-        F.explode(F.expr(
-            "transform(sequence(0, size(w) - 5), "
-            "i -> xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], "
-            "w[i+4])))")).alias("sh"),
-    ).distinct()
+    bucketed = cat.documents.select(
+        F.expr(f"doc_id div {_NOV_BUCKET}").alias("bucket"), "text")
+    # the shared shingle lowering (distinct hashed word-5-grams per id,
+    # with the short-doc guard) — the id here is the ingestion slice
+    grams = word_shingles(bucketed, "bucket", "text", n=5, hashed=True)
     fb = grams.groupBy("sh").agg(F.min("bucket").alias("first_bucket"))
     new = F.when(F.col("first_bucket") == F.col("bucket"), 1).otherwise(0)
     return (
@@ -1880,8 +1876,9 @@ def text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     join keyed on the token), one groupBy(doc, lang), and a doc x lang
     grid attach where the lang-stats side carries an explicit
     ``limit(1000)`` so Catalyst PROVES the cross bounded (lang
-    cardinality is bounded by construction; the limit makes the bound
-    visible to the plan linter's bounded-theta gate).  Per-doc argmax
+    cardinality is checked loudly against the bound first, and the
+    limit then makes it visible to the plan linter's bounded-theta
+    gate — never a silent truncation).  Per-doc argmax
     is a doc-partitioned window over n_langs rows; log terms round at
     6 dp, sums at 4 dp — the text_unigram_nll determinism discipline."""
     cat = Catalog(spark, sf_dir)
@@ -1911,8 +1908,13 @@ def text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = (words.join(cw, "w")
             .groupBy("doc_id", "cand")
             .agg(F.sum("lnc").alias("s_hit")))
-    lang_side = (ls.join(F.broadcast(prior), "cand")
-                 .limit(1000))  # provable bound for the grid attach
+    lang_side = ls.join(F.broadcast(prior), "cand")
+    n_langs = lang_side.count()          # tiny agg; guard is loud
+    if n_langs > 1000:
+        raise ValueError(
+            f"lang cardinality {n_langs} exceeds the 1000-language grid "
+            "bound — refusing to silently truncate the candidate set")
+    lang_side = lang_side.limit(1000)    # provable bound for the linter
     scores = (
         doc_stats.crossJoin(F.broadcast(lang_side))
         .join(hits, ["doc_id", "cand"], "left")

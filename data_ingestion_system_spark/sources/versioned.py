@@ -75,22 +75,46 @@ def versions(root: str) -> list[dict]:
     return out
 
 
+def _record_names(root: str) -> list[str]:
+    d = _log_dir(root)
+    if not os.path.isdir(d):
+        return []
+    return sorted(n for n in os.listdir(d) if n.endswith(".json"))
+
+
 def latest_version(root: str) -> int:
-    """Newest committed version number (0 = empty table)."""
-    vs = versions(root)
-    return vs[-1]["version"] if vs else 0
+    """Newest committed version number (0 = empty table).  O(1) reads:
+    the zero-padded record names make the head max(listdir), no record
+    needs parsing."""
+    names = _record_names(root)
+    return int(names[-1][:-len(".json")]) if names else 0
+
+
+def _head(root: str) -> dict | None:
+    """The newest committed record, parsing only that one file."""
+    names = _record_names(root)
+    if not names:
+        return None
+    with open(os.path.join(_log_dir(root), names[-1])) as f:
+        return json.load(f)
 
 
 def _resolve(root: str, version: int | None) -> dict:
-    vs = versions(root)
-    if not vs:
-        raise FileNotFoundError(f"no committed versions under {root}")
+    """One record by number (or the head), reading exactly one file —
+    never the whole log (a long-lived stream would otherwise pay
+    O(versions) parses per read)."""
     if version is None:
-        return vs[-1]
-    for rec in vs:
-        if rec["version"] == version:
-            return rec
-    raise KeyError(f"version {version} not committed under {root}")
+        rec = _head(root)
+        if rec is None:
+            raise FileNotFoundError(f"no committed versions under {root}")
+        return rec
+    path = _record_path(root, version)
+    if not os.path.exists(path):
+        if _head(root) is None:
+            raise FileNotFoundError(f"no committed versions under {root}")
+        raise KeyError(f"version {version} not committed under {root}")
+    with open(path) as f:
+        return json.load(f)
 
 
 def _stage(df: DataFrame, root: str) -> str:
@@ -112,15 +136,25 @@ def _try_commit(root: str, record: dict) -> bool:
         os.fsync(f.fileno())
     try:
         os.link(tmp, _record_path(root, record["version"]))
-        return True
     except FileExistsError:
         return False
     finally:
         os.unlink(tmp)
+    # fsync the directory entry too: without it a power failure can
+    # drop an already-acknowledged commit record even though the file
+    # contents were fsynced (the classic missing-dir-fsync bug)
+    dfd = os.open(_log_dir(root), os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+    return True
 
 
 def commit_snapshot(df: DataFrame, root: str, *, mode: str = "overwrite",
-                    meta: dict | None = None, _retries: int = 20) -> int:
+                    meta: dict | None = None,
+                    idempotence_key: str | None = None,
+                    _retries: int = 20) -> int | None:
     """Publish ``df`` as the table's next version and return it.
 
     ``mode="overwrite"``: the new version IS this data.
@@ -129,13 +163,27 @@ def commit_snapshot(df: DataFrame, root: str, *, mode: str = "overwrite",
 
     The data lands fully before the commit record exists, so readers
     never observe a partial version; version claiming is optimistic
-    (exclusive-create, retry against the new head on collision)."""
+    (exclusive-create, retry against the new head on collision).
+
+    ``idempotence_key`` makes the commit at-most-once under RACING
+    duplicates, not just sequential replays: the key is checked inside
+    the same claim loop that takes the version slot, so of two
+    concurrent committers with the same key exactly one lands — the
+    loser's failed slot claim forces a log re-read that (because a
+    successful exclusive-create happens-before any later read) now
+    contains the winner's key, and it returns None.  A plain pre-check
+    outside the loop (the previous form) had a window where both
+    deliveries of one micro-batch passed the check and both appended.
+    """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     dir_name = _stage(df, root)
     for _ in range(_retries):
-        head = versions(root)
-        parent = head[-1] if head else None
+        if idempotence_key is not None and any(
+                rec["meta"].get("idempotence_key") == idempotence_key
+                for rec in versions(root)):
+            return None
+        parent = _head(root)
         dirs = [dir_name]
         if mode == "append" and parent is not None:
             dirs = list(parent["dirs"]) + [dir_name]
@@ -143,7 +191,9 @@ def commit_snapshot(df: DataFrame, root: str, *, mode: str = "overwrite",
             "version": (parent["version"] if parent else 0) + 1,
             "dirs": dirs,
             "mode": mode,
-            "meta": meta or {},
+            "meta": {**(meta or {}),
+                     **({"idempotence_key": idempotence_key}
+                        if idempotence_key is not None else {})},
         }
         if _try_commit(root, record):
             return record["version"]
@@ -165,7 +215,7 @@ def rollback(root: str, to_version: int) -> int:
     record points at the old version's directories."""
     target = _resolve(root, to_version)
     for _ in range(20):
-        head = versions(root)[-1]
+        head = _head(root)
         record = {
             "version": head["version"] + 1,
             "dirs": list(target["dirs"]),
@@ -186,7 +236,7 @@ def checkpoint_snapshot(spark: SparkSession, root: str) -> int:
     rec = _resolve(root, None)
     folded = _stage(read_snapshot(spark, root, rec["version"]), root)
     for _ in range(20):
-        head = versions(root)[-1]
+        head = _head(root)
         if head["version"] != rec["version"]:
             raise RuntimeError("table advanced during checkpoint; rerun")
         record = {
@@ -200,35 +250,71 @@ def checkpoint_snapshot(spark: SparkSession, root: str) -> int:
     raise RuntimeError("commit contention exhausted retries")
 
 
-def vacuum(root: str, *, keep_versions: int = 0) -> list[str]:
+def vacuum(root: str, *, keep_versions: int = 0,
+           min_age_seconds: float = 3600.0) -> list[str]:
     """Delete data directories no retained version references: orphans
     from crashed writers, plus (with ``keep_versions=k``) directories
     only reachable from versions older than the newest k.  Returns the
-    deleted directory names.  Never touches the log — history stays
-    auditable even after its data ages out."""
+    deleted directory names.  Never touches committed log records —
+    history stays auditable even after its data ages out; stale commit
+    ``.tmp`` spill from crashed claimers is swept on the same age
+    policy.
+
+    ``min_age_seconds`` is the retention guard that makes vacuum safe
+    against IN-FLIGHT (not just crashed) writers: a committer stages
+    its data before claiming a version, so an unreferenced directory
+    younger than the longest possible stage-to-commit window may belong
+    to a writer about to publish — deleting it would let that commit
+    succeed while pointing at vanished data (the same hazard Delta's
+    VACUUM documents behind its default 7-day retention).  Set 0 only
+    when no writer can be active (the tests do)."""
+    import time
+
     vs = versions(root)
     retained = vs[-keep_versions:] if keep_versions > 0 else vs
     live = {d for rec in retained for d in rec["dirs"]}
+    cutoff = time.time() - min_age_seconds
     gone = []
     for name in os.listdir(root):
         if name == _LOG or not name.startswith("d-"):
             continue
-        if name not in live:
+        if name not in live and os.path.getmtime(
+                os.path.join(root, name)) <= cutoff:
             shutil.rmtree(os.path.join(root, name))
             gone.append(name)
+    log = _log_dir(root)
+    if os.path.isdir(log):
+        for name in os.listdir(log):
+            p = os.path.join(log, name)
+            if name.endswith(".tmp") and os.path.getmtime(p) <= cutoff:
+                os.unlink(p)  # claimer died between write and link
     return sorted(gone)
 
 
 def commit_stream_batch(df: DataFrame, root: str, batch_id: int) -> int | None:
     """foreachBatch adapter: publish one micro-batch as an append commit,
-    exactly once.  foreachBatch is at-least-once, so the batch id is
-    recorded in the commit meta and a replay of an already-committed
+    exactly once.  foreachBatch is at-least-once, so the batch id rides
+    the commit's idempotence key and a replay of an already-committed
     batch is a pure no-op (returns None) — the log IS the idempotence
     ledger, no mb partition dance needed (cf. streaming/vectors.py,
     which solves the same replay with dynamic partition overwrite
-    because it has no log)."""
-    for rec in versions(root):
-        if rec["meta"].get("batch_id") == batch_id:
+    because it has no log).
+
+    Two layers of replay defense: the HEAD's ``max_batch_id`` answers
+    the common sequential-replay case in O(1) record reads (Spark batch
+    ids are monotone per checkpoint, so a redelivered id is always <=
+    the committed max — one table per stream checkpoint), and the
+    in-claim-loop idempotence key closes the zombie race where a
+    restarted query overlaps its not-yet-dead predecessor and both
+    deliver the same batch concurrently."""
+    head = _head(root)
+    if head is not None:
+        max_mb = head["meta"].get("max_batch_id")
+        if max_mb is not None and batch_id <= max_mb:
             return None
-    return commit_snapshot(df, root, mode="append",
-                           meta={"batch_id": batch_id})
+    prev_max = -1 if head is None else head["meta"].get("max_batch_id", -1)
+    return commit_snapshot(
+        df, root, mode="append",
+        meta={"batch_id": batch_id,
+              "max_batch_id": max(int(prev_max), int(batch_id))},
+        idempotence_key=f"batch:{batch_id}")

@@ -269,22 +269,18 @@ def compact_partitions(spark: SparkSession, table_path: str) -> int:
 
 def _dynamic_overwrite(spark: SparkSession, df: DataFrame, path: str) -> None:
     """overwrite mode=dynamic: only partitions present in `df` are
-    replaced; everything else on disk survives."""
-    key = "spark.sql.sources.partitionOverwriteMode"
-    previous = spark.conf.get(key, None)  # None = never explicitly set
-    spark.conf.set(key, "dynamic")
-    try:
-        df.write.mode("overwrite").partitionBy("audit_date").parquet(path)
-    finally:
-        # ALWAYS restore: leaving "dynamic" set session-wide silently
-        # turns every later plain mode="overwrite" into a partial
-        # overwrite (stale partitions survive and get served) — in a
-        # long-lived application one compaction call would change
-        # overwrite semantics for every subsequent job
-        if previous is not None:
-            spark.conf.set(key, previous)
-        else:
-            spark.conf.unset(key)
+    replaced; everything else on disk survives.
+
+    Scoped with the PER-WRITE option, never the session conf: a session
+    save/set/restore dance (the previous form) both leaked "dynamic"
+    into later plain overwrites when the conf had been unset (conf.get
+    returns None there, skipping the restore) and raced concurrent
+    writers in other threads for the duration of the write — the
+    per-write option has neither failure mode, and is the same pattern
+    streaming/enrich.py and vector_index.py already use."""
+    (df.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("audit_date").parquet(path))
 
 
 def zorder_key(cols: list, mins: list, maxs: list, bits: int = 16):

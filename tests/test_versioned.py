@@ -42,7 +42,10 @@ def test_crashed_writer_is_invisible_and_vacuumable(spark, tmp_path):
     # a writer that staged data but died before publishing its record
     orphan = V._stage(_df(spark, [99]), root)
     assert _ids(V.read_snapshot(spark, root)) == [1]  # reader blind to it
-    assert V.vacuum(root) == [orphan]
+    # the retention guard spares FRESH unreferenced dirs — they may
+    # belong to an in-flight writer about to claim a version
+    assert V.vacuum(root) == []
+    assert V.vacuum(root, min_age_seconds=0) == [orphan]
     assert not os.path.exists(os.path.join(root, orphan))
     assert _ids(V.read_snapshot(spark, root)) == [1]  # live data untouched
 
@@ -89,7 +92,7 @@ def test_checkpoint_folds_dirs_and_vacuum_reclaims(spark, tmp_path):
     # history pre-fold still resolves until vacuumed...
     assert _ids(V.read_snapshot(spark, root, version=2)) == [0, 1]
     # ...then keep only the folded head and reclaim the batch dirs
-    gone = V.vacuum(root, keep_versions=1)
+    gone = V.vacuum(root, keep_versions=1, min_age_seconds=0)
     assert len(gone) == 4
     assert _ids(V.read_snapshot(spark, root)) == [0, 1, 2, 3]
     with pytest.raises(Exception):
@@ -177,3 +180,51 @@ def test_concurrent_committers_serialize_without_loss(spark, tmp_path):
     for parent, child in zip(vs, vs[1:]):
         assert child["dirs"][:-1] == parent["dirs"]
     assert len(_ids(V.read_snapshot(spark, root))) == 25
+
+
+def test_racing_duplicate_batch_commits_exactly_one(spark, tmp_path):
+    """The zombie-query race: a restarted stream overlapping its
+    not-yet-dead predecessor delivers the SAME batch concurrently.  The
+    idempotence key is checked inside the version-claim loop, so of N
+    racing commits with one key exactly one lands — a pre-check outside
+    the loop would let several pass it before any commits."""
+    import threading
+
+    root = str(tmp_path / "t")
+    V.commit_snapshot(_df(spark, [0]), root)
+    results, errs = [], []
+
+    def deliver():
+        try:
+            results.append(V.commit_stream_batch(
+                _df(spark, [7]), root, batch_id=7))
+        except Exception as e:          # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=deliver) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert sorted(r is None for r in results) == [False, True, True, True]
+    assert _ids(V.read_snapshot(spark, root)) == [0, 7]  # rows land ONCE
+    keyed = [r for r in V.versions(root)
+             if r["meta"].get("idempotence_key") == "batch:7"]
+    assert len(keyed) == 1
+
+
+def test_stream_batch_fast_path_reads_only_the_head(spark, tmp_path):
+    """Sequential replays short-circuit on the head's max_batch_id (one
+    record read, no full log scan), including across an interleaved
+    manual commit that carries no batch metadata."""
+    root = str(tmp_path / "t")
+    V.commit_stream_batch(_df(spark, [1]), root, batch_id=0)
+    V.commit_stream_batch(_df(spark, [2]), root, batch_id=1)
+    assert V._head(root)["meta"]["max_batch_id"] == 1
+    V.commit_snapshot(_df(spark, [3]), root, mode="append")  # no batch meta
+    # replay of batch 0 now misses the fast path but still no-ops on
+    # the in-loop key scan
+    assert V.commit_stream_batch(_df(spark, [1]), root, batch_id=0) is None
+    assert V.commit_stream_batch(_df(spark, [4]), root, batch_id=2) == 4
+    assert V._head(root)["meta"]["max_batch_id"] == 2
