@@ -1069,11 +1069,17 @@ def dedup_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     80/10/10.
 
     Scale shape: the pair graph + components are the already-measured
-    clustering path; the split itself adds one LEFT broadcast join of
-    the O(clustered docs) label table onto the corpus and pure integer
+    clustering path; the split itself adds one LEFT equi-join of the
+    O(clustered docs) label table onto the corpus and pure integer
     arithmetic — no RNG state, so reruns and retried tasks agree.  The
-    oracle replays the fixpoint via the recursive CTE and the identical
-    hash."""
+    label join is deliberately UN-hinted: at web scale 30%+ of the
+    corpus sits in near-dup clusters, so ``labels`` is billions of rows
+    — a forced broadcast would push all of it through the driver onto
+    every executor past Spark's own size check.  AQE broadcasts it when
+    it is actually small (the graded fixtures) and sort-merge-joins on
+    doc_id when it is not; tests/test_plans.py pins the absence of the
+    forced hint.  The oracle replays the fixpoint via the recursive CTE
+    and the identical hash."""
     cat = Catalog(spark, sf_dir)
     sh = D.word_shingles(cat.documents, "doc_id", "text", n=3,
                          hashed=True).persist()
@@ -1087,6 +1093,6 @@ def dedup_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
              .when(bucket == 9, "test").otherwise("train"))
     return (
         cat.documents.select("doc_id")
-        .join(F.broadcast(labels), "doc_id", "left")
+        .join(labels, "doc_id", "left")
         .select("doc_id", cluster.alias("cluster_id"), split.alias("split"))
     )

@@ -1816,17 +1816,20 @@ WITH words AS (
   SELECT doc_id, lang,
          unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
   FROM documents),
-cw AS (SELECT lang AS cand, w, round(ln(count(*) + 1.0), 6) AS lnc
+cw AS (SELECT lang AS cand, w,
+              CAST(round(ln(count(*) + 1.0) * 1e6, 0) AS BIGINT) AS lnc
        FROM words GROUP BY lang, w),
 vsz AS (SELECT count(DISTINCT w) AS v FROM words),
 ls AS (
   SELECT lang AS cand,
-         round(-ln(count(*) + (SELECT v FROM vsz)), 6) AS base
+         CAST(round(-ln(count(*) + (SELECT v FROM vsz)) * 1e6, 0)
+              AS BIGINT) AS base
   FROM words GROUP BY lang),
 prior AS (
   SELECT lang AS cand,
-         round(ln(count(*) * 1.0 /
-                  (SELECT count(*) FROM documents)), 6) AS logprior
+         CAST(round(ln(count(*) * 1.0 /
+                       (SELECT count(*) FROM documents)) * 1e6, 0)
+              AS BIGINT) AS logprior
   FROM documents GROUP BY lang),
 doc_stats AS (
   SELECT doc_id, any_value(lang) AS actual, count(*) AS n_tok
@@ -1837,8 +1840,7 @@ hits AS (
   GROUP BY wd.doc_id, m.cand),
 scores AS (
   SELECT d.doc_id, d.actual, l.cand,
-         round(coalesce(h.s_hit, 0.0) + d.n_tok * l.base + p.logprior, 4)
-           AS score
+         coalesce(h.s_hit, 0) + d.n_tok * l.base + p.logprior AS score
   FROM doc_stats d
   CROSS JOIN ls l
   JOIN prior p ON p.cand = l.cand
@@ -1879,29 +1881,38 @@ def text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality is checked loudly against the bound first, and the
     limit then makes it visible to the plan linter's bounded-theta
     gate — never a silent truncation).  Per-doc argmax
-    is a doc-partitioned window over n_langs rows; log terms round at
-    6 dp, sums at 4 dp — the text_unigram_nll determinism discipline."""
+    is a doc-partitioned window over n_langs rows.
+
+    Determinism: every log term is scaled to integer MICRO-units at the
+    point it is computed (``round(ln(x) * 1e6)`` as long), so the
+    per-doc score is exact integer arithmetic — summation order cannot
+    move it, and the argmax cannot flip on a 1-ulp boundary the way a
+    float sum rounded at 4 dp could (the per-token ln itself still
+    rounds once, the same single-rounding exposure text_unigram_nll
+    accepts; what's eliminated is the engine-dependent ACCUMULATION
+    of float error across hundreds of tokens per doc)."""
     cat = Catalog(spark, sf_dir)
     words = cat.documents.select(
         "doc_id", "lang",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
         .alias("w"))
     cw = (words.groupBy(F.col("lang").alias("cand"), "w")
-          .agg(F.round(F.ln(F.count("*") + 1.0), 6).alias("lnc")))
+          .agg(F.round(F.ln(F.count("*") + 1.0) * 1e6, 0).cast("long")
+               .alias("lnc")))
     vsz = words.agg(F.countDistinct("w").alias("v"))
     ls = (words.groupBy(F.col("lang").alias("cand"))
           .agg(F.count("*").alias("n_l"))
           .crossJoin(F.broadcast(vsz))
           .select("cand",
-                  F.round(-F.ln(F.col("n_l") + F.col("v")), 6)
-                  .alias("base")))
+                  F.round(-F.ln(F.col("n_l") + F.col("v")) * 1e6, 0)
+                  .cast("long").alias("base")))
     n_docs_total = cat.documents.agg(F.count("*").alias("nd"))
     prior = (cat.documents.groupBy(F.col("lang").alias("cand"))
              .agg(F.count("*").alias("dl"))
              .crossJoin(F.broadcast(n_docs_total))
              .select("cand",
-                     F.round(F.ln(F.col("dl") * 1.0 / F.col("nd")), 6)
-                     .alias("logprior")))
+                     F.round(F.ln(F.col("dl") * 1.0 / F.col("nd")) * 1e6, 0)
+                     .cast("long").alias("logprior")))
     doc_stats = (words.groupBy("doc_id")
                  .agg(F.any_value("lang").alias("actual"),
                       F.count("*").alias("n_tok")))
@@ -1919,9 +1930,9 @@ def text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_stats.crossJoin(F.broadcast(lang_side))
         .join(hits, ["doc_id", "cand"], "left")
         .select("doc_id", "actual", "cand",
-                F.round(F.coalesce(F.col("s_hit"), F.lit(0.0))
-                        + F.col("n_tok") * F.col("base")
-                        + F.col("logprior"), 4).alias("score")))
+                (F.coalesce(F.col("s_hit"), F.lit(0).cast("long"))
+                 + F.col("n_tok") * F.col("base")
+                 + F.col("logprior")).alias("score")))
     w_doc = Window.partitionBy("doc_id").orderBy(
         F.col("score").desc(), F.col("cand"))
     return (
@@ -1930,4 +1941,120 @@ def text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("actual").alias("lang"),
                  F.col("cand").alias("predicted_lang"))
         .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register("text_mixture_weights", """
+WITH words AS (
+  SELECT lang, source,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents),
+g AS (SELECT lang, source, count(*) AS n_tokens
+      FROM words GROUP BY lang, source),
+tot AS (SELECT sum(n_tokens) AS n, count(*) AS n_groups FROM g)
+SELECT lang, source, n_tokens,
+       round(n_tokens * 1.0 / n, 6) AS share,
+       round(least(10.0, (1.0 / n_groups) / (n_tokens * 1.0 / n)), 6)
+         AS weight
+FROM g, tot
+ORDER BY lang, source
+""")
+def text_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting (the DoReMi / data-mixing knob every
+    pretraining run turns): per (lang, source) domain, the sampling
+    weight that moves the observed TOKEN share toward a uniform target
+    mixture — weight = target_share / observed_share, capped at 10x so
+    a tiny domain cannot be oversampled into memorization.  Output is
+    the domain table a sampler joins against; swapping the uniform
+    target for a tuned one changes one literal.
+
+    Scale shape: one explode + one (lang, source) grouped count —
+    domains are few (thousands at web scale), so the share/weight math
+    runs on a relation that fits anywhere; the token explode is the
+    same linear pass every text query pays.  The cap is least(), never
+    a silent renormalization: capped domains are visible because their
+    weight sits exactly at the cap."""
+    cat = Catalog(spark, sf_dir)
+    words = cat.documents.select(
+        "lang", "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        .alias("w"))
+    g = words.groupBy("lang", "source").agg(F.count("*").alias("n_tokens"))
+    tot = g.agg(F.sum("n_tokens").alias("n"),
+                F.count("*").alias("n_groups"))
+    share = F.col("n_tokens") * 1.0 / F.col("n")
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select("lang", "source", "n_tokens",
+                F.round(share, 6).alias("share"),
+                F.round(F.least(F.lit(10.0),
+                                (1.0 / F.col("n_groups")) / share), 6)
+                .alias("weight"))
+        .orderBy("lang", "source")
+    )
+
+
+@register("text_source_kl", """
+WITH words AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents),
+sw AS (SELECT source, w, count(*) AS c_sw FROM words GROUP BY source, w),
+s AS (SELECT source, sum(c_sw) AS c_s FROM sw GROUP BY source),
+cw AS (SELECT w, sum(c_sw) AS c_w FROM sw GROUP BY w),
+tot AS (SELECT sum(c_w) AS c, count(*) AS v FROM cw),
+terms AS (
+  SELECT sw.source,
+         CAST(round((sw.c_sw * 1.0 / s.c_s)
+                    * ln((sw.c_sw * 1.0 / s.c_s)
+                         / ((cw.c_w + 1.0) / (tot.c + tot.v))) * 1e6, 0)
+              AS BIGINT) AS t_micro
+  FROM sw JOIN s USING (source) JOIN cw USING (w), tot)
+SELECT source,
+       CAST(s.c_s AS BIGINT) AS n_tokens,
+       round(sum(t_micro) / 1e6, 6) AS kl_nats
+FROM terms JOIN s USING (source)
+GROUP BY source, s.c_s
+ORDER BY source
+""")
+def text_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift audit: KL divergence of each source's unigram
+    distribution from the smoothed corpus distribution — the "is this
+    crawl slice off-distribution?" check run before a new source is
+    admitted to the mix.  KL(P_s || Q) = sum_w p ln(p/q) with
+    p = c_sw / C_s (source MLE) and q = (c_w + 1) / (C + V) (corpus,
+    add-one over the corpus vocabulary so q > 0 wherever p > 0).
+
+    Determinism is the text_nb_langid integer micro-unit discipline:
+    each (source, word) term rounds to micro-nats as a LONG at the
+    point it is computed, so the per-source sum is exact integer
+    arithmetic — engine-dependent accumulation order over a
+    Heaps'-law-sized vocabulary cannot move the reported value.
+
+    Scale shape: model state is the O(observed pairs) (source, w)
+    count relation; the term join keys on the token (AQE broadcasts a
+    small corpus vocab, hash-joins a large one) and the final agg
+    groups by source — two shuffles, both on keys the data already
+    concentrates on."""
+    cat = Catalog(spark, sf_dir)
+    words = cat.documents.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        .alias("w"))
+    sw = words.groupBy("source", "w").agg(F.count("*").alias("c_sw"))
+    s = sw.groupBy("source").agg(F.sum("c_sw").alias("c_s"))
+    cw = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    tot = cw.agg(F.sum("c_w").alias("c"), F.count("*").alias("v"))
+    p = F.col("c_sw") * 1.0 / F.col("c_s")
+    q = (F.col("c_w") + 1.0) / (F.col("c") + F.col("v"))
+    terms = (
+        sw.join(s, "source").join(cw, "w").crossJoin(F.broadcast(tot))
+        .select("source",
+                F.round(p * F.ln(p / q) * 1e6, 0).cast("long")
+                .alias("t_micro")))
+    return (
+        terms.groupBy("source").agg(F.sum("t_micro").alias("sm"))
+        .join(s, "source")
+        .select("source", F.col("c_s").alias("n_tokens"),
+                F.round(F.col("sm") / 1e6, 6).alias("kl_nats"))
+        .orderBy("source")
     )

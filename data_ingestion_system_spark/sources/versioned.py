@@ -49,6 +49,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _LOG = "_log"
 
@@ -119,9 +120,21 @@ def _resolve(root: str, version: int | None) -> dict:
 
 def _stage(df: DataFrame, root: str) -> str:
     """Write the data invisibly: a fresh uuid directory no commit record
-    references yet.  Fully durable before the caller publishes."""
+    references yet.  Fully durable before the caller publishes.
+
+    The parquet write pins an explicit ``file://`` scheme: the log
+    operations in this module (open/os.link/listdir) are posix calls on
+    the driver's filesystem, so the DATA must land on that same
+    filesystem — a scheme-less path resolves against ``fs.defaultFS``
+    and would silently split data (HDFS/S3) from log (local disk) on
+    any cluster whose defaultFS isn't ``file://``.  This module
+    therefore requires a local or shared-posix (NFS) table root
+    reachable at the same path from every executor; an object-store
+    deployment needs the log I/O ported to the Hadoop FileSystem API
+    (put-if-absent on S3), which is a different backend, not a flag."""
     name = f"d-{uuid.uuid4().hex}"
-    df.write.mode("overwrite").parquet(os.path.join(root, name))
+    df.write.mode("overwrite").parquet(
+        "file://" + os.path.abspath(os.path.join(root, name)))
     return name
 
 
@@ -174,16 +187,29 @@ def commit_snapshot(df: DataFrame, root: str, *, mode: str = "overwrite",
     contains the winner's key, and it returns None.  A plain pre-check
     outside the loop (the previous form) had a window where both
     deliveries of one micro-batch passed the check and both appended.
+
+    The key check and the parent are derived from ONE log snapshot
+    (``vs = versions(root)``; ``parent = vs[-1]``) — two separate
+    listings had a second, subtler window: a racing same-key committer
+    landing between the key scan and the head read becomes the loser's
+    PARENT, the loser claims ``parent + 1`` (a genuinely free slot, so
+    the exclusive create succeeds), and the batch is appended twice.
+    With one snapshot, any commit after the scan necessarily occupies
+    ``parent + 1`` itself, the loser's claim fails, and the retry's
+    rescan sees the winner's key.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     dir_name = _stage(df, root)
     for _ in range(_retries):
-        if idempotence_key is not None and any(
-                rec["meta"].get("idempotence_key") == idempotence_key
-                for rec in versions(root)):
-            return None
-        parent = _head(root)
+        if idempotence_key is not None:
+            vs = versions(root)
+            if any(rec["meta"].get("idempotence_key") == idempotence_key
+                   for rec in vs):
+                return None
+            parent = vs[-1] if vs else None
+        else:
+            parent = _head(root)
         dirs = [dir_name]
         if mode == "append" and parent is not None:
             dirs = list(parent["dirs"]) + [dir_name]
@@ -206,13 +232,77 @@ def read_snapshot(spark: SparkSession, root: str,
     historical one — immutable data dirs make time travel a plain
     multi-path parquet read."""
     rec = _resolve(root, version)
-    return spark.read.parquet(*[os.path.join(root, d) for d in rec["dirs"]])
+    return spark.read.parquet(
+        *["file://" + os.path.abspath(os.path.join(root, d))
+          for d in rec["dirs"]])
+
+
+def snapshot_diff(spark: SparkSession, root: str, v_old: int, v_new: int,
+                  key_cols: list[str]) -> DataFrame:
+    """Row-level diff between two committed versions: one row per
+    changed row, with ``change`` = 'removed' (in v_old, not v_new) or
+    'added' (in v_new, not v_old), identity decided by ``key_cols``.
+
+    The log's structural sharing makes this cheaper than a naive
+    two-sided anti-join: a data directory present in BOTH versions'
+    dir lists is byte-identical in both (directories are immutable and
+    never rewritten in place), so its rows can't have changed — each
+    side's scan is PRUNED to the directories unique to that version
+    before any data is read.  After an append commit the 'removed'
+    side scans zero directories; after a checkpoint fold both sides
+    scan only the fold.  The anti-join itself stays key-partitioned
+    (one shuffle per side) and its pruned left legs are usually a tiny
+    fraction of the table — the audit "what did this deploy change?"
+    costs O(changed dirs), not O(table)."""
+    rec_old, rec_new = _resolve(root, v_old), _resolve(root, v_new)
+    shared = set(rec_old["dirs"]) & set(rec_new["dirs"])
+
+    def read_dirs(dirs: list[str]) -> DataFrame | None:
+        only = [d for d in dirs if d not in shared]
+        if not only:
+            return None
+        return spark.read.parquet(
+            *["file://" + os.path.abspath(os.path.join(root, d))
+              for d in only])
+
+    def side(label: str, changed: DataFrame | None,
+             other_rec: dict) -> DataFrame | None:
+        if changed is None:
+            return None
+        other = spark.read.parquet(
+            *["file://" + os.path.abspath(os.path.join(root, d))
+              for d in other_rec["dirs"]])
+        return (changed.join(other.select(*key_cols), key_cols,
+                             "left_anti")
+                .select(F.lit(label).alias("change"), "*"))
+
+    removed = side("removed", read_dirs(rec_old["dirs"]), rec_new)
+    added = side("added", read_dirs(rec_new["dirs"]), rec_old)
+    if removed is not None and added is not None:
+        return removed.unionByName(added)
+    if removed is not None:
+        return removed
+    if added is not None:
+        return added
+    # identical dir lists (e.g. rollback to the same version): empty
+    # diff with the right schema
+    base = read_snapshot(spark, root, v_old)
+    return base.select(F.lit("removed").alias("change"), "*").limit(0)
 
 
 def rollback(root: str, to_version: int) -> int:
     """Restore a historical version AS a new commit (the audit trail
     keeps the bad versions; nothing is deleted).  Structural: the new
-    record points at the old version's directories."""
+    record points at the old version's directories.
+
+    Retention contract: the target version must still be within the
+    vacuum retention window (``keep_versions``) — rollback resurrects
+    directories that, from a concurrent vacuum's point of view, were
+    unreferenced by any retained version.  vacuum() defends its side by
+    re-reading the head after computing the live set and rescanning if
+    it advanced, but a rollback to a version whose data a FINISHED
+    vacuum already deleted raises at read time; keep ``keep_versions``
+    at least as deep as the rollback horizon."""
     target = _resolve(root, to_version)
     for _ in range(20):
         head = _head(root)
@@ -235,19 +325,22 @@ def checkpoint_snapshot(spark: SparkSession, root: str) -> int:
     directories are untouched until vacuum."""
     rec = _resolve(root, None)
     folded = _stage(read_snapshot(spark, root, rec["version"]), root)
-    for _ in range(20):
-        head = _head(root)
-        if head["version"] != rec["version"]:
-            raise RuntimeError("table advanced during checkpoint; rerun")
-        record = {
-            "version": head["version"] + 1,
-            "dirs": [folded],
-            "mode": "checkpoint",
-            "meta": {"folds": rec["version"]},
-        }
-        if _try_commit(root, record):
-            return record["version"]
-    raise RuntimeError("commit contention exhausted retries")
+    # Single attempt by design: if the slot claim loses, the head has
+    # necessarily advanced past the version we folded, so a "retry"
+    # could only ever re-raise the advanced-head error (the old
+    # 20-iteration loop was dead code).  Losing means the fold is
+    # stale — delete it here rather than leaving an orphan for vacuum,
+    # and let the caller re-fold from the new head.
+    record = {
+        "version": rec["version"] + 1,
+        "dirs": [folded],
+        "mode": "checkpoint",
+        "meta": {"folds": rec["version"]},
+    }
+    if _try_commit(root, record):
+        return record["version"]
+    shutil.rmtree(os.path.join(root, folded), ignore_errors=True)
+    raise RuntimeError("table advanced during checkpoint; rerun")
 
 
 def vacuum(root: str, *, keep_versions: int = 0,
@@ -267,12 +360,24 @@ def vacuum(root: str, *, keep_versions: int = 0,
     to a writer about to publish — deleting it would let that commit
     succeed while pointing at vanished data (the same hazard Delta's
     VACUUM documents behind its default 7-day retention).  Set 0 only
-    when no writer can be active (the tests do)."""
+    when no writer can be active (the tests do).
+
+    ``min_age_seconds`` does NOT protect directories a concurrent
+    rollback() resurrects — those are old.  The head re-read below
+    closes that race for any rollback that COMMITS before the delete
+    pass starts: the live set is recomputed whenever the head advanced
+    after it was derived.  A rollback that commits mid-delete can still
+    reference a just-deleted directory, which is why rollback documents
+    the retention-window contract on its side."""
     import time
 
     vs = versions(root)
-    retained = vs[-keep_versions:] if keep_versions > 0 else vs
-    live = {d for rec in retained for d in rec["dirs"]}
+    for _ in range(20):
+        retained = vs[-keep_versions:] if keep_versions > 0 else vs
+        live = {d for rec in retained for d in rec["dirs"]}
+        if latest_version(root) == (vs[-1]["version"] if vs else 0):
+            break  # live set derived from the current head — safe
+        vs = versions(root)  # head advanced (commit/rollback): rescan
     cutoff = time.time() - min_age_seconds
     gone = []
     for name in os.listdir(root):

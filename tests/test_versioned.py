@@ -228,3 +228,121 @@ def test_stream_batch_fast_path_reads_only_the_head(spark, tmp_path):
     assert V.commit_stream_batch(_df(spark, [1]), root, batch_id=0) is None
     assert V.commit_stream_batch(_df(spark, [4]), root, batch_id=2) == 4
     assert V._head(root)["meta"]["max_batch_id"] == 2
+
+
+def test_stale_snapshot_key_race_cannot_double_append(spark, tmp_path):
+    """Deterministic replay of the TOCTOU the single-snapshot derivation
+    closes: a same-key winner commits BETWEEN the loser's log scan and
+    its slot claim.  Because the loser's parent comes from the same
+    snapshot as its key check, the winner necessarily occupies the slot
+    the loser computed (parent+1), the exclusive create fails, and the
+    retry's rescan sees the winner's key — the loser returns None.  Two
+    separate listings (key scan, then head read) let the loser adopt
+    the winner as parent and append the batch twice."""
+    root = str(tmp_path / "t")
+    V.commit_snapshot(_df(spark, [0]), root)
+    winner_df, loser_df = _df(spark, [7]), _df(spark, [7])
+
+    real_versions = V.versions
+    fired = {"done": False}
+
+    def versions_with_interleaved_winner(r):
+        snap = real_versions(r)
+        if not fired["done"]:
+            fired["done"] = True
+            # winner lands AFTER the loser took its snapshot
+            assert V.commit_snapshot(
+                winner_df, r, mode="append",
+                idempotence_key="batch:7") == 2
+        return snap
+
+    orig = V.versions
+    V.versions = versions_with_interleaved_winner
+    try:
+        got = V.commit_snapshot(loser_df, root, mode="append",
+                                idempotence_key="batch:7")
+    finally:
+        V.versions = orig
+    assert got is None
+    assert _ids(V.read_snapshot(spark, root)) == [0, 7]  # appended ONCE
+    keyed = [r for r in V.versions(root)
+             if r["meta"].get("idempotence_key") == "batch:7"]
+    assert len(keyed) == 1
+
+
+def test_checkpoint_contention_raises_and_leaves_no_orphan(spark, tmp_path):
+    """A checkpoint that loses its slot claim cannot retry usefully (the
+    head advanced past the version it folded), so it raises — and it
+    deletes its staged fold instead of orphaning it until vacuum."""
+    root = str(tmp_path / "t")
+    V.commit_snapshot(_df(spark, [1]), root)
+    V.commit_snapshot(_df(spark, [2]), root, mode="append")
+
+    real_try = V._try_commit
+
+    def steal_the_slot(r, record):
+        # a concurrent append claims the slot first, exactly once
+        V._try_commit = real_try
+        assert V.commit_snapshot(_df(spark, [9]), r, mode="append") == 3
+        return real_try(r, record)
+
+    V._try_commit = steal_the_slot
+    try:
+        with pytest.raises(RuntimeError, match="advanced during checkpoint"):
+            V.checkpoint_snapshot(spark, root)
+    finally:
+        V._try_commit = real_try
+    live = {d for rec in V.versions(root) for d in rec["dirs"]}
+    on_disk = {n for n in os.listdir(root) if n.startswith("d-")}
+    assert on_disk == live  # the losing fold was cleaned up, not orphaned
+    assert _ids(V.read_snapshot(spark, root)) == [1, 2, 9]
+
+
+def test_vacuum_rescans_when_head_advances_during_live_set(tmp_path, spark):
+    """vacuum derives its live set, then re-checks the head: a rollback
+    committing in that window resurrects old directories the stale live
+    set would have deleted.  Simulated by interleaving the rollback into
+    the first versions() scan."""
+    root = str(tmp_path / "t")
+    V.commit_snapshot(_df(spark, [1]), root)       # v1
+    V.commit_snapshot(_df(spark, [2]), root)       # v2 (v1's dir unreferenced
+    #                                                 by a keep_versions=1 set)
+    real_versions = V.versions
+    fired = {"done": False}
+
+    def versions_with_interleaved_rollback(r):
+        snap = real_versions(r)
+        if not fired["done"]:
+            fired["done"] = True
+            V.rollback(r, 1)                       # v3 resurrects v1's dir
+        return snap
+
+    V.versions = versions_with_interleaved_rollback
+    try:
+        gone = V.vacuum(root, keep_versions=1, min_age_seconds=0)
+    finally:
+        V.versions = real_versions
+    # the rescan saw v3's live set; v1's resurrected dir survived
+    assert _ids(V.read_snapshot(spark, root)) == [1]
+    v2_dirs = set(V._resolve(root, 2)["dirs"])
+    assert set(gone) <= v2_dirs
+
+
+def test_snapshot_diff_added_removed_and_dir_pruning(spark, tmp_path):
+    """snapshot_diff: append -> pure 'added' rows (the removed side has
+    no unique dirs to scan); overwrite -> both sides; identical dir
+    lists (rollback target) -> empty diff."""
+    root = str(tmp_path / "t")
+    V.commit_snapshot(_df(spark, [1, 2, 3]), root)                 # v1
+    V.commit_snapshot(_df(spark, [4, 5]), root, mode="append")     # v2
+    d12 = V.snapshot_diff(spark, root, 1, 2, ["id"]).collect()
+    assert sorted((r.change, r.id) for r in d12) == [
+        ("added", 4), ("added", 5)]
+
+    V.commit_snapshot(_df(spark, [2, 3, 9]), root)                 # v3
+    d23 = V.snapshot_diff(spark, root, 2, 3, ["id"]).collect()
+    assert sorted((r.change, r.id) for r in d23) == [
+        ("added", 9), ("removed", 1), ("removed", 4), ("removed", 5)]
+
+    v4 = V.rollback(root, 3)                                       # same dirs
+    assert V.snapshot_diff(spark, root, 3, v4, ["id"]).count() == 0
