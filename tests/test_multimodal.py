@@ -188,3 +188,79 @@ def test_near_dup_clusters_transitive_and_linear_output(spark):
     got = {(r.node, r.cluster_id)
            for r in connected_components(pairs).collect()}
     assert got == {(0, 0), (30, 0), (33, 0)}
+
+
+def test_near_dup_pair_budget_switches_to_representative_pairs(spark):
+    """Over-budget corpora switch (loudly) to cluster-representative
+    output: one verified pair per member against its component min-id —
+    O(members) rows instead of C(c, 2) — and every emitted pair is a
+    true >= threshold near-dup.  Under a generous budget the output is
+    the unchanged exact pair closure."""
+    import warnings as W
+
+    from data_ingestion_system_spark.operators.multimodal import (
+        media_features,
+        near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(23)
+    blobs = [rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()
+             for _ in range(30)]
+    # a 4-clique of near-identical blobs in one kind slot (ids ≡ 0 mod 3)
+    for off in (30, 33, 36):
+        near = bytearray(blobs[0])
+        near[off % 256] ^= 1               # sub-threshold perturbation
+        while len(blobs) % 3 != 0:
+            blobs.append(b"pad" + bytes([len(blobs)]))
+        blobs.append(bytes(near))
+    feats = media_features(_media_df(spark, blobs))
+
+    exact = {(r.id_a, r.id_b)
+             for r in near_dup_pairs(feats, threshold=0.999).collect()}
+    clique = {0, 30, 33, 36}
+    assert {(a, b) for a, b in exact if {a, b} <= clique} == {
+        (a, b) for a in clique for b in clique if a < b}  # full C(4,2)
+
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        rep = near_dup_pairs(feats, threshold=0.999, pair_budget=1).collect()
+    assert any("pair_budget" in str(w.message) for w in caught)
+    rep_pairs = {(r.id_a, r.id_b) for r in rep}
+    # representative (min id 0) anchors every clique member: 3 rows,
+    # not 6 — and nothing outside the planted clique appears
+    assert {(a, b) for a, b in rep_pairs if {a, b} <= clique} == {
+        (0, 30), (0, 33), (0, 36)}
+    assert all(a == 0 or {a, b} & clique == set() for a, b in rep_pairs)
+    assert all(r.cosine >= 0.999 for r in rep)
+
+    # a roomy budget keeps the exact closure byte-for-byte
+    under = {(r.id_a, r.id_b) for r in near_dup_pairs(
+        feats, threshold=0.999, pair_budget=10_000_000).collect()}
+    assert under == exact
+
+
+def test_audio_stats_decode_and_quarantine(spark):
+    """audio_stats: a real PCM WAV decodes to exact integer stats and
+    JVM-side-rounded floats; a corrupt payload quarantines into
+    decode_error instead of failing the batch."""
+    import io
+    import wave
+
+    from data_ingestion_system_spark.operators.multimodal import audio_stats
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(8000)
+        f.writeframes(np.array([100, -200, 300, -400],
+                               dtype="<i2").tobytes())
+    rows = {r.media_id: r for r in audio_stats(spark.createDataFrame(
+        [(1, bytearray(buf.getvalue())), (2, bytearray(b"not a wav"))],
+        "media_id long, content binary")).collect()}
+    ok = rows[1]
+    assert (ok.n_channels, ok.sample_rate, ok.n_samples) == (1, 8000, 4)
+    assert ok.sum_abs == 1000 and ok.mean_abs == 250.0
+    assert ok.duration_ms == 0.5 and ok.decode_error is None
+    bad = rows[2]
+    assert bad.decode_error and bad.n_samples is None
