@@ -178,3 +178,68 @@ class CachedSearchService:
                 self.cache_errors += 1
                 self.cache_enabled = False
         return value
+
+
+class VersionedSearchService(CachedSearchService):
+    """Search served from a VERSIONED snapshot table, with the table
+    version inside every cache key — precise freshness instead of
+    ``invalidate_all()``.
+
+    The r6 streaming hook flushed the whole cache on every streaming
+    commit: correct, but it also evicts entries for TABLES THAT DID NOT
+    CHANGE and needs the writer to know about every reader's cache.
+    Stamping the key with ``(table root, committed version)`` inverts
+    the dependency — the reader resolves the head version at probe time
+    (``latest_version``: one O(1) directory listing, no record parse),
+    so a new commit changes the key and every stale entry becomes
+    unreachable (TTL/LRU reclaims it), while entries for other tables
+    and for historical ``as_of_version`` reads keep serving.  Writers
+    need no cache reference at all.
+
+    ``search(filters, as_of_version=N)`` is time-travel search: the
+    same plan over the pinned version's directories — "which exact rows
+    did run X see" for the search surface itself, answerable as long as
+    the version survives vacuum retention.  Historical versions are
+    immutable, so those entries can never go stale; they share the one
+    TTL policy anyway (bounded memory beats a special case).
+
+    The search_fn receives ``(snapshot DataFrame, filters)`` — the
+    service owns resolution, the caller owns the plan."""
+
+    def __init__(self, spark, root: str,
+                 search_fn: Callable[[DataFrame, Mapping[str, Any]],
+                                     DataFrame],
+                 cache: ResultCache | None = None):
+        super().__init__(search_fn=None, cache=cache)
+        self._spark = spark
+        self._root = root
+        self._search2 = search_fn
+
+    def search(self, filters: Mapping[str, Any],
+               as_of_version: int | None = None) -> list[Row]:
+        from data_ingestion_system_spark.sources.versioned import (
+            latest_version,
+            read_snapshot,
+        )
+
+        version = (as_of_version if as_of_version is not None
+                   else latest_version(self._root))
+        key = canonical_key(f"audit@{self._root}@v{version}", filters)
+        if self.cache_enabled:
+            try:
+                cached = self.cache.get(key)
+            except Exception:
+                self.cache_errors += 1
+                self.cache_enabled = False
+            else:
+                if cached is not None:
+                    return cached
+        snap = read_snapshot(self._spark, self._root, version)
+        value = self._search2(snap, filters).collect()
+        if self.cache_enabled:
+            try:
+                self.cache.put(key, value)
+            except Exception:
+                self.cache_errors += 1
+                self.cache_enabled = False
+        return value

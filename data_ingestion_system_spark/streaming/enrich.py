@@ -74,13 +74,26 @@ def start_interval_enrich(
     checkpoint_dir: str,
     max_lateness: str = "1 hour",
     result_cache=None,
+    versioned: bool = False,
 ) -> StreamingQuery:
     """Enrich a JSON landing stream of events with their SCD2
     status-at-event, exactly-once into parquet at ``out_path``.
 
     ``result_cache`` (a plans.cache.ResultCache) is invalidated after
     each batch lands — cached search results over the enriched table
-    must not be served stale across a batch commit (SURVEY §7.4)."""
+    must not be served stale across a batch commit (SURVEY §7.4).
+
+    ``versioned=True`` (r7) publishes each micro-batch through the
+    snapshot log (sources/versioned.py::commit_stream_batch) instead of
+    the mb-partition overwrite: ``out_path`` becomes a versioned table
+    root, readers resolve consistent snapshots (read_snapshot) and
+    time-travel any batch boundary, and exactly-once rides the log's
+    in-claim idempotence key rather than partition replacement.  The
+    blunt ``result_cache.invalidate_all()`` hook is then unnecessary —
+    serve searches through plans.cache.VersionedSearchService, whose
+    version-stamped keys make a new commit strand stale entries
+    precisely (pass no result_cache; a cache passed alongside
+    versioned=True is still honored for migration)."""
     stream = (
         spark.readStream.schema(PROBE_SCHEMA)
         .option("timestampNTZFormat", TS_NTZ_FORMAT).json(landing_dir)
@@ -96,15 +109,32 @@ def start_interval_enrich(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # mb-stamped dynamic partition overwrite: a replayed batch
-        # (at-least-once foreachBatch) replaces its own partition, so a
-        # crash between this write and the checkpoint commit cannot
-        # double-enrich.
-        (interval_enrich_batch(batch_df, silver_path)
-         .withColumn("mb", F.lit(int(batch_id)))
-         .write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("mb").parquet(out_path))
+        enriched = interval_enrich_batch(batch_df, silver_path)
+        if versioned:
+            # append commit through the snapshot log: a replayed batch
+            # no-ops on the in-claim idempotence key, readers get
+            # consistent versioned snapshots
+            from data_ingestion_system_spark.sources.versioned import (
+                commit_stream_batch,
+            )
+
+            if commit_stream_batch(enriched, out_path, int(batch_id)) is None:
+                # replayed batch: the log already holds it, but the
+                # upstream stateful dedup still expects THIS batch's
+                # state-store commits (Spark validates that foreachBatch
+                # processed every partition) — drain the raw batch
+                # through the noop sink, skipping the enrichment join
+                batch_df.write.format("noop").mode("overwrite").save()
+        else:
+            # mb-stamped dynamic partition overwrite: a replayed batch
+            # (at-least-once foreachBatch) replaces its own partition,
+            # so a crash between this write and the checkpoint commit
+            # cannot double-enrich.
+            (enriched
+             .withColumn("mb", F.lit(int(batch_id)))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("mb").parquet(out_path))
         if result_cache is not None:
             result_cache.invalidate_all()
 

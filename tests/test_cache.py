@@ -218,3 +218,54 @@ def test_default_backend_is_in_memory_lru():
     c = ResultCache(max_entries=7)
     assert isinstance(c.backend, InMemoryLRUBackend)
     assert c.backend.max_entries == 7
+
+
+def test_versioned_search_precise_freshness(spark, tmp_path):
+    """Version-stamped keys (r6 verdict #6): a cached result SURVIVES an
+    unrelated table's commit, goes stale precisely when its OWN table
+    commits a new version (stranded key, no writer-side flush), and
+    time-travel probes cache independently against their pinned
+    version."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_system_spark.plans.cache import (
+        VersionedSearchService,
+    )
+    from data_ingestion_system_spark.sources import versioned as V
+
+    root_a, root_b = str(tmp_path / "a"), str(tmp_path / "b")
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(int(i), f"u{i}") for i in rows], "id long, name string")
+
+    V.commit_snapshot(df([1, 2, 3]), root_a)          # a@v1
+    V.commit_snapshot(df([9]), root_b)                # b@v1
+
+    runs = []
+
+    def search_fn(snap, filters):
+        runs.append(dict(filters))
+        return (snap.filter(F.col("id") >= filters["min_id"])
+                .orderBy("id").select("id", "name"))
+
+    svc = VersionedSearchService(spark, root_a, search_fn)
+    first = svc.search({"min_id": 2})
+    assert [r.id for r in first] == [2, 3] and len(runs) == 1
+    assert svc.search({"min_id": 2}) == first and len(runs) == 1  # hit
+
+    # unrelated table commits: entry keeps serving (no flush anywhere)
+    V.commit_snapshot(df([8, 9]), root_b)
+    assert svc.search({"min_id": 2}) == first and len(runs) == 1
+
+    # own table commits: key version bumps, stale entry unreachable
+    V.commit_snapshot(df([2, 3, 4]), root_a)          # a@v2
+    fresh = svc.search({"min_id": 2})
+    assert [r.id for r in fresh] == [2, 3, 4] and len(runs) == 2
+
+    # time travel: as_of_version=1 resolves to the SAME key the head
+    # probe used while v1 was current, so the immutable entry is
+    # REUSED (no re-run) — and the head entry is untouched
+    old = svc.search({"min_id": 2}, as_of_version=1)
+    assert [r.id for r in old] == [2, 3] and len(runs) == 2
+    assert svc.search({"min_id": 2}) == fresh and len(runs) == 2
