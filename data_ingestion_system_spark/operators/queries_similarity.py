@@ -1363,3 +1363,157 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("label").cast("bigint").alias("neg_label"),
                 F.round("cos_raw", 6).alias("cosine"), "rnk")
     )
+
+
+@register("emb_ood_score", """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT vec_id, label, u.dim AS dim, v[u.dim] AS x
+      FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) u),
+m AS (SELECT dim, round(avg(x), 6) AS mu, round(avg(x * x), 6) AS ex2
+      FROM d GROUP BY dim),
+terms AS (
+  SELECT d.vec_id, d.label,
+         CAST(round((d.x - m.mu) * (d.x - m.mu)
+                    / (m.ex2 - m.mu * m.mu + 1e-6) * 1e6, 0)
+              AS BIGINT) AS t_micro
+  FROM d JOIN m USING (dim)),
+sc AS (SELECT vec_id, label, sum(t_micro) AS sm
+       FROM terms GROUP BY vec_id, label)
+SELECT vec_id, label, round(sm / 1e6, 6) AS ood_score
+FROM sc
+ORDER BY sm DESC, vec_id
+LIMIT 50
+""")
+def emb_ood_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-distribution audit over the embedding corpus: diagonal
+    Mahalanobis score per vector — sum over dimensions of
+    (x - mu_d)^2 / (sigma2_d + 1e-6) against per-dim corpus moments —
+    and the top-50 most anomalous vectors.  This is the cheap encoder
+    sanity filter a curation pipeline runs before admitting a new
+    embedding batch: collapsed dims, scale blowups, and stray vectors
+    all surface at the top of this list, at O(n*d) cost (the full
+    covariance version is emb_covariance + emb_pca_power's territory).
+
+    Determinism: the per-dim model rounds to 6 dp at the point it is
+    computed (mu and E[x^2]; the variance derives from those two
+    ROUNDED numbers, so both engines start scoring from identical
+    doubles), and each per-dim term rounds to integer micro-units
+    before the sum — ranking compares exact integers, so accumulation
+    order cannot reorder the top-50 (the text_nb_langid discipline).
+
+    Scale shape: one explode (n*64 skinny rows), one 64-row grouped
+    model that broadcasts, one map-side term compute, one vec_id
+    re-agg, and a TakeOrdered top-50 — no joins wider than the 64-row
+    model, nothing quadratic."""
+    from data_ingestion_system_spark.functions.vectors import as_double
+    from data_ingestion_system_spark.operators.similarity import DIM
+
+    cat = Catalog(spark, sf_dir)
+    d = cat.embeddings.select(
+        "vec_id", "label",
+        F.posexplode(as_double(F.col("embedding"))).alias("pos", "x"))
+    m = (d.groupBy("pos")
+         .agg(F.round(F.avg("x"), 6).alias("mu"),
+              F.round(F.avg(F.col("x") * F.col("x")), 6).alias("ex2")))
+    s2 = F.col("ex2") - F.col("mu") * F.col("mu") + F.lit(1e-6)
+    terms = (
+        d.join(F.broadcast(m), "pos")
+        .select("vec_id", "label",
+                F.round((F.col("x") - F.col("mu"))
+                        * (F.col("x") - F.col("mu")) / s2 * 1e6, 0)
+                .cast("long").alias("t_micro")))
+    return (
+        terms.groupBy("vec_id", "label").agg(F.sum("t_micro").alias("sm"))
+        .orderBy(F.col("sm").desc(), "vec_id")
+        .limit(50)
+        .select("vec_id", "label",
+                F.round(F.col("sm") / 1e6, 6).alias("ood_score"))
+    )
+
+
+def _kcenter_sql(k: int = 4) -> str:
+    """Unrolled greedy k-center oracle (the emb_pca_power technique:
+    the iteration count is a small constant, so the loop embeds as k
+    chained CTEs).  Every distance is the identical left-associated
+    expression the Spark side computes, so center selection — a float
+    argmax with a vec_id tie-break — is bit-exact across engines."""
+    d2 = ("list_dot_product({a}.v, {a}.v)"
+          " - 2 * list_dot_product({a}.v, {c}.v)"
+          " + list_dot_product({c}.v, {c}.v)")
+    parts = ["WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v"
+             " FROM embeddings)",
+             "c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)",
+             "d1 AS (SELECT e.vec_id, e.v, "
+             + d2.format(a="e", c="c1") + " AS dmin FROM e, c1)"]
+    for i in range(2, k + 1):
+        parts.append(
+            f"c{i} AS (SELECT vec_id, v, dmin FROM d{i-1} "
+            f"ORDER BY dmin DESC, vec_id LIMIT 1)")
+        if i < k:
+            parts.append(
+                f"d{i} AS (SELECT d{i-1}.vec_id, d{i-1}.v, "
+                f"least(d{i-1}.dmin, "
+                + d2.format(a=f"d{i-1}", c=f"c{i}")
+                + f") AS dmin FROM d{i-1}, c{i})")
+    sel = ["SELECT 1 AS step, vec_id, 0.0 AS radius FROM c1"]
+    sel += [f"SELECT {i} AS step, vec_id, round(sqrt(dmin), 6) AS radius "
+            f"FROM c{i}" for i in range(2, k + 1)]
+    return (",\n".join(parts) + "\n"
+            + "\nUNION ALL\n".join(sel) + "\nORDER BY step")
+
+
+@register("sim_kcenter_coreset", _kcenter_sql(4))
+def sim_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 2-approximation) —
+    the diversity-first data-selection primitive: pick the vector
+    farthest from every center chosen so far, k times.  The selected
+    ids ARE the coreset a curation run keeps (or labels first); the
+    radius column is the farthest-point distance at each step, i.e.
+    the covering radius the next center removes — its decay is the
+    stop signal ("the corpus is covered at radius r").
+
+    Distributed shape: the corpus never leaves the executors — each of
+    the k-1 iterations is one map (min of the running distance and the
+    distance to the newly-collected center, broadcast as 64 literals)
+    plus one TakeOrdered(1) argmax; the driver holds only the k chosen
+    vectors.  k is a constant (4 here), so the oracle unrolls the loop
+    into chained CTEs; every distance uses the same left-associated
+    expansion (||x||^2 - 2<x,c> + ||c||^2 via dot_fixed), making the
+    float argmax — ties broken by vec_id — bit-identical in DuckDB.
+
+    Seed = min vec_id (deterministic, not random): k-center's
+    2-approximation guarantee holds for ANY seed, so determinism costs
+    nothing but reproducibility buys replayable curation runs."""
+    from data_ingestion_system_spark.functions.vectors import (
+        as_double,
+        dot_fixed,
+    )
+    from data_ingestion_system_spark.operators.similarity import DIM
+
+    cat = Catalog(spark, sf_dir)
+    e = cat.embeddings.select(
+        "vec_id", as_double(F.col("embedding")).alias("v")).persist()
+
+    def d2_to(center: list[float]):
+        c = F.array(*[F.lit(float(x)) for x in center])
+        cc = center[0] * center[0]
+        for x in center[1:]:
+            cc = cc + x * x          # left fold, matches dot_fixed
+        return (dot_fixed(F.col("v"), F.col("v"), DIM)
+                - 2 * dot_fixed(F.col("v"), c, DIM) + F.lit(cc))
+
+    seed = e.orderBy("vec_id").limit(1).collect()[0]
+    out = [(1, seed.vec_id, 0.0)]
+    d = e.withColumn("dmin", d2_to(list(seed.v)))
+    for step in range(2, 5):
+        nxt = (d.orderBy(F.col("dmin").desc(), "vec_id")
+               .limit(1).collect()[0])
+        import math
+
+        out.append((step, nxt.vec_id, round(math.sqrt(nxt.dmin), 6)))
+        if step < 4:
+            d = d.withColumn(
+                "dmin", F.least(F.col("dmin"), d2_to(list(nxt.v))))
+    e.unpersist()
+    return spark.createDataFrame(
+        out, "step int, vec_id long, radius double")
