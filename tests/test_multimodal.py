@@ -264,3 +264,36 @@ def test_audio_stats_decode_and_quarantine(spark):
     assert ok.duration_ms == 0.5 and ok.decode_error is None
     bad = rows[2]
     assert bad.decode_error and bad.n_samples is None
+
+
+def test_near_dup_clusters_survive_the_pair_budget(spark):
+    """The gated path must not break CLUSTERING: components over the
+    verified bucket-star pairs keep a true near-dup clique together
+    (every member verifies against its bucket-minimum anchor), while
+    unrelated blobs stay out — the property multimodal_near_dup_clusters
+    relies on when its internal pair generator crosses the budget."""
+    from data_ingestion_system_spark.operators.dedup import (
+        connected_components,
+    )
+    from data_ingestion_system_spark.operators.multimodal import (
+        media_features,
+        near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(31)
+    blobs = [rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()
+             for _ in range(30)]
+    for off in (30, 33, 36):                   # 4-clique with id 0
+        near = bytearray(blobs[0])
+        near[off % 256] ^= 1
+        while len(blobs) % 3 != 0:
+            blobs.append(b"pad" + bytes([len(blobs)]))
+        blobs.append(bytes(near))
+    feats = media_features(_media_df(spark, blobs))
+    pairs = near_dup_pairs(feats, threshold=0.999,
+                           pair_budget=1).select("id_a", "id_b")
+    got = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    assert {n for n, c in got.items() if c == 0} == {0, 30, 33, 36}
+    # the tiny pad blobs legitimately near-dup each other (mostly-empty
+    # block profiles); what matters is no RANDOM blob joins any cluster
+    assert all(n >= 30 or n == 0 for n in got)
