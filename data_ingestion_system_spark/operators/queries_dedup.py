@@ -1096,3 +1096,80 @@ def dedup_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(labels, "doc_id", "left")
         .select("doc_id", cluster.alias("cluster_id"), split.alias("split"))
     )
+
+
+_POWER_CURVE_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+  FROM toks, UNNEST(range(len(w) - 2)) AS t(i)),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT round(c * 1.0 / (ca.n + cb.n - c), 6) AS j
+  FROM common
+  JOIN cnt ca ON ca.doc_id = id_a
+  JOIN cnt cb ON cb.doc_id = id_b
+  WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.01),
+grid(bands, rows_per_band) AS (
+  VALUES (4, 8), (8, 4), (16, 2), (32, 1)),
+terms AS (
+  SELECT bands, rows_per_band, floor(j * 10) / 10 AS j_bucket,
+         CAST(round((1 - pow(1 - pow(j, rows_per_band), bands)) * 1e6, 0)
+              AS BIGINT) AS t_micro
+  FROM pairs CROSS JOIN grid)
+SELECT bands, rows_per_band, j_bucket,
+       count(*) AS n_pairs,
+       round(sum(t_micro) / 1e6 / count(*), 6) AS expected_recall
+FROM terms
+GROUP BY bands, rows_per_band, j_bucket
+ORDER BY bands, rows_per_band, j_bucket
+"""
+
+
+@register("dedup_lsh_power_curve", _POWER_CURVE_SQL)
+def dedup_lsh_power_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH parameter tuning table — the engineering knob behind every
+    MinHash deployment: for each (bands, rows) split of a 32-perm
+    signature and each exact-Jaccard decile actually PRESENT in the
+    corpus, the expected candidate recall 1 - (1 - j^r)^b averaged over
+    the measured pairs.  Reading it answers "which banding catches the
+    dups THIS corpus has?" with data, not the textbook S-curve alone —
+    a corpus whose near-dups sit at j~0.9 can afford 4x8 (sharper, far
+    fewer false candidates); one with j~0.5 chains needs 32x1.
+
+    Determinism: j is rounded at 6 dp first, each recall term rounds
+    to integer micro-units before the sum (the text_nb_langid
+    discipline), and buckets derive from the rounded j — identical
+    doubles in both engines end to end.
+
+    Scale shape: the pair relation comes from the common-shingle
+    equi-join at a permissive 0.01 floor — at 100 TB you run this
+    tuning query on a SAMPLED corpus slice (it informs parameters, it
+    is not the dedup itself), so the quadratic worst case is bounded by
+    sampling, not by this plan; the grid cross is 4 constant rows and
+    the final agg is one shuffle on (bands, rows, bucket)."""
+    cat = Catalog(spark, sf_dir)
+    sh = D.word_shingles(cat.documents, "doc_id", "text", n=3, hashed=True)
+    pairs = (D.jaccard_pairs(sh).filter(F.col("jaccard") >= 0.01)
+             .select(F.round("jaccard", 6).alias("j")))
+    grid = spark.createDataFrame(
+        [(4, 8), (8, 4), (16, 2), (32, 1)],
+        "bands int, rows_per_band int").limit(4)  # provable bound for
+    # the plan linter's bounded-theta gate (the text_nb_langid pattern)
+    j, b, r = F.col("j"), F.col("bands"), F.col("rows_per_band")
+    terms = (pairs.crossJoin(F.broadcast(grid))
+             .select(b.alias("bands"), r.alias("rows_per_band"),
+                     (F.floor(j * 10) / 10).alias("j_bucket"),
+                     F.round((1 - F.pow(1 - F.pow(j, r), b)) * 1e6, 0)
+                     .cast("long").alias("t_micro")))
+    return (terms.groupBy("bands", "rows_per_band", "j_bucket")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.round(F.sum("t_micro") / 1e6 / F.count("*"), 6)
+                 .alias("expected_recall"))
+            .orderBy("bands", "rows_per_band", "j_bucket"))
