@@ -278,9 +278,41 @@ def resize_blocks(df: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
     return df.mapInPandas(resize, out_schema)
 
 
+def _pair_mass(banded: DataFrame, block_col: str) -> float:
+    """Sum over (block, table, bucket) of C(occupancy, 2) — the
+    per-table candidate-pair count before cross-table dedup.  One agg
+    over bare keys, one driver-side row."""
+    return (banded.groupBy(block_col, "tbl", "bucket")
+            .agg(F.count("*").alias("n"))
+            .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("m"))
+            .first()["m"]) or 0
+
+
+def candidate_pair_mass(feats: DataFrame, block_col: str = "kind") -> float:
+    """LSH candidate mass for a `media_features` output, computed the
+    same way near_dup_pairs' budget gate does.  Run it ONCE per session
+    when several gated queries (pairs + clusters) share one feature set
+    and feed the result to each via ``precomputed_mass`` so the eager
+    mass pre-pass is not repeated per query."""
+    from data_ingestion_system_spark.operators.similarity import srp_buckets_udf
+
+    # identical preprocessing to near_dup_pairs: center, then bucket —
+    # bucket occupancy (hence mass) depends on the centering
+    mean = F.aggregate("features", F.lit(0.0), lambda a, x: a + x) / F.lit(
+        float(FEATURE_DIM))
+    buckets = srp_buckets_udf(dim=FEATURE_DIM, n_bits=12, n_tables=8)
+    banded = (feats.select(
+        "media_id", block_col,
+        F.transform("features", lambda x: x - mean).alias("fc"))
+        .select("media_id", block_col,
+                F.posexplode(buckets(F.col("fc"))).alias("tbl", "bucket")))
+    return _pair_mass(banded, block_col)
+
+
 def near_dup_pairs(feats: DataFrame, threshold: float = 0.999,
                    block_col: str = "kind",
-                   pair_budget: int | None = None) -> DataFrame:
+                   pair_budget: int | None = None,
+                   precomputed_mass: float | None = None) -> DataFrame:
     """Near-duplicate media pairs from a `media_features` output.
 
     Features are centered (per-vector mean removed) so cosine measures
@@ -321,7 +353,18 @@ def near_dup_pairs(feats: DataFrame, threshold: float = 0.999,
     pairs — each exact-cosine verified, so every output row is a true
     >= threshold pair and each dup clique surfaces as its anchor's
     c-1 pairs instead of its C(c, 2) closure.  Measured at the sf10
-    clique-quadratic fixture: 766.7s exact -> ~88s gated."""
+    clique-quadratic fixture: 766.7s exact -> ~88s gated.
+
+    NOTE: passing ``pair_budget`` makes this function EAGER — the mass
+    pre-pass is a real Spark job (scan + feature/bucket UDF chain +
+    one agg + ``.first()``) that runs when the DataFrame is BUILT,
+    before any caller action, because the returned plan's SHAPE depends
+    on which side of the budget the mass lands.  Explain-only callers
+    pay it too.  When the same feature set feeds several gated queries
+    in one session (pairs + clusters), compute the mass once with
+    :func:`candidate_pair_mass` and pass it via ``precomputed_mass`` —
+    the pre-pass is then skipped and the gate compares the given value
+    against the budget directly."""
     from data_ingestion_system_spark.functions.vectors import cosine_fixed
     from data_ingestion_system_spark.operators.similarity import srp_buckets_udf
 
@@ -345,10 +388,10 @@ def near_dup_pairs(feats: DataFrame, threshold: float = 0.999,
     if pair_budget is not None:
         # linear candidate-mass bound: per-table within-bucket pair
         # count, computed on bare keys and read as ONE driver-side row
-        mass = (banded.groupBy(block_col, "tbl", "bucket")
-                .agg(F.count("*").alias("n"))
-                .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("m"))
-                .first()["m"]) or 0
+        # (or taken from the caller when several gated queries share
+        # one feature set — see docstring NOTE on eagerness)
+        mass = (precomputed_mass if precomputed_mass is not None
+                else _pair_mass(banded, block_col))
         if mass > pair_budget:
             import warnings
 

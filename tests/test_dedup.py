@@ -370,3 +370,50 @@ def test_leakage_safe_split_never_straddles_clusters(spark, sf_dir):
 
     frac = Counter(split_of.values())
     assert frac["train"] > frac["valid"] and frac["train"] > frac["test"]
+
+
+def test_jaccard_pair_budget_gate(spark):
+    """r8: the pair_budget gate on the exact common-shingle join.
+
+    Under budget the exact path runs unchanged; over budget the query
+    warns LOUDLY and switches to star pairs — every emitted row must
+    carry the pair's EXACT full Jaccard (identical to the exact path's
+    row for that pair), and a planted dup clique must stay one
+    connected component through the star edges.
+    """
+    import warnings
+
+    # 3 cliques x 8 copies: every shingle is clique-hot (occ 8), so the
+    # mass (3 shingle-groups x C(8,2) x shingles/doc) trips a budget of 50
+    rows = []
+    for c in range(3):
+        text = " ".join(f"c{c}tok{j}" for j in range(12))
+        for m in range(8):
+            rows.append((c * 100 + m, text))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = D.word_shingles(df, "doc_id", "text", n=3, hashed=True)
+
+    exact = {(r.id_a, r.id_b): r.jaccard
+             for r in D.jaccard_pairs(sh).collect()}
+
+    # under budget: byte-identical output, no warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        under = {(r.id_a, r.id_b): r.jaccard
+                 for r in D.jaccard_pairs(sh, pair_budget=10**9).collect()}
+    assert under == exact
+
+    # over budget: loud switch, star output
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        star_df = D.jaccard_pairs(sh, pair_budget=50)
+        assert any("pair_budget" in str(x.message) for x in w)
+    star = {(r.id_a, r.id_b): r.jaccard for r in star_df.collect()}
+    # every star row is a true pair with the exact path's jaccard
+    for pair, j in star.items():
+        assert pair in exact and abs(j - exact[pair]) < 1e-12
+    # each 8-copy clique survives as its anchor's 7 pairs (connected)
+    for c in range(3):
+        anchor = c * 100
+        members = {c * 100 + m for m in range(1, 8)}
+        assert {b for (a, b) in star if a == anchor} == members
