@@ -14,10 +14,13 @@ the stream is partitioned or resumed.
 
 Exactly-once effects under foreachBatch's at-least-once contract:
 
-* every output (clean corpus, rejects, index) is partitioned by the
-  micro-batch id and written with dynamic partition OVERWRITE — a
-  replayed batch replaces its own partition instead of appending
-  duplicate rows;
+* the clean corpus and the rejects table publish through the snapshot
+  log by default (one append commit per batch, the batch id as the
+  idempotence key — sources/versioned.py::commit_stream_batch), so a
+  replayed batch's commit is a no-op and readers get consistent,
+  time-travelable snapshots; the internal signature index stays
+  mb-partitioned with dynamic partition OVERWRITE (a replay replaces
+  its own partition);
 * the history probe EXCLUDES index rows stamped with the current batch
   id, so a replay that finds its own partial index write cannot reject
   docs as duplicates of their same-batch peers;
@@ -57,6 +60,11 @@ from data_ingestion_system_spark.operators.dedup_index import (
     probe_index,
     write_index,
 )
+from data_ingestion_system_spark.sources.versioned import (
+    commit_stream_batch,
+    latest_version,
+    read_snapshot,
+)
 
 DOC_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType(), False),
@@ -67,7 +75,17 @@ DOC_SCHEMA = T.StructType([
 _EMPTY_CLEAN_SCHEMA = "doc_id long, text string, lang string"
 
 
-def _clean_store(spark: SparkSession, path: str) -> DataFrame:
+def _clean_store(spark: SparkSession, path: str,
+                 versioned: bool = True) -> DataFrame:
+    if versioned:
+        # consistent snapshot through the log: a replay that already
+        # committed this batch's accepted docs is visible here, which is
+        # harmless — their signatures are mb-excluded from the probe, so
+        # they can never surface as candidates against themselves
+        if latest_version(path) > 0:
+            return read_snapshot(spark, path).select(
+                "doc_id", "text", "lang")
+        return spark.createDataFrame([], _EMPTY_CLEAN_SCHEMA)
     if os.path.isdir(path) and any(
             f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs):
         return spark.read.parquet(path).select("doc_id", "text", "lang")
@@ -109,6 +127,7 @@ def start_curation_stream(
     available_now: bool = True,
     processing_time: str = "1 second",
     result_cache=None,
+    versioned: bool = True,
 ) -> StreamingQuery:
     """Landing JSON docs -> accepted corpus + rejected-dup audit + index.
 
@@ -124,7 +143,22 @@ def start_curation_stream(
     ``result_cache`` (a plans.cache.ResultCache) is invalidated after
     each committed batch — cached search results over the clean corpus
     must not outlive the data they summarize (the freshness hook
-    pipeline.py already gives the bronze stream; SURVEY §7.4)."""
+    pipeline.py already gives the bronze stream; SURVEY §7.4).
+
+    ``versioned=True`` (the DEFAULT since r8 — VERDICT r7 #5: silver
+    tables publish through the snapshot log unless a caller opts out):
+    ``clean_dir`` and ``rejects_dir`` become versioned table roots —
+    each micro-batch is one append commit (sources/versioned.py::
+    commit_stream_batch), readers resolve consistent snapshots
+    (read_snapshot) and can time-travel any batch boundary, and a
+    replayed batch no-ops on the log's ``batch:<id>`` idempotence key
+    (a partial write before a crash is an invisible staged directory,
+    not a half-table).  The signature index keeps its mb-stamped
+    dynamic-overwrite scheme (it is an internal structure, probed with
+    same-batch exclusion, not a served table), and the commit marker
+    still short-circuits fully-committed batches so a marker-present
+    replay skips even the recompute.  ``versioned=False`` is the legacy
+    raw-dir path (micro_batch-partitioned dynamic overwrite)."""
     if not os.path.isdir(index_dir):
         # bootstrap an empty, schema-complete index so the first batch's
         # probe is uniform with every later one
@@ -156,7 +190,7 @@ def start_curation_stream(
                 survivors = batch.join(self_losers, "doc_id", "left_anti")
                 # (3) probe accepted history via the signature index,
                 # excluding any partial same-batch write from a replay
-                corpus = _clean_store(spark, clean_dir)
+                corpus = _clean_store(spark, clean_dir, versioned)
                 hits = probe_index(spark, index_dir, survivors, corpus,
                                    threshold=threshold,
                                    exclude_mb=batch_id).persist()
@@ -164,18 +198,29 @@ def start_curation_stream(
                     dup_ids = hits.select(
                         F.col("batch_id").alias("doc_id")).distinct()
                     accepted = survivors.join(dup_ids, "doc_id", "left_anti")
-                    # (4) accepted docs land; rejects carry their evidence;
-                    # both partitioned on micro_batch + dynamic overwrite
-                    # so a replayed batch replaces itself, never appends
-                    (accepted.withColumn("micro_batch", F.lit(batch_id))
-                     .write.mode("overwrite")
-                     .option("partitionOverwriteMode", "dynamic")
-                     .partitionBy("micro_batch").parquet(clean_dir))
-                    (self_hits.unionByName(hits)
-                     .withColumn("micro_batch", F.lit(batch_id))
-                     .write.mode("overwrite")
-                     .option("partitionOverwriteMode", "dynamic")
-                     .partitionBy("micro_batch").parquet(rejects_dir))
+                    # (4) accepted docs land; rejects carry their evidence
+                    all_rejects = (self_hits.unionByName(hits)
+                                   .withColumn("micro_batch",
+                                               F.lit(batch_id)))
+                    stamped = accepted.withColumn("micro_batch",
+                                                  F.lit(batch_id))
+                    if versioned:
+                        # one append commit per output per batch; the
+                        # batch id rides the idempotence key, so a
+                        # replay whose commit already landed is a no-op
+                        commit_stream_batch(stamped, clean_dir, batch_id)
+                        commit_stream_batch(all_rejects, rejects_dir,
+                                            batch_id)
+                    else:
+                        # legacy raw dirs: micro_batch partitioning +
+                        # dynamic overwrite so a replayed batch replaces
+                        # itself, never appends
+                        (stamped.write.mode("overwrite")
+                         .option("partitionOverwriteMode", "dynamic")
+                         .partitionBy("micro_batch").parquet(clean_dir))
+                        (all_rejects.write.mode("overwrite")
+                         .option("partitionOverwriteMode", "dynamic")
+                         .partitionBy("micro_batch").parquet(rejects_dir))
                     # (5) tomorrow's probe sees today's accepted docs
                     append_index(accepted, index_dir, mb=batch_id)
                     # (6) commit marker LAST: anything before this line can

@@ -74,26 +74,34 @@ def start_interval_enrich(
     checkpoint_dir: str,
     max_lateness: str = "1 hour",
     result_cache=None,
-    versioned: bool = False,
+    versioned: bool = True,
 ) -> StreamingQuery:
     """Enrich a JSON landing stream of events with their SCD2
-    status-at-event, exactly-once into parquet at ``out_path``.
+    status-at-event, exactly-once into the versioned table at
+    ``out_path``.
 
     ``result_cache`` (a plans.cache.ResultCache) is invalidated after
     each batch lands — cached search results over the enriched table
     must not be served stale across a batch commit (SURVEY §7.4).
 
-    ``versioned=True`` (r7) publishes each micro-batch through the
-    snapshot log (sources/versioned.py::commit_stream_batch) instead of
-    the mb-partition overwrite: ``out_path`` becomes a versioned table
+    ``versioned=True`` (the DEFAULT since r8 — r7's opt-in flag meant
+    the silver guarantee "which rows did run X see" only held when
+    callers remembered it; VERDICT r7 #5) publishes each micro-batch
+    through the snapshot log (sources/versioned.py::commit_stream_batch)
+    rather than raw parquet dirs: ``out_path`` becomes a versioned table
     root, readers resolve consistent snapshots (read_snapshot) and
     time-travel any batch boundary, and exactly-once rides the log's
-    in-claim idempotence key rather than partition replacement.  The
-    blunt ``result_cache.invalidate_all()`` hook is then unnecessary —
-    serve searches through plans.cache.VersionedSearchService, whose
+    in-claim idempotence key.  The blunt
+    ``result_cache.invalidate_all()`` hook is then unnecessary — serve
+    searches through plans.cache.VersionedSearchService, whose
     version-stamped keys make a new commit strand stale entries
     precisely (pass no result_cache; a cache passed alongside
-    versioned=True is still honored for migration)."""
+    versioned=True is still honored for migration).
+
+    ``versioned=False`` is the legacy escape hatch for readers that
+    must see a plain parquet dir: exactly-once then falls back to the
+    mb-stamped dynamic partition overwrite (a replayed batch replaces
+    its own ``mb=`` partition instead of appending)."""
     stream = (
         spark.readStream.schema(PROBE_SCHEMA)
         .option("timestampNTZFormat", TS_NTZ_FORMAT).json(landing_dir)

@@ -8,6 +8,7 @@ import json
 
 from pyspark.sql import functions as F
 
+from data_ingestion_system_spark.sources import versioned as V
 from data_ingestion_system_spark.streaming.curation import (
     start_curation_stream,
 )
@@ -48,7 +49,7 @@ def test_curation_stream_rejects_cross_batch_dups(spark, tmp_path):
         json.dumps({"doc_id": 3, "text": DOC_A, "lang": "en"}),
     ]))
     run()
-    clean = spark.read.parquet(paths["clean"])
+    clean = V.read_snapshot(spark, paths["clean"])
     assert {r["doc_id"] for r in clean.collect()} == {1, 2}
 
     # batch 2: a near-dup of accepted doc 1 + one genuinely new doc
@@ -59,16 +60,16 @@ def test_curation_stream_rejects_cross_batch_dups(spark, tmp_path):
                     "lang": "en"}),
     ]))
     run()
-    clean = spark.read.parquet(paths["clean"])
+    clean = V.read_snapshot(spark, paths["clean"])
     assert {r["doc_id"] for r in clean.collect()} == {1, 2, 11}
-    rejects = spark.read.parquet(paths["rejects"])
+    rejects = V.read_snapshot(spark, paths["rejects"])
     rej = {(r["batch_id"], r["corpus_id"]) for r in rejects.collect()}
     assert (10, 1) in rej
     assert rejects.filter(F.col("jaccard") < 0.7).count() == 0
 
     # restart with no new files: checkpoint prevents reprocessing
     run()
-    assert spark.read.parquet(paths["clean"]).count() == 3
+    assert V.read_snapshot(spark, paths["clean"]).count() == 3
 
 
 def test_curation_stream_rejects_within_batch_near_dups(spark, tmp_path):
@@ -87,9 +88,9 @@ def test_curation_stream_rejects_within_batch_near_dups(spark, tmp_path):
     _drain(start_curation_stream(
         spark, str(landing), paths["clean"], paths["rejects"],
         paths["index"], paths["ck"], threshold=0.7, available_now=True))
-    clean = spark.read.parquet(paths["clean"])
+    clean = V.read_snapshot(spark, paths["clean"])
     assert {r["doc_id"] for r in clean.collect()} == {5}
-    rejects = spark.read.parquet(paths["rejects"])
+    rejects = V.read_snapshot(spark, paths["rejects"])
     rej = {(r["batch_id"], r["corpus_id"]) for r in rejects.collect()}
     assert (6, 5) in rej
 
@@ -123,9 +124,9 @@ def test_curation_stream_replay_is_idempotent(spark, tmp_path):
 
     def state():
         clean = {r["doc_id"]
-                 for r in spark.read.parquet(paths["clean"]).collect()}
+                 for r in V.read_snapshot(spark, paths["clean"]).collect()}
         rejects = [(r["batch_id"], r["corpus_id"]) for r in
-                   spark.read.parquet(paths["rejects"]).collect()]
+                   V.read_snapshot(spark, paths["rejects"]).collect()]
         idx = spark.read.parquet(paths["index"])
         return clean, sorted(rejects), idx.count(), idx.distinct().count()
 
@@ -174,7 +175,7 @@ def test_cached_search_not_stale_across_batch_commit(spark, tmp_path):
     run()
 
     def search(filters):
-        return (spark.read.parquet(paths["clean"])
+        return (V.read_snapshot(spark, paths["clean"])
                 .filter(F.col("lang") == filters["lang"])
                 .select("doc_id"))
 

@@ -378,12 +378,15 @@ def test_interval_enrich_batch_stream_parity(spark, sf_dir, tmp_path):
     enrichment share one lowering (operators/temporal.py), so every
     purchase event streamed through the landing dir must come out with
     exactly the status the batch join assigns it — and a redelivered
-    batch must not double-enrich."""
+    batch must not double-enrich.  Runs on the DEFAULT sink (versioned
+    snapshot publish since r8), so parity and redelivery are both
+    exercised through the log."""
     from data_ingestion_system_spark.catalog import Catalog
     from data_ingestion_system_spark.operators.queries_relational import (
         join_interval_bucketed,
     )
     from data_ingestion_system_spark.operators.temporal import scd2_intervals
+    from data_ingestion_system_spark.sources import versioned as V
     from data_ingestion_system_spark.streaming.enrich import (
         TS_NTZ_FORMAT,
         start_interval_enrich,
@@ -409,7 +412,7 @@ def test_interval_enrich_batch_stream_parity(spark, sf_dir, tmp_path):
 
     drain()
     got = {r.event_id: (r.user_id, r.ts, r.status_at_event)
-           for r in spark.read.parquet(out).collect()}
+           for r in V.read_snapshot(spark, out).collect()}
     want = {r.event_id: (r.user_id, r.ts, r.status_at_event)
             for r in join_interval_bucketed(spark, sf_dir).collect()}
     assert got == want
@@ -424,7 +427,7 @@ def test_interval_enrich_batch_stream_parity(spark, sf_dir, tmp_path):
     src = next((tmp_path / "re").glob("part-*.json"))
     shutil.copy(src, landing / "b0" / "redelivered.json")
     drain()
-    again = spark.read.parquet(out).count()
+    again = V.read_snapshot(spark, out).count()
     assert again == len(got), "redelivered batch double-enriched"
 
 
@@ -434,7 +437,10 @@ def test_interval_enrich_sink_replay_no_duplicates(spark, sf_dir, tmp_path):
     checkpoint after a successful drain) and require the replayed batch
     to replace its own mb partition rather than append it again — the
     r5 verdict's one 'weak' finding, fixed by the mb-stamped dynamic
-    partition overwrite in streaming/enrich.py."""
+    partition overwrite in streaming/enrich.py.  Pins the LEGACY
+    ``versioned=False`` escape hatch (plain-parquet readers); the
+    default versioned sink's replay story is
+    test_interval_enrich_versioned_sink_serves_snapshots."""
     import shutil
 
     from data_ingestion_system_spark.catalog import Catalog
@@ -457,7 +463,8 @@ def test_interval_enrich_sink_replay_no_duplicates(spark, sf_dir, tmp_path):
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
 
     def drain():
-        q = start_interval_enrich(spark, str(landing), silver, out, ckpt)
+        q = start_interval_enrich(spark, str(landing), silver, out, ckpt,
+                                  versioned=False)
         assert q.awaitTermination(180), "micro-batch did not finish in 180s"
 
     drain()
