@@ -678,3 +678,42 @@ def bloom_prefiltered_seen(incoming: DataFrame, history: DataFrame,
         .join(matches, "fp")                   # exact verify
         .select(id_col, "matched_id")
     )
+
+
+def cdc_chunks(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Content-defined chunking: split each document's token stream at
+    CONTENT-derived boundaries — a token closes a chunk iff the last
+    hex digit of md5(token) is in {0, 1} (p = 1/8, expected chunk ~8
+    tokens).  Because the cut test looks only at the token itself, an
+    insertion or deletion re-aligns within one expected chunk length
+    and every following chunk is byte-identical again — the property
+    fixed windows lack (rsync/LBFS anchoring applied to corpus text;
+    pinned by tests/test_dedup.py::test_cdc_chunks_realign_after_insert).
+
+    Returns (id_col, chunk).  Everything — boundary detection, chunk
+    assembly — is array HOFs inside one scan-side projection: zero
+    shuffle, zero UDF, and downstream consumers group on
+    xxhash64(chunk), an 8-byte key.  The md5 boundary rule is
+    bit-identical in Spark and DuckDB, so oracles re-cut the same
+    chunks.
+    """
+    toks = df.select(
+        id_col,
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("w"))
+    return (
+        toks
+        # 1-based positions whose token closes a chunk
+        .withColumn("bpos", F.expr(
+            "filter(transform(w, (t, i) -> "
+            "IF(substring(md5(t), 32, 1) IN ('0', '1'), i + 1, -1)), "
+            "x -> x != -1)"))
+        .withColumn("starts", F.expr(
+            "concat(array(1), transform(bpos, p -> p + 1))"))
+        .withColumn("ends", F.expr("concat(bpos, array(size(w)))"))
+        # a trailing boundary leaves an empty (start > end) tail: drop it
+        .withColumn("chunks", F.expr(
+            "filter(zip_with(starts, ends, (s, e) -> "
+            "IF(s <= e, concat_ws(' ', slice(w, s, e - s + 1)), NULL)), "
+            "x -> x IS NOT NULL)"))
+        .select(id_col, F.explode("chunks").alias("chunk")))

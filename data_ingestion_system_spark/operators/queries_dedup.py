@@ -1189,3 +1189,79 @@ def dedup_lsh_power_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("t_micro") / 1e6 / F.count("*"), 6)
                  .alias("expected_recall"))
             .orderBy("bands", "rows_per_band", "j_bucket"))
+
+
+_CDC_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+bp AS (
+  SELECT doc_id, w,
+         list_filter(list_transform(range(1, len(w) + 1),
+             i -> CASE WHEN substr(md5(w[i]), 32, 1) IN ('0', '1')
+                       THEN i ELSE -1 END),
+             x -> x != -1) AS bpos
+  FROM toks),
+se AS (
+  SELECT doc_id, w,
+         list_prepend(1, list_transform(bpos, p -> p + 1)) AS starts,
+         list_append(bpos, len(w)) AS ends
+  FROM bp),
+chunks AS (
+  SELECT doc_id, array_to_string(w[starts[i + 1] : ends[i + 1]], ' ')
+           AS chunk
+  FROM se, UNNEST(range(len(starts))) AS t(i)
+  WHERE starts[i + 1] <= ends[i + 1]),
+shared AS (
+  SELECT chunk FROM chunks GROUP BY chunk
+  HAVING count(DISTINCT doc_id) >= 2)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN s.chunk IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_chunks
+FROM chunks c LEFT JOIN shared s USING (chunk)
+GROUP BY c.doc_id
+"""
+
+
+@register("dedup_cdc_chunks", _CDC_SQL)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup profile — the insertion-robust
+    complement to fixed-window passage dedup (dedup_duplicate_passages):
+    a token is a chunk BOUNDARY iff the last hex digit of md5(token) is
+    in {0, 1} (p = 1/8, expected chunk ~8 tokens), so chunk boundaries
+    move with the CONTENT, not the offset.  Insert one sentence into a
+    100 TB crawl page and only the chunks overlapping the edit change —
+    every downstream chunk re-aligns and still dedups, where all fixed
+    windows after the edit shift and miss (the rsync/LBFS/restic
+    chunking idea applied to corpus text).  Output per document: total
+    chunks and how many of them also occur verbatim in at least one
+    OTHER document (by distinct-doc count on the chunk text).
+
+    Scale shape: boundary detection, chunk assembly, and chunk hashing
+    are all array HOFs inside one scan-side projection — zero shuffle
+    until the chunk stream exists, and what shuffles is xxhash64(chunk)
+    (8 bytes), never chunk text.  The shared-chunk test is a count of
+    DISTINCT docs per chunk hash followed by a semi-join back — no
+    pair enumeration, so a boilerplate chunk shared by a million pages
+    costs one aggregation row, not C(1M, 2) pairs (the jaccard_pairs
+    hot-shingle lesson baked in from the start).  The oracle groups by
+    chunk TEXT, so the sf sweep would surface any 64-bit collision at
+    test scale (dedup_duplicate_passages' posture).  Portable boundary
+    rule: md5 is bit-identical in Spark and DuckDB, so both engines cut
+    the same chunks.  Ref parity: none (reference dedup is SELECT
+    DISTINCT, src/services/audit.services.ts); north-star scope.
+    """
+    cat = Catalog(spark, sf_dir)
+    chunked = D.cdc_chunks(cat.documents, "doc_id", "text")
+    # 8-byte shuffle key; the chunk text never moves cross-partition
+    hashed = chunked.select("doc_id", F.xxhash64("chunk").alias("ch"))
+    shared = (hashed.groupBy("ch")
+              .agg(F.count_distinct("doc_id").alias("nd"))
+              .filter(F.col("nd") >= 2)
+              .select("ch", F.lit(1).alias("is_dup")))
+    return (hashed.join(shared, "ch", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_chunks"),
+                 F.sum(F.coalesce(F.col("is_dup"), F.lit(0)).cast("long"))
+                 .alias("n_dup_chunks")))

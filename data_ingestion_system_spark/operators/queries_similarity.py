@@ -1522,3 +1522,256 @@ def sim_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     e.unpersist()
     return spark.createDataFrame(
         out, "step int, vec_id long, radius double")
+
+
+_HAM_SHORTLIST = 50
+
+_BQ_HALF = ("CAST(list_sum(list_transform(range(32), "
+            "i -> CASE WHEN v[i + {off}] > 0 THEN CAST(2 ** i AS BIGINT) "
+            "ELSE 0 END)) AS BIGINT)")
+
+_HAMMING_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+codes AS (
+  SELECT vec_id, v,
+         {_BQ_HALF.format(off=1)} AS lo,
+         {_BQ_HALF.format(off=33)} AS hi
+  FROM e),
+q AS (SELECT vec_id AS qid, v AS qv, lo AS qlo, hi AS qhi
+      FROM codes WHERE vec_id < {N_QUERIES}),
+ham AS (
+  SELECT q.qid, c.vec_id,
+         CAST(bit_count(xor(q.qlo, c.lo)) + bit_count(xor(q.qhi, c.hi))
+              AS INTEGER) AS hamming
+  FROM q CROSS JOIN codes c
+  WHERE c.vec_id != q.qid),
+short AS (
+  SELECT qid, vec_id, hamming
+  FROM ham
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY hamming, vec_id)
+            <= {_HAM_SHORTLIST}),
+scored AS (
+  SELECT s.qid, s.vec_id, s.hamming,
+         list_dot_product(q.qv, t.v)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(t.v, t.v))) AS cos
+  FROM short s
+  JOIN q ON q.qid = s.qid
+  JOIN e t ON t.vec_id = s.vec_id),
+ranked AS (
+  SELECT qid, vec_id, hamming, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id)
+           AS rnk
+  FROM scored)
+SELECT qid, vec_id, hamming, round(cos, 6) AS cosine, rnk
+FROM ranked WHERE rnk <= {K}
+"""
+
+
+def _bq_half(col: str, off: int):
+    """Pack the 32 sign bits of ``col[off .. off+31]`` into one BIGINT
+    (bit i set iff component off+i is strictly positive).  Two halves
+    cover DIM=64 without touching the sign bit of a single long —
+    portable integer arithmetic, identical in Spark and DuckDB."""
+    return F.expr(
+        f"aggregate(sequence(0, 31), 0L, (acc, i) -> "
+        f"acc + IF({col}[i + {off}] > 0D, shiftleft(1L, i), 0L))")
+
+
+@register("sim_topk_hamming", _HAMMING_SQL)
+def sim_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via binary quantization: each 64-dim float vector
+    compresses to its 64 SIGN bits (two packed BIGINT halves, 16 bytes
+    — a 32x read reduction vs the raw floats), the Hamming pass ranks
+    the whole corpus per query on popcount(xor) alone, and only the
+    50-vector shortlist is re-ranked with exact cosine on raw floats.
+    This is the faiss/SentenceTransformers binary-embedding serving
+    layout: at 100 TB the Hamming scan reads 2 longs per vector from a
+    column-pruned parquet scan (the embedding column never leaves the
+    rerank join), the per-pair cost is two XOR+popcount ALU ops inside
+    whole-stage codegen (F.bit_count — no UDF anywhere), and the
+    shortlist join back to raw vectors is vec_id-keyed and
+    candidate-sized.
+
+    Fully oracle-checked: sign-bit packing is exact integer arithmetic
+    (2^i fits a double exactly for i <= 31, shiftleft on the engine
+    side), popcount is popcount, and the only floats — the rerank
+    cosines — use the same dot/(|a||b|) form as sim_topk_bruteforce.
+    Shortlist and final ranks tie-break on vec_id in both engines.
+    Recall vs brute force is additionally pinned in
+    tests/test_similarity.py.  Ref parity: none (the reference has no
+    vector surface); north-star scope.
+    """
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    codes = corpus.select(
+        "vec_id",
+        _bq_half("embedding", 0).alias("lo"),
+        _bq_half("embedding", 32).alias("hi"))
+    qcodes = queries.select(
+        "qid", "qv",
+        _bq_half("qv", 0).alias("qlo"),
+        _bq_half("qv", 32).alias("qhi"))
+    ham = (codes.crossJoin(F.broadcast(qcodes.select("qid", "qlo", "qhi")))
+           .filter(F.col("vec_id") != F.col("qid"))
+           .select("qid", "vec_id",
+                   (F.bit_count(F.col("qlo").bitwiseXOR(F.col("lo")))
+                    + F.bit_count(F.col("qhi").bitwiseXOR(F.col("hi"))))
+                   .cast("int").alias("hamming")))
+    wh = Window.partitionBy("qid").orderBy("hamming", "vec_id")
+    short = (ham.withColumn("hr", F.row_number().over(wh))
+             .filter(F.col("hr") <= _HAM_SHORTLIST).drop("hr"))
+    scored = (short
+              .join(corpus, "vec_id")
+              .join(F.broadcast(queries), "qid")
+              .withColumn("cos_raw",
+                          cosine_fixed(F.col("qv"), F.col("embedding"),
+                                       DIM)))
+    wr = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(),
+                                           F.col("vec_id"))
+    return (scored.withColumn("rnk", F.row_number().over(wr))
+            .filter(F.col("rnk") <= K)
+            .select("qid", "vec_id", "hamming",
+                    F.round("cos_raw", 6).alias("cosine"), "rnk"))
+
+
+_RECALL_NPROBES = (1, 2, 4)
+_RECALL_MICRO_PER_HIT = 1_000_000 // (K * N_QUERIES)  # exact: 20000
+
+_IVF_RECALL_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT label AS cid, [{_CENT_AVGS}] AS c FROM e GROUP BY label),
+sims AS (
+  SELECT e.vec_id, x.cid,
+         list_dot_product(e.v, x.c)
+           / (sqrt(list_dot_product(e.v, e.v))
+              * sqrt(list_dot_product(x.c, x.c))) AS s
+  FROM e CROSS JOIN cent x),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS r
+    FROM sims) WHERE r = 1),
+probes AS (
+  SELECT vec_id AS qid, cid, r - 1 AS probe_rank FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS r
+    FROM sims WHERE vec_id < {N_QUERIES}) WHERE r <= {max(_RECALL_NPROBES)}),
+scored AS (
+  SELECT p.qid, a.vec_id, p.probe_rank,
+         list_dot_product(q.v, t.v)
+           / (sqrt(list_dot_product(q.v, q.v))
+              * sqrt(list_dot_product(t.v, t.v))) AS cos
+  FROM assign a
+  JOIN probes p ON a.cid = p.cid
+  JOIN e q ON q.vec_id = p.qid
+  JOIN e t ON t.vec_id = a.vec_id
+  WHERE a.vec_id <> p.qid),
+bf AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.vec_id AS qid, c.vec_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.v, c.v)
+                        / (sqrt(list_dot_product(q.v, q.v))
+                           * sqrt(list_dot_product(c.v, c.v))) DESC,
+                      c.vec_id) AS rnk
+    FROM e q CROSS JOIN e c
+    WHERE q.vec_id < {N_QUERIES} AND c.vec_id != q.vec_id)
+  WHERE rnk <= {K}),
+nps(nprobe) AS (VALUES {", ".join(f"({p})" for p in _RECALL_NPROBES)}),
+per AS (
+  SELECT n.nprobe, s.qid, s.vec_id,
+         row_number() OVER (PARTITION BY n.nprobe, s.qid
+                            ORDER BY s.cos DESC, s.vec_id) AS rnk
+  FROM nps n JOIN scored s ON s.probe_rank < n.nprobe),
+hits AS (
+  SELECT nprobe, count(*) AS n_hits
+  FROM per JOIN bf USING (qid, vec_id)
+  WHERE rnk <= {K} GROUP BY nprobe),
+cands AS (
+  SELECT n.nprobe, count(*) AS n_candidates
+  FROM nps n JOIN scored s ON s.probe_rank < n.nprobe
+  GROUP BY n.nprobe)
+SELECT n.nprobe,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) * {_RECALL_MICRO_PER_HIT} AS BIGINT)
+         AS recall_micro,
+       CAST(c.n_candidates AS BIGINT) AS n_candidates
+FROM nps n
+LEFT JOIN hits h USING (nprobe)
+JOIN cands c USING (nprobe)
+ORDER BY n.nprobe
+"""
+
+
+@register("sim_ivf_recall_curve", _IVF_RECALL_SQL)
+def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF parameter tuning table — the serving-side twin of
+    dedup_lsh_power_curve: for each nprobe in {1, 2, 4}, the MEASURED
+    recall@10 of the IVF index against exact brute force over the same
+    query set, next to the candidate count that nprobe paid.  Reading
+    it answers "how many inverted lists must a probe touch to hit X%
+    recall on THIS corpus?" with data — the one knob every IVF
+    deployment tunes, and the one number (recall per candidate-scan
+    cost) that decides whether the index earns its keep at 100 TB.
+
+    Determinism: recall is exact integer arithmetic — n_hits is a
+    count of (qid, vec_id) matches between two deterministically
+    tie-broken top-10 sets, and recall_micro = n_hits * 20000 exactly
+    (1e6 / (K * N_QUERIES) divides evenly), so no float ever rounds.
+
+    Scale shape: assignment and probe selection are the same map-only
+    Pandas-UDF passes as sim_topk_ivf; the candidate relation is built
+    ONCE at max(nprobe) with each candidate tagged by its list's probe
+    rank, then localCheckpointed — the three per-nprobe rankings re-use
+    the materialized candidates instead of re-scoring the corpus (the
+    dedup_duplicate_passages reuse discipline).  The brute-force ground
+    truth is the cost of the audit, run on the SAME sampled query set a
+    production recall probe would use — at 100 TB you measure recall on
+    O(100) held-out queries, never the full corpus, and this plan's
+    cost is exactly that posture."""
+    from data_ingestion_system_spark.operators.similarity import (
+        ivf_assign_udf,
+        topk_bruteforce,
+    )
+
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    cents = _ivf_centroids(spark, sf_dir)
+    max_np = max(_RECALL_NPROBES)
+
+    bf = (topk_bruteforce(corpus, queries, k=K)
+          .select("qid", "vec_id").localCheckpoint(eager=True))
+    assigned = corpus.withColumn(
+        "cid", ivf_assign_udf(cents, 1)(F.col("embedding"))[0])
+    probes = (queries
+              .withColumn("cids", ivf_assign_udf(cents, max_np)(F.col("qv")))
+              .select("qid", "qv",
+                      F.posexplode("cids").alias("probe_rank", "cid")))
+    scored = (assigned.join(F.broadcast(probes), "cid")
+              .filter(F.col("vec_id") != F.col("qid"))
+              .select("qid", "vec_id", "probe_rank",
+                      cosine_fixed(F.col("qv"), F.col("embedding"), DIM)
+                      .alias("cos_raw"))
+              .localCheckpoint(eager=True))
+
+    parts = []
+    for np_ in _RECALL_NPROBES:
+        cand = scored.filter(F.col("probe_rank") < np_)
+        w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(),
+                                              F.col("vec_id"))
+        topk = (cand.withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") <= K))
+        n_hits = (topk.join(bf, ["qid", "vec_id"], "left_semi")
+                  .agg(F.count("*").alias("n_hits")))
+        n_cand = cand.agg(F.count("*").alias("n_candidates"))
+        parts.append(
+            n_hits.crossJoin(n_cand).select(
+                F.lit(np_).alias("nprobe"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+                (F.col("n_hits") * _RECALL_MICRO_PER_HIT).cast("long")
+                .alias("recall_micro"),
+                F.col("n_candidates").cast("long").alias("n_candidates")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("nprobe")

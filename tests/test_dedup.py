@@ -417,3 +417,56 @@ def test_jaccard_pair_budget_gate(spark):
         anchor = c * 100
         members = {c * 100 + m for m in range(1, 8)}
         assert {b for (a, b) in star if a == anchor} == members
+
+
+def test_cdc_chunks_realign_after_insert(spark):
+    """The CDC property fixed windows lack: insert ONE token mid-doc
+    and the chunking re-aligns — every chunk strictly after the edited
+    chunk is byte-identical between the two versions, so a chunk-level
+    store dedups the unchanged tail.  Fixed 8-token windows would shift
+    every post-edit window and share nothing."""
+    from data_ingestion_system_spark.operators.dedup import cdc_chunks
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi "
+            "omega aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp")
+    w = base.split()
+    edited = " ".join(w[:18] + ["INSERTED"] + w[18:])
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string")
+    rows = cdc_chunks(docs).collect()
+    c1 = [r.chunk for r in rows if r.doc_id == 1]
+    c2 = [r.chunk for r in rows if r.doc_id == 2]
+    assert " ".join(c1).split() == [t.lower() for t in base.split()]
+    assert " ".join(c2).split() == [t.lower() for t in edited.split()]
+    shared = set(c1) & set(c2)
+    # the edit perturbs at most the chunks overlapping the insertion
+    # point; everything before AND after must re-align and dedup
+    assert len(shared) >= max(len(c1) - 2, 1), (c1, c2)
+    # and the two docs are NOT identical chunkings (the edit is real)
+    assert c1 != c2
+
+
+def test_cdc_chunks_cover_and_match_boundary_rule(spark):
+    """Chunks partition the token stream in order (concatenation
+    restores the doc) and every non-final chunk ends on a boundary
+    token (md5 last hex digit in {0,1}) while containing none before
+    its last position — the content-defined invariant."""
+    import hashlib
+
+    from data_ingestion_system_spark.operators.dedup import cdc_chunks
+
+    text = ("the quick brown fox jumps over the lazy dog again and "
+            "again with many more filler tokens to cross several "
+            "boundaries one two three four five six seven eight nine")
+    docs = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    chunks = [r.chunk for r in cdc_chunks(docs).collect()]
+
+    def is_boundary(tok: str) -> bool:
+        return hashlib.md5(tok.encode()).hexdigest()[-1] in "01"
+
+    assert " ".join(chunks).split() == text.lower().split()
+    for c in chunks[:-1]:
+        toks = c.split()
+        assert is_boundary(toks[-1]), c
+        assert not any(is_boundary(t) for t in toks[:-1]), c

@@ -292,3 +292,74 @@ def test_progressive_gate_skips_tight_pass_below_min_users(spark, sf_dir):
     dense = [tuple(r) for r in _topk_corr_pairs(
         nrm, srp_buckets_udf, n_bits=4, n_tables=16).collect()]
     assert got == dense
+
+
+def test_hamming_topk_shape_and_recall(spark, sf_dir):
+    """Binary-quantization ANN: valid per-query top-10 (no self, ranks
+    1..10, cosine-sorted) and non-trivial recall vs exact brute force —
+    sign bits keep enough geometry on the fixture corpus that the
+    50-candidate Hamming shortlist recovers a meaningful share of the
+    true top-10."""
+    from data_ingestion_system_spark.operators.queries_similarity import (
+        sim_topk_hamming,
+    )
+
+    got = sim_topk_hamming(spark, sf_dir).collect()
+    assert len(got) == 50
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append(r)
+    for q, rows in by_q.items():
+        assert sorted(r.rnk for r in rows) == list(range(1, 11))
+        cosines = [r.cosine for r in sorted(rows, key=lambda r: r.rnk)]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r.vec_id != q for r in rows)
+        assert all(0 <= r.hamming <= 64 for r in rows)
+
+    corpus, queries = _load(spark, sf_dir)
+    exact = {(r.qid, r.vec_id)
+             for r in topk_bruteforce(corpus, queries, k=10).collect()}
+    approx = {(r.qid, r.vec_id) for r in got}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"hamming recall {recall} collapsed"
+
+
+def test_hamming_codes_pack_sign_bits(spark, sf_dir):
+    """The packed halves reproduce the per-component sign test exactly:
+    unpacking bit i of (lo, hi) equals embedding[i] > 0 for every
+    vector — the integer path is the float sign structure, losslessly."""
+    from data_ingestion_system_spark.operators.queries_similarity import (
+        _bq_half,
+    )
+
+    corpus, _ = _load(spark, sf_dir)
+    rows = (corpus.limit(20)
+            .select("vec_id", "embedding",
+                    _bq_half("embedding", 0).alias("lo"),
+                    _bq_half("embedding", 32).alias("hi"))
+            .collect())
+    assert rows
+    for r in rows:
+        for i in range(64):
+            half, bit = (r.lo, i) if i < 32 else (r.hi, i - 32)
+            assert bool((half >> bit) & 1) == (r.embedding[i] > 0), \
+                f"vec {r.vec_id} bit {i}"
+
+
+def test_ivf_recall_curve_monotone(spark, sf_dir):
+    """More probes can only widen the candidate set: n_candidates and
+    n_hits are non-decreasing in nprobe, recall_micro is exactly
+    n_hits * 20000, and nprobe=max covers at least nprobe=1's hits."""
+    from data_ingestion_system_spark.operators.queries_similarity import (
+        sim_ivf_recall_curve,
+    )
+
+    rows = sorted(sim_ivf_recall_curve(spark, sf_dir).collect(),
+                  key=lambda r: r.nprobe)
+    assert [r.nprobe for r in rows] == [1, 2, 4]
+    for r in rows:
+        assert r.recall_micro == r.n_hits * 20000
+        assert 0 <= r.n_hits <= 50
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_candidates >= a.n_candidates
+        assert b.n_hits >= a.n_hits
