@@ -185,3 +185,52 @@ def test_seasonal_decompose_identity_and_constancy(spark, sf_dir):
         key = (r.event_type, r.h.hour)
         cells.setdefault(key, set()).add(r.seasonal)
     assert all(len(v) == 1 for v in cells.values())
+
+
+def test_label_propagation_two_planted_communities(spark, tmp_path):
+    """LPA on a hand-built graph of two disjoint customer-supplier
+    cliques: after 3 rounds every node in a clique carries one label,
+    the two communities never merge (no cross edges), and sizes are
+    exact.  Also pins the k-NN sparsifier: a customer with more than 3
+    suppliers keeps only the 3 strongest edges."""
+    import shutil
+
+    from data_ingestion_system_spark.operators.queries_relational import (
+        graph_label_propagation,
+    )
+
+    # community A: customers 1,2 <-> suppliers 11,12 (2 orders each so
+    # the edges beat the tie-break deterministically); community B:
+    # customers 3,4 <-> suppliers 13,14.  customer 5 has FIVE suppliers
+    # in B with distinct weights; only its top-3 edges must survive.
+    rows, ok = [], 1
+    def order(ck, sks, copies=1):
+        nonlocal ok
+        for _ in range(copies):
+            for sk in sks:
+                rows.append((ok, ck, sk))
+                ok += 1
+    order(1, [11, 12], 2)
+    order(2, [11, 12], 2)
+    order(3, [13, 14], 2)
+    order(4, [13, 14], 2)
+    # weights: s13 x4, s14 x3, s15 x2, s16 x1, s17 x1 -> top-3 = 13,14,15
+    order(5, [13], 4); order(5, [14], 3); order(5, [15], 2)
+    order(5, [16], 1); order(5, [17], 1)
+    orders = spark.createDataFrame(
+        [(o, c) for o, c, _ in rows], "o_orderkey long, o_custkey long")
+    lineitem = spark.createDataFrame(
+        [(o, s) for o, _, s in rows], "l_orderkey long, l_suppkey long")
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    orders.write.parquet(f"{sf}/orders.parquet")
+    lineitem.write.parquet(f"{sf}/lineitem.parquet")
+
+    got = {r["community"]: r["n_members"]
+           for r in graph_label_propagation(spark, sf).collect()}
+    # every node lands somewhere: 4+5 community members + customer 5's
+    # kept suppliers; pruned suppliers s16/s17 keep no edge and vanish
+    assert sum(got.values()) == 10  # c1,c2,s11,s12 + c3,c4,c5,s13,s14,s15
+    assert len(got) == 2
+    assert sorted(got.values()) == [4, 6]
+    shutil.rmtree(sf, ignore_errors=True)
