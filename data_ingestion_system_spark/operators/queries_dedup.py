@@ -25,9 +25,11 @@ COSINE_NEAR_DUP = 0.35  # fixture embeddings are near-orthogonal; 0.35 marks the
 # (dedup.py::jaccard_pairs pair_budget — the near_dup_pairs posture,
 # VERDICT r7 #3).  Graded fixtures sit far under it (measured mass:
 # 14.0k @ sf0.01, 1.27M @ sf0.1) so every oracle compare runs the
-# EXACT path; the ~90x-per-decade growth driven by dup cliques puts
-# sf1 (~1e8) and beyond onto the bounded star-pair path, which keeps
-# cliques connected — the property the clustering / canonical-pick /
+# EXACT path; the ~90x-per-decade growth driven by hot shingles puts
+# sf1 (~1e8) and beyond onto the MinHash-LSH candidate path (banded
+# equi-join + exact per-candidate verify), whose output follows the
+# S-curve instead of shingle occupancy and keeps dup cliques
+# connected — the property the clustering / canonical-pick /
 # leakage-split consumers below actually need.  The pair-closure
 # queries (dedup_ngram_jaccard, dedup_minhash_lsh, the triangle
 # census) stay ungated: the closure IS their product.
@@ -1058,13 +1060,24 @@ def dedup_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SPLIT_MULT = 2654435761  # Knuth multiplicative constant (queries_text.py)
+# Knuth-style bucket extraction, BIGINT-safe at any cluster id (r8):
+# the id pre-mods into a domain where the multiply cannot overflow
+# ((MOD-1) * MULT < 2^63 — sf10 fixture ids overflowed the raw product
+# under ANSI), and the bucket reads HIGH bits of the product (div 2^20)
+# — the raw product mod 10 was a no-op permutation of cluster_id % 10
+# (the multiplier ends in 1), which correlated splits with id locality;
+# high bits depend on the whole id, which is what a leakage split's
+# hash is for.
+_SPLIT_PREMOD = 3_000_000_000
+_SPLIT_SHIFT = 1_048_576  # 2^20
 _SPLIT_SQL = _CLUSTER_CTE + f""",
 labels AS (SELECT node AS doc_id, min(root) AS cid FROM reach GROUP BY node),
 assigned AS (
   SELECT d.doc_id, coalesce(l.cid, d.doc_id) AS cluster_id
   FROM documents d LEFT JOIN labels l USING (doc_id))
 SELECT doc_id, cluster_id,
-       CASE (cluster_id * {_SPLIT_MULT}) % 10
+       CASE (((cluster_id % {_SPLIT_PREMOD}) * {_SPLIT_MULT})
+             // {_SPLIT_SHIFT}) % 10
          WHEN 8 THEN 'valid' WHEN 9 THEN 'test' ELSE 'train'
        END AS split
 FROM assigned
@@ -1104,7 +1117,12 @@ def dedup_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"), F.col("cluster_id").alias("cid"))
     sh.unpersist()
     cluster = F.coalesce(F.col("cid"), F.col("doc_id"))
-    bucket = (cluster * F.lit(_SPLIT_MULT)) % 10
+    # high-bit Knuth bucket, pre-modded BIGINT-safe (see _SPLIT_SQL);
+    # `div` is exact integer division — a float divide would round the
+    # 63-bit product before truncation
+    bucket = F.expr(
+        f"(((coalesce(cid, doc_id) % {_SPLIT_PREMOD}L) * {_SPLIT_MULT}L) "
+        f"div {_SPLIT_SHIFT}L) % 10")
     split = (F.when(bucket == 8, "valid")
              .when(bucket == 9, "test").otherwise("train"))
     return (

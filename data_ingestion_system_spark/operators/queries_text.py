@@ -684,7 +684,7 @@ rate AS (
   FROM q CROSS JOIN mx),
 kept AS (
   SELECT d.lang,
-         sum(CASE WHEN ((d.doc_id * {_HASH_MULT}) % {_HASH_MOD})
+         sum(CASE WHEN (((d.doc_id % {_HASH_MOD}) * {_HASH_MULT % _HASH_MOD}) % {_HASH_MOD})
                        / CAST({_HASH_MOD} AS DOUBLE) < r.keep_prob
                   THEN 1 ELSE 0 END) AS n_kept
   FROM documents d JOIN rate r USING (lang)
@@ -720,7 +720,10 @@ def text_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "n",
         F.round((F.col("ql") / F.col("n")) / F.col("peak"), 6)
         .alias("keep_prob"))
-    u = ((F.col("doc_id") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)) \
+    # pre-mod keeps the product BIGINT-safe at any doc_id (sf10 ids
+    # overflow the raw multiply under ANSI); (d*S) mod p == ((d mod p)(S mod p)) mod p
+    u = (((F.col("doc_id") % F.lit(_HASH_MOD))
+          * F.lit(_HASH_MULT % _HASH_MOD)) % F.lit(_HASH_MOD)) \
         / F.lit(float(_HASH_MOD))
     kept = (
         cat.documents.join(F.broadcast(rate), "lang")
@@ -785,7 +788,7 @@ _STRATUM_N = 20  # fixed sample size per (source, lang) stratum
 @register("text_sample_per_stratum", f"""
 WITH h AS (
   SELECT doc_id, source, lang,
-         (doc_id * 2654435761) % 1000003 AS hkey
+         ((doc_id % 1000003) * (2654435761 % 1000003)) % 1000003 AS hkey
   FROM documents),
 r AS (
   SELECT doc_id, source, lang, hkey,
@@ -811,7 +814,8 @@ def text_sample_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     h = cat.documents.select(
         "doc_id", "source", "lang",
-        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1000003))
+        (((F.col("doc_id") % F.lit(1000003))
+          * F.lit(2654435761 % 1000003)) % F.lit(1000003))
         .alias("hkey"))
     wnd = Window.partitionBy("source", "lang").orderBy("hkey", "doc_id")
     return (
@@ -827,7 +831,7 @@ _KFOLD = 5
 
 @register("text_kfold_assign", f"""
 WITH f AS (
-  SELECT lang, (doc_id * {_HASH_MULT}) % {_KFOLD} AS fold
+  SELECT lang, ((doc_id % {_KFOLD}) * {_HASH_MULT % _KFOLD}) % {_KFOLD} AS fold
   FROM documents)
 SELECT lang, CAST(fold AS BIGINT) AS fold, count(*) AS n_docs
 FROM f GROUP BY lang, fold
@@ -842,7 +846,8 @@ def text_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the hash exactly.  One map-combined agg over a
     langs x k grid."""
     cat = Catalog(spark, sf_dir)
-    fold = (F.col("doc_id") * F.lit(_HASH_MULT)) % F.lit(_KFOLD)
+    fold = ((F.col("doc_id") % F.lit(_KFOLD))
+            * F.lit(_HASH_MULT % _KFOLD)) % F.lit(_KFOLD)
     return (cat.documents
             .select("lang", fold.cast("bigint").alias("fold"))
             .groupBy("lang", "fold")

@@ -376,10 +376,12 @@ def test_jaccard_pair_budget_gate(spark):
     """r8: the pair_budget gate on the exact common-shingle join.
 
     Under budget the exact path runs unchanged; over budget the query
-    warns LOUDLY and switches to star pairs — every emitted row must
-    carry the pair's EXACT full Jaccard (identical to the exact path's
-    row for that pair), and a planted dup clique must stay one
-    connected component through the star edges.
+    warns LOUDLY and switches to MinHash-LSH candidates — every
+    emitted row must carry the pair's EXACT full Jaccard (identical to
+    the exact path's row for that pair), and a planted dup clique of
+    identical copies must come back as its COMPLETE pair closure
+    (identical docs collide in every band, so LSH recall on cliques
+    is 1) — connectivity with room to spare.
     """
     import warnings
 
@@ -403,20 +405,18 @@ def test_jaccard_pair_budget_gate(spark):
                  for r in D.jaccard_pairs(sh, pair_budget=10**9).collect()}
     assert under == exact
 
-    # over budget: loud switch, star output
+    # over budget: loud switch, LSH-candidate output
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        star_df = D.jaccard_pairs(sh, pair_budget=50)
+        lsh_df = D.jaccard_pairs(sh, pair_budget=50)
         assert any("pair_budget" in str(x.message) for x in w)
-    star = {(r.id_a, r.id_b): r.jaccard for r in star_df.collect()}
-    # every star row is a true pair with the exact path's jaccard
-    for pair, j in star.items():
+    lsh = {(r.id_a, r.id_b): r.jaccard for r in lsh_df.collect()}
+    # every LSH row is a true pair with the exact path's jaccard
+    for pair, j in lsh.items():
         assert pair in exact and abs(j - exact[pair]) < 1e-12
-    # each 8-copy clique survives as its anchor's 7 pairs (connected)
-    for c in range(3):
-        anchor = c * 100
-        members = {c * 100 + m for m in range(1, 8)}
-        assert {b for (a, b) in star if a == anchor} == members
+    # identical copies collide in every band: each 8-copy clique comes
+    # back as its COMPLETE C(8,2) closure, and nothing crosses cliques
+    assert lsh == exact
 
 
 def test_cdc_chunks_realign_after_insert(spark):
