@@ -611,3 +611,53 @@ def audio_stats(df: DataFrame) -> DataFrame:
         F.round(F.col("sum_abs") / F.nullif(n, F.lit(0)), 6)
         .alias("mean_abs"),
         "decode_error")
+
+
+def video_scene_deltas(df: DataFrame, threshold: int = 2000) -> DataFrame:
+    """(media_id, content) AVI rows -> per-consecutive-frame pixel
+    delta: for each frame i >= 1 of a raw-DIB stream, the exact integer
+    sum of absolute per-byte differences against frame i-1, flagged as
+    a scene CUT when it exceeds ``threshold`` — the frame-sampling
+    primitive a video curation pipeline runs before extracting training
+    frames (sample around cuts, skip static spans).  Compressed-fourcc
+    streams yield no delta rows (bitstream decode is delegated, see
+    module contract); corrupt containers quarantine into
+    ``demux_error``.  Same Arrow-batched mapInPandas shape as every
+    media op — map-only, no shuffle."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("sum_abs_delta", T.LongType()),
+        T.StructField("is_cut", T.BooleanType()),
+        T.StructField("demux_error", T.StringType()),
+    ])
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from data_ingestion_system_spark.operators import codecs
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    meta = codecs.demux_avi(bytes(content or b""))
+                except Exception as exc:  # corrupt container: quarantine
+                    rows.append({"media_id": mid, "frame_idx": None,
+                                 "sum_abs_delta": None, "is_cut": None,
+                                 "demux_error": str(exc)[:200]})
+                    continue
+                if meta["fourcc"] not in ("DIB", "RGB"):
+                    continue
+                frames = [codecs.decode_avi_raw_frame(
+                    f, meta["width"], meta["height"]).astype(np.int64)
+                    for f in meta["frames"]]
+                for idx in range(1, len(frames)):
+                    sad = int(np.abs(frames[idx] - frames[idx - 1]).sum())
+                    rows.append({"media_id": mid, "frame_idx": idx,
+                                 "sum_abs_delta": sad,
+                                 "is_cut": sad > threshold,
+                                 "demux_error": None})
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "frame_idx", "sum_abs_delta", "is_cut",
+                "demux_error"])
+
+    return df.mapInPandas(compute, out_schema)

@@ -534,3 +534,93 @@ def multimodal_image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_pixel",
         F.round(F.col("sum_pixel") / F.col("n_pixels"), 6)
         .alias("mean_pixel"))
+
+
+_SCENE_FRAME_BYTES = 48   # 16x1 24-bit DIB rows: 4 frames on a ~160B doc
+_SCENE_CUT_THRESHOLD = 2000
+
+
+_SCENE_SQL = f"""
+WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS L
+           FROM documents),
+f AS (SELECT media_id, h, L,
+             greatest(1, CAST(ceil(L / {_SCENE_FRAME_BYTES}.0) AS BIGINT))
+               AS n_frames
+      FROM m),
+d AS (SELECT media_id, h, L,
+             unnest(range({_SCENE_FRAME_BYTES},
+                          n_frames * {_SCENE_FRAME_BYTES})) AS i
+      FROM f WHERE n_frames > 1),
+v AS (SELECT media_id, i // {_SCENE_FRAME_BYTES} AS frame_idx,
+             abs(CASE WHEN i < L
+                      THEN ('0x' || substr(h, CAST(2 * i + 1 AS INT), 2))::INT
+                      ELSE 0 END
+                 - CASE WHEN i - {_SCENE_FRAME_BYTES} < L
+                        THEN ('0x' || substr(h,
+                              CAST(2 * (i - {_SCENE_FRAME_BYTES}) + 1
+                                   AS INT), 2))::INT
+                        ELSE 0 END) AS ad
+      FROM d)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(sum(ad) AS BIGINT) AS sum_abs_delta,
+       sum(ad) > {_SCENE_CUT_THRESHOLD} AS is_cut
+FROM v GROUP BY media_id, frame_idx
+"""
+
+
+@register("multimodal_scene_cuts", _SCENE_SQL)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection through the REAL container chain: mux each
+    document's bytes into a single-stream raw-DIB AVI of 16x1 48-byte
+    frames (the multimodal_video_demux mux at a finer frame grain, so
+    fixture docs span several frames), demux + frame-decode it back
+    with the pure-Python RIFF walker, and report each consecutive
+    frame pair's exact integer sum of absolute per-byte deltas with a
+    cut flag — the frame-sampling primitive a video curation pipeline
+    runs before extracting training frames (sample around cuts, skip
+    static spans).
+
+    Because the mux is deterministic byte arithmetic over the text,
+    DuckDB predicts every delta from hex pairs of ``encode(text)``
+    (byte-exact, zero-padded tail frames included) — a hash match
+    proves mux -> RIFF demux -> DIB decode -> numpy delta end-to-end.
+    The |a-b| sum is invariant to the decoder's row layout (any fixed
+    byte permutation cancels between consecutive frames), so the
+    oracle needs no DIB knowledge.
+
+    Scale shape: two chained map-only Arrow stages (mux stands in for
+    reading real uploads; production runs only demux -> delta), no
+    shuffle anywhere — per-pair work is one vectorized numpy pass over
+    48-byte frames, and at 100 TB the job is bounded by scan + Arrow
+    batch throughput exactly like the other media ops."""
+    import math
+
+    from data_ingestion_system_spark.operators import codecs
+    from data_ingestion_system_spark.operators.multimodal import (
+        video_scene_deltas,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    out_schema = "media_id long, content binary"
+    fb = _SCENE_FRAME_BYTES
+
+    def mux(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            content = []
+            for mid, text in zip(pdf["doc_id"], pdf["text"]):
+                b = (text or "").encode("utf-8")
+                n = max(1, math.ceil(len(b) / fb))
+                b = b.ljust(n * fb, b"\x00")
+                frames = [b[i * fb:(i + 1) * fb] for i in range(n)]
+                content.append(codecs.encode_avi(frames, 16, 1, fps=12))
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "content": content})
+
+    media = cat.documents.select("doc_id", "text").mapInPandas(
+        mux, out_schema)
+    return (video_scene_deltas(media, threshold=_SCENE_CUT_THRESHOLD)
+            .filter(F.col("demux_error").isNull())
+            .select("media_id", "frame_idx", "sum_abs_delta", "is_cut"))

@@ -3318,3 +3318,116 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_members"))
             .orderBy(F.col("n_members").desc(), "community")
             .limit(20))
+
+
+_ROLL_WINDOW_DAYS = 7
+
+
+@register("agg_rolling_distinct_users", f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+spine AS (SELECT DISTINCT d FROM ud)
+SELECT s.d AS day,
+       CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_users_7d
+FROM spine s
+JOIN ud u ON u.d BETWEEN s.d - {_ROLL_WINDOW_DAYS - 1} AND s.d
+GROUP BY s.d
+""")
+def agg_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the sliding
+    COUNT(DISTINCT) every growth dashboard runs and no engine can
+    express as a plain window function at scale (a distinct over a
+    moving range frame needs per-row set state; Spark's own window
+    spec rejects count_distinct over frames).  The scalable lowering
+    is INTERVAL EXPLODE: each (user, active-day) fact is emitted into
+    exactly the 7 trailing windows it can influence
+    (explode(sequence(d, d+6)) — constant fan-out, map-side), the
+    (user, window-day) stream dedupes on a 12-byte composite key, and
+    the count per day is then a plain combinable count — no per-day
+    set state anywhere, no quadratic self-join.
+
+    Scale shape: fan-out is EXACTLY the window width (7x row growth
+    bound, independent of data), both shuffles are narrow-key
+    (user+date, then date), and the final day spine semi-join prunes
+    windows past the observed range.  The oracle computes the same
+    thing the dashboard way (day-spine range join + count distinct),
+    so the lowering is checked against the textbook definition, not
+    against itself.  Ref parity: none (the reference has no windowed
+    analytics); north-star scope."""
+    cat = Catalog(spark, sf_dir)
+    ud = (cat.events
+          .select("user_id", F.to_date("ts").alias("d"))
+          .distinct())
+    spine = ud.select("d").distinct().select(F.col("d").alias("day"))
+    expanded = (ud.select(
+        "user_id",
+        F.explode(F.sequence(
+            F.col("d"), F.date_add(F.col("d"), _ROLL_WINDOW_DAYS - 1)))
+        .alias("day"))
+        .distinct())
+    return (expanded.join(spine, "day", "left_semi")
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n_users_7d")))
+
+
+_GAP_GRID_MIN = (15, 30, 60)
+
+
+@register("agg_session_gap_sweep", f"""
+WITH g AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_ts
+  FROM events),
+gs AS (
+  SELECT CASE WHEN prev_ts IS NULL THEN NULL
+              ELSE CAST(floor(epoch(ts) - epoch(prev_ts)) AS BIGINT)
+         END AS gap_s
+  FROM g),
+grid(gap_minutes) AS (VALUES {", ".join(f"({m})" for m in _GAP_GRID_MIN)})
+SELECT gap_minutes,
+       CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > gap_minutes * 60
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       round(count(*) * 1.0
+             / sum(CASE WHEN gap_s IS NULL OR gap_s > gap_minutes * 60
+                        THEN 1 ELSE 0 END), 4) AS events_per_session
+FROM gs CROSS JOIN grid
+GROUP BY gap_minutes
+ORDER BY gap_minutes
+""")
+def agg_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-gap parameter sweep — the tuning table behind every
+    sessionization deployment (the third of the engine's tuner-table
+    family, with dedup_lsh_power_curve and sim_ivf_recall_curve): how
+    many sessions, and how many events per session, does each
+    candidate inactivity gap (15/30/60 min) produce on THIS corpus?
+    Reading it picks the gap where the session count stops being
+    sensitive to the parameter — the knee every analytics team finds
+    by rerunning sessionize N times; here it is ONE pass.
+
+    Scale shape: the per-user lag window runs ONCE (one shuffle on
+    user_id, sorted per-user pass — the agg_sessionize lowering), the
+    grid cross is 3 constant broadcast rows, and the per-threshold
+    session counts are map-combinable conditional sums — sweeping the
+    parameter costs 3 aggregate columns, not 3 sessionize runs.  Gap
+    seconds use the same floored-epoch arithmetic agg_sessionize pins
+    cross-engine (integer on both sides; ties on ts break on event_id
+    so duplicate timestamps gap identically on any engine)."""
+    cat = Catalog(spark, sf_dir)
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (cat.events.select("user_id", "ts", "event_id")
+            .withColumn("prev_ts", F.lag("ts").over(w_ord))
+            .withColumn("gap_s", F.expr(
+                "timestampdiff(SECOND, prev_ts, ts)")))
+    grid = spark.createDataFrame(
+        [(m,) for m in _GAP_GRID_MIN], "gap_minutes int").limit(
+        len(_GAP_GRID_MIN))  # provable bound for the plan linter
+    start = F.when(
+        F.col("prev_ts").isNull()
+        | (F.col("gap_s") > F.col("gap_minutes") * 60), 1).otherwise(0)
+    return (gaps.crossJoin(F.broadcast(grid))
+            .groupBy("gap_minutes")
+            .agg(F.sum(start).cast("long").alias("n_sessions"),
+                 F.round(F.count(F.lit(1))
+                         / F.sum(start), 4).alias("events_per_session"))
+            .orderBy("gap_minutes"))

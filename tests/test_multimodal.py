@@ -297,3 +297,36 @@ def test_near_dup_clusters_survive_the_pair_budget(spark):
     # the tiny pad blobs legitimately near-dup each other (mostly-empty
     # block profiles); what matters is no RANDOM blob joins any cluster
     assert all(n >= 30 or n == 0 for n in got)
+
+
+def test_scene_cuts_planted_deltas(spark, tmp_path):
+    """Planted frame structure through the real mux->demux->decode
+    chain: identical consecutive frames delta 0 (no cut), a moderate
+    letter change stays under the threshold, and a zero-padded tail
+    frame crosses it — deltas are exact integers."""
+    import shutil
+
+    from data_ingestion_system_spark.operators.queries_multimodal import (
+        multimodal_scene_cuts,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a" * 96, "en", "s", 96),     # 2 identical frames: delta 0
+            (2, "a" * 48 + "z" * 48, "en", "s", 96),  # 48*25 = 1200 < 2000
+            (3, "a" * 30, "en", "s", 30),     # single frame: no delta rows
+            (4, "a" * 60, "en", "s", 60),     # tail: 12 a's + 36 NULs
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    docs.write.parquet(f"{sf}/documents.parquet")
+
+    rows = {(r.media_id, r.frame_idx): (r.sum_abs_delta, r.is_cut)
+            for r in multimodal_scene_cuts(spark, sf).collect()}
+    assert rows == {
+        (1, 1): (0, False),
+        (2, 1): (48 * (ord("z") - ord("a")), False),
+        (4, 1): (36 * ord("a"), True),   # 3492 > 2000
+    }
+    shutil.rmtree(sf, ignore_errors=True)

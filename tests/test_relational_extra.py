@@ -234,3 +234,65 @@ def test_label_propagation_two_planted_communities(spark, tmp_path):
     assert len(got) == 2
     assert sorted(got.values()) == [4, 6]
     shutil.rmtree(sf, ignore_errors=True)
+
+
+def _write_events(spark, tmp_path, rows):
+    import shutil  # noqa: F401
+
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double")
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir(exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    return sf
+
+
+def test_rolling_distinct_users_hand_windows(spark, tmp_path):
+    """Trailing-7-day distinct users on a hand fixture: a user active
+    6 days before a day still counts for it; 7+ days before does not;
+    duplicate events one day count once."""
+    import datetime as dt
+
+    from data_ingestion_system_spark.operators.queries_relational import (
+        agg_rolling_distinct_users,
+    )
+
+    t = lambda d, h=0: dt.datetime(2024, 3, d, h)  # noqa: E731
+    sf = _write_events(spark, tmp_path, [
+        (1, t(1), 10, "click", 1.0),
+        (2, t(1, 5), 10, "click", 1.0),   # same user+day: counts once
+        (3, t(5), 20, "click", 1.0),
+        (4, t(7), 30, "click", 1.0),      # day 1 still in [1..7]
+        (5, t(12), 40, "click", 1.0),     # day 5 out ([6..12]), 7 in
+    ])
+    got = {str(r.day): r.n_users_7d
+           for r in agg_rolling_distinct_users(spark, sf).collect()}
+    assert got == {
+        "2024-03-01": 1,          # {10}
+        "2024-03-05": 2,          # {10 (day 1 in [Feb 28..5]), 20}
+        "2024-03-07": 3,          # {10, 20, 30} — day 1 still in [1..7]
+        "2024-03-12": 2,          # [6..12]: day 5 aged out -> {30, 40}
+    }, got
+
+
+def test_session_gap_sweep_knee(spark, tmp_path):
+    """One user with 20- and 45-minute gaps: 15-min gap -> 3 sessions,
+    30-min -> 2, 60-min -> 1; events_per_session = 3 / n_sessions."""
+    import datetime as dt
+
+    from data_ingestion_system_spark.operators.queries_relational import (
+        agg_session_gap_sweep,
+    )
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    m = lambda mins: base + dt.timedelta(minutes=mins)  # noqa: E731
+    sf = _write_events(spark, tmp_path, [
+        (1, m(0), 1, "click", 1.0),
+        (2, m(20), 1, "click", 1.0),
+        (3, m(65), 1, "click", 1.0),
+    ])
+    rows = {r.gap_minutes: (r.n_sessions, r.events_per_session)
+            for r in agg_session_gap_sweep(spark, sf).collect()}
+    assert rows[15][0] == 3 and rows[30][0] == 2 and rows[60][0] == 1
+    assert rows[30][1] == 1.5 and rows[60][1] == 3.0
