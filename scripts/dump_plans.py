@@ -250,6 +250,21 @@ HEADLINERS = {
         "aggregation that feeds it, and the output is O(slices) — the "
         "incremental form of the Heaps'-law exhaust measurements."
     ),
+    "sim_topk_hamming": (
+        "Binary-quantized ANN (r8): sign bits pack into two BIGINTs "
+        "inside the scan projection (whole-stage codegen, no UDF), the "
+        "corpus-wide Hamming pass moves 16 bytes per vector against a "
+        "broadcast 5-row query side, and the raw embedding column is "
+        "read ONLY by the shortlist re-rank join — the wide column "
+        "never rides the ranking shuffle."
+    ),
+    "agg_rolling_distinct_users": (
+        "Sliding COUNT(DISTINCT) (r8): interval explode bounds fan-out "
+        "at exactly the 7-day window width, dedup runs on a 12-byte "
+        "(user, day) composite, and the per-day count is a plain "
+        "combinable aggregate — no per-day set state, no range "
+        "self-join, no window function at all."
+    ),
 }
 
 
