@@ -1775,3 +1775,75 @@ def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("nprobe")
+
+
+_QUANT_BITS = ((4, 7), (6, 31), (8, 127))  # bits -> symmetric levels 2^(b-1)-1
+
+_QUANT_SWEEP_SQL = f"""
+WITH x AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+grid(bits, levels) AS (VALUES {", ".join(f"({b}, {lv})" for b, lv in _QUANT_BITS)}),
+s AS (
+  SELECT vec_id, bits,
+         greatest(list_max(list_transform(v, e -> abs(e))), 1e-12)
+           / levels AS sc,
+         v
+  FROM x CROSS JOIN grid),
+err AS (
+  SELECT vec_id, bits,
+         CAST(round(list_max(list_transform(
+             v, e -> abs(e - round_even(e / sc, 0) * sc))) * 1e9, 0)
+           AS BIGINT) AS nano
+  FROM s)
+SELECT bits,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       round(CAST(sum(nano) AS BIGINT) / 1e9 / count(*), 6)
+         AS mean_max_err,
+       round(max(nano) / 1e9, 6) AS worst_err
+FROM err GROUP BY bits ORDER BY bits
+"""
+
+
+@register("emb_quantize_error_sweep", _QUANT_SWEEP_SQL)
+def emb_quantize_error_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization bit-width tuning table — the fourth tuner table
+    (after the LSH power curve, IVF recall curve, and session-gap
+    sweep): per candidate symmetric bit width (int4/int6/int8), the
+    corpus-wide mean and worst per-vector roundtrip error.  Reading it
+    picks the narrowest storage width whose worst-case error stays
+    under the serving tolerance — the embedding-store sizing decision
+    (4x compression vs int8 is real money at 100 TB of vectors), made
+    from measured error on THIS corpus instead of rules of thumb.
+
+    Determinism: each vector's max-abs error quantizes to integer
+    NANO-units before any aggregation, so the mean is an
+    order-independent integer sum (the text_nb_langid discipline) and
+    the worst is an integer max; rint/round_even keeps the quantizer
+    bit-identical across engines (the emb_quantize_roundtrip
+    contract).
+
+    Scale shape: the whole sweep is scan-side array HOFs — the 3-row
+    grid broadcast-crosses into the projection, each vector computes
+    its own scale and error inside whole-stage codegen (no UDF), and
+    the only shuffle is the 3-group aggregate of (bigint, bigint)
+    partials.  One corpus pass prices every bit width."""
+    from data_ingestion_system_spark.functions.vectors import as_double
+
+    cat = Catalog(spark, sf_dir)
+    e = cat.embeddings.select("vec_id", as_double(F.col("embedding"))
+                              .alias("v"))
+    grid = spark.createDataFrame(
+        list(_QUANT_BITS), "bits int, levels int").limit(len(_QUANT_BITS))
+    x = (e.crossJoin(F.broadcast(grid))
+         .withColumn("sc", F.expr(
+             "greatest(array_max(transform(v, e -> abs(e))), 1e-12)"
+             " / levels"))
+         .withColumn("nano", F.expr(
+             "cast(round(array_max(transform(v, e -> "
+             "abs(e - rint(e / sc) * sc))) * 1e9, 0) as bigint)")))
+    return (x.groupBy("bits")
+            .agg(F.count(F.lit(1)).alias("n_vectors"),
+                 F.round(F.sum("nano") / F.lit(1e9) / F.count(F.lit(1)), 6)
+                 .alias("mean_max_err"),
+                 F.round(F.max("nano") / F.lit(1e9), 6).alias("worst_err"))
+            .select("bits", "n_vectors", "mean_max_err", "worst_err")
+            .orderBy("bits"))

@@ -363,3 +363,25 @@ def test_ivf_recall_curve_monotone(spark, sf_dir):
     for a, b in zip(rows, rows[1:]):
         assert b.n_candidates >= a.n_candidates
         assert b.n_hits >= a.n_hits
+
+
+def test_quantize_error_sweep_monotone(spark, sf_dir):
+    """More bits can only shrink error: mean and worst per-vector
+    roundtrip error strictly decrease from int4 to int8, every error
+    respects the scale/2 bound implied by its width, and the int8
+    row agrees with emb_quantize_roundtrip's per-vector maxima."""
+    from data_ingestion_system_spark.operators.queries_similarity import (
+        emb_quantize_error_sweep,
+        emb_quantize_roundtrip,
+    )
+
+    rows = sorted(emb_quantize_error_sweep(spark, sf_dir).collect(),
+                  key=lambda r: r.bits)
+    assert [r.bits for r in rows] == [4, 6, 8]
+    for a, b in zip(rows, rows[1:]):
+        assert b.mean_max_err < a.mean_max_err
+        assert b.worst_err < a.worst_err
+        assert a.n_vectors == b.n_vectors
+    worst8 = max(r.max_abs_err for r in
+                 emb_quantize_roundtrip(spark, sf_dir).collect())
+    assert abs(rows[2].worst_err - worst8) < 1e-5
