@@ -3431,3 +3431,49 @@ def agg_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.count(F.lit(1))
                          / F.sum(start), 4).alias("events_per_session"))
             .orderBy("gap_minutes"))
+
+
+@register("window_activity_streaks", """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+r AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INT) AS grp
+  FROM ud),
+streaks AS (
+  SELECT user_id, grp, count(*) AS len
+  FROM r GROUP BY user_id, grp)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(sum(len) AS BIGINT) AS active_days
+FROM streaks GROUP BY user_id
+""")
+def window_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands per user at day grain: consecutive active days
+    collapse into streaks via the row_number-difference trick (a run of
+    consecutive dates minus its 1..n rank is one constant group key),
+    reported as per-user streak count, longest streak, and total
+    active days — the engagement-streak metric every retention
+    dashboard derives, and the day-grain complement to agg_sessionize's
+    minute-grain islands.
+
+    Scale shape: one distinct on (user, day) (12-byte composite), one
+    per-user window whose state is a single counter (row_number over a
+    sorted day run — no frame buffering), and two combinable
+    aggregations that both ride the window's user_id hash
+    partitioning; the group key is pure date arithmetic (date minus
+    rank — identical integer-day semantics in both engines), so
+    nothing string-typed ever shuffles."""
+    cat = Catalog(spark, sf_dir)
+    ud = (cat.events.select("user_id", F.to_date("ts").alias("d"))
+          .distinct())
+    r = ud.withColumn(
+        "grp", F.expr("date_sub(d, cast(row_number() over "
+                      "(partition by user_id order by d) as int))"))
+    streaks = r.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return (streaks.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_streaks"),
+                 F.max("len").alias("longest_streak"),
+                 F.sum("len").alias("active_days")))

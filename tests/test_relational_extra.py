@@ -296,3 +296,29 @@ def test_session_gap_sweep_knee(spark, tmp_path):
             for r in agg_session_gap_sweep(spark, sf).collect()}
     assert rows[15][0] == 3 and rows[30][0] == 2 and rows[60][0] == 1
     assert rows[30][1] == 1.5 and rows[60][1] == 3.0
+
+
+def test_activity_streaks_hand_runs(spark, tmp_path):
+    """Gaps-and-islands on planted runs: days 1-3 + 5 + 7-8 make three
+    streaks, longest 3, five active days; duplicate events within a
+    day count once."""
+    import datetime as dt
+
+    from data_ingestion_system_spark.operators.queries_relational import (
+        window_activity_streaks,
+    )
+
+    t = lambda d: dt.datetime(2024, 3, d, 9)  # noqa: E731
+    sf = _write_events(spark, tmp_path, [
+        (1, t(1), 1, "click", 1.0),
+        (2, t(1), 1, "view", 1.0),     # same day: one active day
+        (3, t(2), 1, "click", 1.0),
+        (4, t(3), 1, "click", 1.0),
+        (5, t(5), 1, "click", 1.0),
+        (6, t(7), 1, "click", 1.0),
+        (7, t(8), 1, "click", 1.0),
+    ])
+    rows = window_activity_streaks(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_streaks, r.longest_streak, r.active_days) == (3, 3, 6)
