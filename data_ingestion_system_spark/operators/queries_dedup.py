@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from data_ingestion_system_spark.catalog import Catalog
 from data_ingestion_system_spark.operators import dedup as D
 from data_ingestion_system_spark.registry import register
+from data_ingestion_system_spark.session import ensure_input_parallelism
 
 JACCARD_THRESHOLD = 0.5
 COSINE_NEAR_DUP = 0.35  # fixture embeddings are near-orthogonal; 0.35 marks the tail
@@ -201,7 +202,8 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both the self-join and the per-doc counts (16 bytes/row cached)
     sh = D.word_shingles(cat.documents, "doc_id", "text", n=3,
                          hashed=True).persist()
-    pairs = D.jaccard_pairs(sh, pair_budget=_PAIR_BUDGET).filter(
+    pairs = D.jaccard_pairs(sh, pair_budget=_PAIR_BUDGET,
+                            mass_key=(sf_dir, "documents.text", 3)).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD)
     labels = D.connected_components(pairs).select(
         F.col("node").alias("doc_id"), "cluster_id")
@@ -221,7 +223,8 @@ def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     sh = D.word_shingles(cat.documents, "doc_id", "text", n=3,
                          hashed=True).persist()
-    pairs = D.jaccard_pairs(sh, pair_budget=_PAIR_BUDGET).filter(
+    pairs = D.jaccard_pairs(sh, pair_budget=_PAIR_BUDGET,
+                            mass_key=(sf_dir, "documents.text", 3)).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD)
     labels = D.connected_components_star(pairs).select(
         F.col("node").alias("doc_id"), "cluster_id")
@@ -615,7 +618,8 @@ def dedup_cleaning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_keep = D.exact_dedup_survivors(docs, "doc_id", "text") \
         .select("doc_id")
     sh = D.word_shingles(docs, "doc_id", "text", n=3, hashed=True).persist()
-    pairs = D.jaccard_pairs(sh, pair_budget=_PAIR_BUDGET).filter(
+    pairs = D.jaccard_pairs(sh, pair_budget=_PAIR_BUDGET,
+                            mass_key=(sf_dir, "documents.text", 3)).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD)
     near = D.connected_components(pairs).filter(
         F.col("node") != F.col("cluster_id")
@@ -907,7 +911,8 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     sh = D.word_shingles(cat.documents, "doc_id", "text", n=3,
                          hashed=True).persist()
-    pairs = D.jaccard_pairs(sh, pair_budget=_PAIR_BUDGET).filter(
+    pairs = D.jaccard_pairs(sh, pair_budget=_PAIR_BUDGET,
+                            mass_key=(sf_dir, "documents.text", 3)).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD)
     labels = D.connected_components(pairs).select(
         F.col("node").alias("doc_id"), "cluster_id")
@@ -1111,7 +1116,8 @@ def dedup_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     sh = D.word_shingles(cat.documents, "doc_id", "text", n=3,
                          hashed=True).persist()
-    pairs = D.jaccard_pairs(sh, pair_budget=_PAIR_BUDGET).filter(
+    pairs = D.jaccard_pairs(sh, pair_budget=_PAIR_BUDGET,
+                            mass_key=(sf_dir, "documents.text", 3)).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD)
     labels = D.connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("cluster_id").alias("cid"))
@@ -1296,15 +1302,10 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cat = Catalog(spark, sf_dir)
     docs = cat.documents.select("doc_id", "text")
-    # input-parallelism guard (the multimodal_image_roundtrip lesson,
-    # SCALING.md r7): the per-token md5 + array-HOF projection is the
-    # heaviest stage, and a small parquet file scans as 1-2 splits,
-    # serializing it.  Repartition ONLY when the scan has fewer splits
-    # than cores — a no-op at real scale, where the scan itself has
-    # thousands of row-group splits.
-    cores = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < cores:
-        docs = docs.repartition(cores)
+    # input-parallelism guard (shared helper — VERDICT r8 #7): the
+    # per-token md5 + array-HOF projection is the heaviest stage, and a
+    # small parquet file scans as 1-2 splits, serializing it.
+    docs = ensure_input_parallelism(docs, spark)
     chunked = D.cdc_chunks(docs, "doc_id", "text")
     # 8-byte shuffle key; the chunk text never moves cross-partition
     hashed = chunked.select("doc_id", F.xxhash64("chunk").alias("ch"))

@@ -21,6 +21,7 @@ from data_ingestion_system_spark.operators.multimodal import (
     media_features,
 )
 from data_ingestion_system_spark.registry import register
+from data_ingestion_system_spark.session import ensure_input_parallelism
 
 
 def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -204,7 +205,9 @@ def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     feats = media_features(_media_from_documents(spark, sf_dir))
     return near_dup_pairs(feats, threshold=0.999,
-                          pair_budget=_PAIR_BUDGET)
+                          pair_budget=_PAIR_BUDGET,
+                          precomputed_mass=_session_mass(spark, sf_dir,
+                                                         feats))
 
 
 # candidate-mass budget for the pair query: ~8x the true pair count
@@ -213,6 +216,26 @@ def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle-graded scale stays on the exact path, while the sf10
 # clique-quadratic fixture (and any real clique blowup) crosses it.
 _PAIR_BUDGET = 10_000_000
+
+
+def _session_mass(spark: SparkSession, sf_dir: str, feats: DataFrame) \
+        -> float:
+    """Memoized LSH candidate mass for this fixture's media features
+    (r9, VERDICT r8 #7): near_dup_pairs' budget gate is EAGER — the
+    mass pre-pass (decode + feature + bucket UDF chain + one agg) runs
+    at plan-BUILD time — so the pairs and clusters queries over one
+    read-only fixture should measure it once per session, not once
+    each.  Keyed on everything the mass depends on: the fixture path
+    and the (centering, 12-bit x 8-table) bucketing config, which is
+    pinned inside both candidate_pair_mass and near_dup_pairs."""
+    from data_ingestion_system_spark.operators.multimodal import (
+        candidate_pair_mass,
+    )
+    from data_ingestion_system_spark.plans import memo
+
+    return memo.session_scalar(
+        spark, ("media_pair_mass", sf_dir, "centered-12x8"),
+        lambda: candidate_pair_mass(feats))
 
 
 _VIDEO_SQL = """
@@ -360,7 +383,9 @@ def multimodal_near_dup_clusters(spark: SparkSession, sf_dir: str) \
 
     feats = media_features(_media_from_documents(spark, sf_dir))
     pairs = near_dup_pairs(feats, threshold=0.999,
-                           pair_budget=_PAIR_BUDGET).select("id_a", "id_b")
+                           pair_budget=_PAIR_BUDGET,
+                           precomputed_mass=_session_mass(
+                               spark, sf_dir, feats)).select("id_a", "id_b")
     return D.connected_components(pairs).select(
         F.col("node").alias("media_id"), "cluster_id")
 
@@ -521,10 +546,8 @@ def multimodal_image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "media_id", "width", "height", "filter_type",
                 "n_pixels", "sum_pixel"])
 
-    docs = cat.documents.select("doc_id", "text")
-    cores = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < cores:
-        docs = docs.repartition(cores)
+    docs = ensure_input_parallelism(
+        cat.documents.select("doc_id", "text"), spark)
     stats = docs.mapInPandas(
         roundtrip,
         "media_id long, width int, height long, filter_type int, "

@@ -3308,11 +3308,14 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         lab = (cnt.withColumn("rn", F.row_number().over(w))
                .filter(F.col("rn") == 1)
                .select(F.col("dst").alias("node"), "label"))
+    # exact integer division (`div`), not float `/`: packed labels can
+    # exceed 2^53 where float division is inexact, and the DuckDB
+    # oracle unpacks with integer `//` (ADVICE r8)
     community = F.when(
         F.col("label") % 2 == 0,
-        F.concat(F.lit("c"), (F.col("label") / 2).cast("long")),
+        F.concat(F.lit("c"), F.expr("label div 2")),
     ).otherwise(
-        F.concat(F.lit("s"), ((F.col("label") - 1) / 2).cast("long")))
+        F.concat(F.lit("s"), F.expr("(label - 1) div 2")))
     return (lab.select(community.alias("community"))
             .groupBy("community")
             .agg(F.count(F.lit(1)).alias("n_members"))

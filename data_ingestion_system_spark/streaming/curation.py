@@ -85,6 +85,36 @@ def _clean_store(spark: SparkSession, path: str,
         if latest_version(path) > 0:
             return read_snapshot(spark, path).select(
                 "doc_id", "text", "lang")
+        # Empty log + raw parquet on disk = a pre-versioned (r7-) store
+        # being resumed with versioned=True (the r8 default).  Probing
+        # against an EMPTY corpus here would silently re-accept every
+        # cross-batch duplicate of the legacy history — fail loudly and
+        # name both exits instead (ADVICE r8).  Parquet inside d-*/ is
+        # NOT legacy: an uncommitted (crashed-before-log-append) write
+        # is correctly invisible and must not trip the migration error.
+        def _legacy_parquet() -> bool:
+            if not os.path.isdir(path):
+                return False
+            for entry in os.listdir(path):
+                if entry.startswith("d-") or entry == "_log":
+                    continue
+                p = os.path.join(path, entry)
+                if entry.endswith(".parquet") and os.path.isfile(p):
+                    return True
+                if os.path.isdir(p) and any(
+                        f.endswith(".parquet")
+                        for _, _, fs in os.walk(p) for f in fs):
+                    return True
+            return False
+
+        if _legacy_parquet():
+            raise ValueError(
+                f"clean store at {path!r} holds raw parquet but no "
+                "snapshot log: it predates the versioned layout. "
+                "Either resume with versioned=False (legacy raw-dir "
+                "probing) or migrate once by committing the raw files "
+                "as snapshot v1 (sources/versioned.py) before "
+                "restarting the stream.")
         return spark.createDataFrame([], _EMPTY_CLEAN_SCHEMA)
     if os.path.isdir(path) and any(
             f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs):

@@ -191,3 +191,34 @@ def test_cached_search_not_stale_across_batch_commit(spark, tmp_path):
     run()
     assert {r["doc_id"] for r in svc.search({"lang": "en"})} == {1, 2}, \
         "cached search served a pre-batch result after the commit"
+
+
+def test_legacy_raw_store_with_versioned_true_raises(spark, tmp_path):
+    """ADVICE r8 (medium): a pre-versioned clean store (raw parquet,
+    no snapshot log) resumed under the versioned=True default must NOT
+    probe against an empty corpus (silently re-accepting every
+    cross-batch duplicate) — it must raise a loud migration error.
+    An uncommitted d-*/ data dir (crash before log append) is not
+    legacy and stays invisible without raising."""
+    import os
+
+    import pytest
+
+    from data_ingestion_system_spark.streaming.curation import _clean_store
+
+    legacy = str(tmp_path / "legacy_clean")
+    spark.createDataFrame(
+        [(1, DOC_A, "en")], "doc_id long, text string, lang string"
+    ).write.parquet("file://" + legacy)
+    with pytest.raises(ValueError, match="predates the versioned"):
+        _clean_store(spark, legacy, versioned=True)
+    # the documented legacy exit still reads it
+    assert _clean_store(spark, legacy, versioned=False).count() == 1
+
+    # orphan uncommitted write: d-*/ parquet, empty log -> empty corpus
+    orphan = tmp_path / "orphan_clean"
+    (orphan / "_log").mkdir(parents=True)
+    spark.createDataFrame(
+        [(2, DOC_A, "en")], "doc_id long, text string, lang string"
+    ).write.parquet("file://" + os.path.join(str(orphan), "d-deadbeef"))
+    assert _clean_store(spark, str(orphan), versioned=True).count() == 0

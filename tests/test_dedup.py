@@ -419,6 +419,58 @@ def test_jaccard_pair_budget_gate(spark):
     assert lsh == exact
 
 
+def test_jaccard_mass_memoized_per_session(spark):
+    """r9 (VERDICT r8 #1): with ``mass_key`` set, the eager candidate-
+    mass pre-pass runs ONCE per (application, key) — later builds with
+    the same key reuse the memoized mass instead of re-running the
+    shingle scan + occupancy aggregate.
+
+    Proven behaviorally, not by timing: after the first build memoizes
+    the true (tiny) mass, the cache slot is overwritten with a huge
+    sentinel — if a second build re-measured, it would see the true
+    mass and stay on the exact path; instead it must trust the cache
+    and take the LSH gate (loud warning).  After memo.clear() it
+    re-measures and runs exact again.
+    """
+    import warnings
+
+    from data_ingestion_system_spark.plans import memo
+
+    df = _corpus(spark)
+    sh = D.word_shingles(df, "doc_id", "text", n=3, hashed=True)
+    key = ("test-memo", "corpus")
+    full_key = ("jaccard_pairs_mass", key)
+
+    memo.clear()
+    assert not memo.contains(spark, full_key)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # under budget: exact, silent
+        first = D.jaccard_pairs(sh, pair_budget=10**9, mass_key=key)
+    assert memo.contains(spark, full_key)
+    exact = {(r.id_a, r.id_b): r.jaccard for r in first.collect()}
+
+    # poison the slot: a re-measure would restore the true tiny mass
+    memo._CACHE[(spark.sparkContext.applicationId, full_key)] = float(
+        10**12)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        gated = D.jaccard_pairs(sh, pair_budget=10**9, mass_key=key)
+        assert any("pair_budget" in str(x.message) for x in w), \
+            "second build must USE the memoized mass, not re-measure"
+    # the LSH path still emits exact-Jaccard rows for every pair it keeps
+    lsh = {(r.id_a, r.id_b): r.jaccard for r in gated.collect()}
+    for pair, j in lsh.items():
+        assert pair in exact and abs(j - exact[pair]) < 1e-12
+
+    memo.clear()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # re-measured: exact again
+        again = D.jaccard_pairs(sh, pair_budget=10**9, mass_key=key)
+    assert {(r.id_a, r.id_b): r.jaccard
+            for r in again.collect()} == exact
+    memo.clear()
+
+
 def test_cdc_chunks_realign_after_insert(spark):
     """The CDC property fixed windows lack: insert ONE token mid-doc
     and the chunking re-aligns — every chunk strictly after the edited

@@ -300,7 +300,7 @@ def test_session_gap_sweep_knee(spark, tmp_path):
 
 def test_activity_streaks_hand_runs(spark, tmp_path):
     """Gaps-and-islands on planted runs: days 1-3 + 5 + 7-8 make three
-    streaks, longest 3, five active days; duplicate events within a
+    streaks, longest 3, six active days; duplicate events within a
     day count once."""
     import datetime as dt
 
