@@ -46,12 +46,14 @@ OUTPUT_SCHEMA = T.StructType([
     T.StructField("max_value", T.DoubleType()),
 ])
 
-try:  # the TWS wire format needs protobuf at runtime
-    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+# The TWS wire format needs protobuf at runtime.  pyspark treats it as
+# an optional extra, so environments legitimately lack it — r9 vendors
+# a minimal pure-Python runtime (vendor/protobuf_shim, public wire spec)
+# and falls back to it, which lights this module's previously
+# environment-gated happy path.  A real installation always wins.
+from data_ingestion_system_spark.vendor import ensure_protobuf, ship_protobuf
 
-    HAS_TWS = True
-except ImportError:  # pragma: no cover - environment-dependent
-    HAS_TWS = False
+HAS_TWS = ensure_protobuf()
 
 
 def _fold_batches(pdfs: Iterator[pd.DataFrame]) -> tuple[int, float, float]:
@@ -106,6 +108,9 @@ def lifetime_profiles_tws(events: DataFrame) -> DataFrame:
         raise ImportError(
             "transformWithStateInPandas needs google.protobuf at runtime; "
             "use lifetime_profiles (applyInPandasWithState) instead")
+    # the state-server client runs in the PYTHON WORKERS — ship the
+    # vendored runtime there too (no-op where protobuf is installed)
+    ship_protobuf(events.sparkSession)
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,

