@@ -24,15 +24,29 @@ from data_ingestion_system_spark.registry import register
 from data_ingestion_system_spark.session import ensure_input_parallelism
 
 
-def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> typed media rows: blob = utf-8 bytes, kind by id."""
+def _media_from_documents(spark: SparkSession, sf_dir: str,
+                          parallel: bool = False) -> DataFrame:
+    """documents -> typed media rows: blob = utf-8 bytes, kind by id.
+
+    ``parallel=True`` applies the input-parallelism guard for consumers
+    whose heaviest stage is Arrow-batched Python over these rows
+    (features, demux, near-dup): a media-sized corpus fits one parquet
+    split well past sf1 (sf10's documents = 60 MB = ONE 128 MB split),
+    which serializes the whole decode chain onto a single task — r9's
+    second-decade sweep measured scene-cuts riding that single task to
+    a 9.7x decade ratio.  No-op at real scale, where the scan itself
+    has thousands of splits; pure-JVM consumers (multimodal_meta) skip
+    the guard so they don't buy a shuffle they never amortize."""
     cat = Catalog(spark, sf_dir)
     kind = (
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")
         .otherwise("video")
     )
-    return cat.documents.select(
+    docs = cat.documents
+    if parallel:
+        docs = ensure_input_parallelism(docs, spark)
+    return docs.select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
         F.encode(F.col("text"), "utf-8").alias("content"),
@@ -106,7 +120,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's pandas canonicalizer cannot hash an ``array<double>``
     column — with a full byte-arithmetic oracle; ``media_features``
     keeps the array-valued API for library callers."""
-    feats = media_features(_media_from_documents(spark, sf_dir))
+    feats = media_features(
+        _media_from_documents(spark, sf_dir, parallel=True))
     return feats.select(
         "media_id",
         F.posexplode("features").alias("dim", "value"),
@@ -128,7 +143,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per sampled frame (row-exploding mapInPandas).  Oracle recomputes the
     sampled windows' byte means exactly (every doc here is non-empty, so
     the max(1, ...) single-frame fallback never fires)."""
-    frames = frame_sample(_media_from_documents(spark, sf_dir), every_n=4)
+    frames = frame_sample(
+        _media_from_documents(spark, sf_dir, parallel=True), every_n=4)
     return frames.select(
         "media_id", F.col("frame_no").cast("bigint").alias("frame_no"),
         "offset", "energy")
@@ -203,7 +219,8 @@ def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from data_ingestion_system_spark.operators.multimodal import near_dup_pairs
 
-    feats = media_features(_media_from_documents(spark, sf_dir))
+    feats = media_features(
+        _media_from_documents(spark, sf_dir, parallel=True))
     return near_dup_pairs(feats, threshold=0.999,
                           pair_budget=_PAIR_BUDGET,
                           precomputed_mass=_session_mass(spark, sf_dir,
@@ -308,7 +325,8 @@ def multimodal_video_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["doc_id"],
                                 "content": content})
 
-    media = cat.documents.select("doc_id", "text").mapInPandas(
+    media = ensure_input_parallelism(
+        cat.documents.select("doc_id", "text"), spark).mapInPandas(
         mux, out_schema)
     stats = video_demux_stats(media)
     return stats.select(
@@ -381,7 +399,8 @@ def multimodal_near_dup_clusters(spark: SparkSession, sf_dir: str) \
         near_dup_pairs,
     )
 
-    feats = media_features(_media_from_documents(spark, sf_dir))
+    feats = media_features(
+        _media_from_documents(spark, sf_dir, parallel=True))
     pairs = near_dup_pairs(feats, threshold=0.999,
                            pair_budget=_PAIR_BUDGET,
                            precomputed_mass=_session_mass(
@@ -461,7 +480,8 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["doc_id"],
                                 "content": content})
 
-    media = cat.documents.select("doc_id", "text").mapInPandas(
+    media = ensure_input_parallelism(
+        cat.documents.select("doc_id", "text"), spark).mapInPandas(
         mux, out_schema)
     return audio_stats(media).select(
         "media_id", "n_channels", "sample_rate", "n_samples",
@@ -642,7 +662,8 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["doc_id"],
                                 "content": content})
 
-    media = cat.documents.select("doc_id", "text").mapInPandas(
+    media = ensure_input_parallelism(
+        cat.documents.select("doc_id", "text"), spark).mapInPandas(
         mux, out_schema)
     return (video_scene_deltas(media, threshold=_SCENE_CUT_THRESHOLD)
             .filter(F.col("demux_error").isNull())

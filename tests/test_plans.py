@@ -388,11 +388,20 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
 
 def test_video_demux_is_map_only(spark, sf_dir):
     """multimodal_video_demux: two chained Arrow map stages over a
-    column-pruned scan and NO exchange anywhere — container stats are
-    embarrassingly parallel (the PLANS.md claim, pinned)."""
+    column-pruned scan and no KEYED exchange anywhere — container stats
+    are embarrassingly parallel (the PLANS.md claim, pinned).
+
+    r9: the input-parallelism guard may insert ONE round-robin
+    repartition when the scan has fewer splits than cores (always true
+    at test scale, a no-op at real scale) — that exchange carries no
+    key and is the documented exception; any hash/range exchange still
+    fails the pin."""
     plan = plan_of(spark, sf_dir, "multimodal_video_demux")
     assert plan.count("MapInPandas") == 2
-    assert "Exchange" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "RoundRobinPartitioning" in line, line
+    assert "hashpartitioning" not in plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
 
 
