@@ -112,6 +112,23 @@ def align_interpolate(a: DataFrame, b: DataFrame) -> DataFrame:
             "v_interp": np.round(np.interp(x, xp, fp), 4),
         })
 
-    return (a.select("user_id", "ts", "value").groupBy("user_id")
-            .cogroup(b.select("user_id", "ts").groupBy("user_id"))
+    # Pin the cogroup width to the session's parallelism (r9, measured):
+    # the per-GROUP Python dispatch (Arrow slice + function call per
+    # user) is the real cost of this stage, and it is NOT proportional
+    # to bytes — but AQE coalescing sizes partitions BY bytes, so at
+    # bench scale it folded the whole cogroup onto ONE task (1.5k
+    # serial dispatches, 8.2s; 32-wide it is ~1.3s).  An explicit
+    # user-specified partition count is exempt from AQE coalescing and
+    # satisfies the cogroup's required distribution, so no extra
+    # exchange appears; at cluster scale defaultParallelism is the
+    # same width a plain shuffle would get, and per-task memory stays
+    # bounded by the largest single GROUP either way (Arrow streams
+    # one group at a time).
+    spark = a.sparkSession
+    width = max(spark.sparkContext.defaultParallelism,
+                int(spark.conf.get("spark.sql.shuffle.partitions", "200")))
+    return (a.select("user_id", "ts", "value")
+            .repartition(width, "user_id").groupBy("user_id")
+            .cogroup(b.select("user_id", "ts")
+                     .repartition(width, "user_id").groupBy("user_id"))
             .applyInPandas(interp, _INTERP_SCHEMA))

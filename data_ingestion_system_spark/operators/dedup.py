@@ -224,8 +224,13 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id",
     hashes 12 fixed bytes (int seed + long), not the raw shingle string —
     k x cheaper on long shingles."""
     h = _hashed_shingles(sh, id_col)
+    # expression strings, not Column objects (r9): k Column-built aggs
+    # cost ~5 py4j round-trips each (~0.5s of driver time at k=32, 2s at
+    # k=128, per build); one parsed string per agg yields the identical
+    # tree for milliseconds.  The int literal seed parses to the same
+    # INT-typed literal xxhash64 hashed before.
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
+        F.expr(f"min(xxhash64({i}, sh))").alias(f"h{i}")
         for i in range(num_perm)
     ]
     return h.groupBy(id_col).agg(*aggs)
@@ -242,7 +247,8 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
     """
     rows = num_perm // bands
     band_cols = [
-        F.xxhash64(F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)])
+        F.expr(f"xxhash64({b}, "
+               + ", ".join(f"h{b * rows + r}" for r in range(rows)) + ")")
         .alias(f"b{b}")
         for b in range(bands)
     ]
@@ -369,19 +375,21 @@ def simhash64(df: DataFrame, id_col: str, text_col: str,
         th = F.xxhash64("tok")
     counted = (toks.withColumn("th", th)
                .groupBy(id_col, "th").agg(F.count("*").alias("cnt")))
+    # expression strings (r9): the 60-64 vote aggregates and the packed
+    # bitwiseOR chain cost ~2s of py4j Column construction per build;
+    # the parsed strings produce node-identical trees ((th >> i) & 1 is
+    # ShiftRight/BitwiseAnd, CASE WHEN is the same CaseWhen) in
+    # milliseconds.
     votes = counted.groupBy(id_col).agg(*[
-        F.sum(
-            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1,
-                   F.col("cnt")).otherwise(-F.col("cnt"))
-        ).alias(f"v{i}")
+        F.expr(f"sum(CASE WHEN (th >> {i}) & 1 = 1 "
+               f"THEN cnt ELSE -cnt END)").alias(f"v{i}")
         for i in range(n_bits)
     ])
-    sig = F.lit(0).cast("long")
-    for i in range(n_bits):
-        sig = sig.bitwiseOR(
-            F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i))
-            .otherwise(F.lit(0).cast("long"))
-        )
+    sig = F.expr(
+        "CAST(0 AS BIGINT) | " + " | ".join(
+            f"(CASE WHEN v{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+            for i in range(n_bits)))
     return votes.select(id_col, sig.alias("simhash"))
 
 
@@ -430,9 +438,17 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
     alternating large-star/small-star rounds (same loop skeleton, doubly-
     logarithmic rounds).
     """
+    # Symmetrize via explode, not union-of-swap (r9): a union reads the
+    # `pairs` plan twice, and for the gated dedup consumers that plan is
+    # the whole shingle -> common-shingle-join -> Jaccard pipeline; AQE
+    # reuse dedupes only the exchanges, not the per-branch post-shuffle
+    # work.  One explode emits both directions from a single scan.
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionAll(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        pairs.select(F.explode(F.array(
+            F.struct(F.col(a_col).alias("src"), F.col(b_col).alias("dst")),
+            F.struct(F.col(b_col).alias("src"), F.col(a_col).alias("dst")),
+        )).alias("e"))
+        .select("e.src", "e.dst")
         .persist()
     )
     labels = (
@@ -487,7 +503,10 @@ def connected_components_star(pairs: DataFrame, a_col: str = "id_a",
     * **small-star**: emit (v, m) for every neighbor v <= u, plus
       (u, m) itself.
 
-    Both rounds are one groupBy + one join on the node key.  This is the
+    Both rounds are one groupBy + one join on the node key.  Nodes are
+    derived from the deduped non-self-loop edge set (a pure self-pair
+    (x, x) contributes no node — every caller emits strict id_a < id_b
+    pairs, where the distinction cannot arise).  This is the
     right form when the pair graph can contain LONG CHAINS (adversarial
     diameters): a 200-link chain finishes in a handful of rounds where
     capped min-label propagation would stop early with wrong labels
@@ -495,8 +514,9 @@ def connected_components_star(pairs: DataFrame, a_col: str = "id_a",
     order-insensitive checksum stops changing; ``localCheckpoint`` after
     each round truncates lineage exactly as in ``connected_components``.
     """
-    e = (pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-         .filter(F.col("u") != F.col("v")).distinct().localCheckpoint())
+    e0 = (pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+          .filter(F.col("u") != F.col("v")).distinct().localCheckpoint())
+    e = e0
 
     def checksum(edges: DataFrame):
         # order-insensitive fingerprint; bit_xor never overflows (a sum
@@ -508,7 +528,12 @@ def connected_components_star(pairs: DataFrame, a_col: str = "id_a",
 
     def large_star(edges: DataFrame) -> DataFrame:
         # neighborhoods over the SYMMETRIZED adjacency; every strictly
-        # larger neighbor re-points at min(N(u) + {u})
+        # larger neighbor re-points at min(N(u) + {u}).  The checkpoint
+        # stays (r9, measured): dropping it to halve per-round jobs
+        # BACKFIRED — small_star reads its input twice (canon feeds both
+        # the min-agg and the join), so an unmaterialized large_star ran
+        # its whole join+agg pipeline twice per round and build time
+        # went 4.6s -> 11.3s.  Materialize-once beats fewer-jobs here.
         sym = edges.unionAll(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         m = (sym.groupBy("u").agg(F.min("v").alias("mv"))
@@ -542,9 +567,15 @@ def connected_components_star(pairs: DataFrame, a_col: str = "id_a",
     labels = e.groupBy("u").agg(F.min("v").alias("mn")).select(
         F.col("u").alias("node"),
         F.least(F.col("mn"), F.col("u")).alias("cluster_id"))
-    # isolated-after-rewrite minima label themselves
-    all_nodes = (pairs.select(F.col(a_col).alias("node"))
-                 .unionAll(pairs.select(F.col(b_col).alias("node"))).distinct())
+    # isolated-after-rewrite minima label themselves.  Node set comes
+    # from the CHECKPOINTED initial edge set, not the raw `pairs` plan
+    # (r9, measured): `pairs` is typically the whole upstream pair
+    # pipeline (shingle join, Jaccard verify), and reading it here
+    # re-ran that pipeline at action time — 2.1s of dedup_cluster_star's
+    # exec was exactly this recompute.  e0 is the same relation minus
+    # self-loops, which contribute no node a real edge doesn't.
+    all_nodes = (e0.select(F.col("u").alias("node"))
+                 .unionAll(e0.select(F.col("v").alias("node"))).distinct())
     return (all_nodes.join(labels, "node", "left")
             .select("node",
                     F.coalesce("cluster_id", F.col("node")).alias("cluster_id")))

@@ -422,7 +422,7 @@ def near_dup_pairs(feats: DataFrame, threshold: float = 0.999,
         .join(fc.select(F.col("media_id").alias("id_b"),
                         F.col("fc").alias("fb")), "id_b")
         .withColumn("cos_raw",
-                    cosine_fixed(F.col("fa"), F.col("fb"), FEATURE_DIM))
+                    cosine_fixed("fa", "fb", FEATURE_DIM))
         .filter(F.col("cos_raw") >= threshold)
         .select("id_a", "id_b", block_col,
                 F.round("cos_raw", 6).alias("cosine"))
@@ -471,7 +471,7 @@ def _representative_pairs(centered: DataFrame, banded: DataFrame,
         .join(fc.select(F.col("media_id").alias("id_b"),
                         F.col("fc").alias("fb")), "id_b")
         .withColumn("cos_raw",
-                    cosine_fixed(F.col("fa"), F.col("fb"), FEATURE_DIM))
+                    cosine_fixed("fa", "fb", FEATURE_DIM))
         .filter(F.col("cos_raw") >= threshold)
         .select("id_a", "id_b", block_col,
                 F.round("cos_raw", 6).alias("cosine"))

@@ -120,12 +120,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixtures sits at j>=0.9, where a pair collides in >=1 of 8 bands
     w.p. ~0.9998 (1-(1-j^4)^8); byte-identical docs share every band."""
     cat = Catalog(spark, sf_dir)
-    # the shingle set feeds BOTH the signature and the verify stage;
-    # persist it (already hash-collapsed to longs) so the explode+distinct
-    # shuffle runs once, not twice, and what's cached is 16 bytes/row
-    # (at 100 TB: MEMORY_AND_DISK spills instead of recomputing the scan)
-    sh = D.word_shingles(cat.documents, "doc_id", "text", n=3,
-                         hashed=True).persist()
+    # the shingle set feeds BOTH the signature and the verify stage —
+    # but do NOT persist it (r9, the _gated_pairs lesson): a
+    # marked-but-never-materialized cache makes the plan's concurrent
+    # consumer stages RACE to populate it (measured 229.9s vs 123.3s at
+    # sf10 on the gated family).  Cache-free, Catalyst's ReuseExchange
+    # shares the one distinct-shingle shuffle across the signature and
+    # both verify legs, so the scan+explode runs once anyway.
+    sh = D.word_shingles(cat.documents, "doc_id", "text", n=3, hashed=True)
     sig = D.minhash_signatures(sh, num_perm=32)
     cand = D.lsh_candidate_pairs(sig, num_perm=32, bands=8)
     verified = D.verify_candidates(sh, cand)
@@ -850,12 +852,19 @@ def dedup_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     toks = (cat.documents.select("doc_id", w.alias("w"))
             .filter(F.size("w") >= k))
+    # explicit repartition on the gram hash (r9, same rationale as
+    # dedup_cdc_chunks): the gram stream feeds both the distinct-doc
+    # aggregate and the join probe side — one shared user exchange via
+    # ReuseExchange instead of two implicit ones, so the window-slide +
+    # hash projection runs once.
+    width = max(spark.sparkContext.defaultParallelism,
+                int(spark.conf.get("spark.sql.shuffle.partitions", "200")))
     grams = toks.select(
         "doc_id",
         F.posexplode(F.expr(
             f"transform(sequence(0, size(w) - {k}), "
             f"i -> xxhash64(concat_ws(' ', slice(w, i + 1, {k}))))"
-        )).alias("start", "gh"))
+        )).alias("start", "gh")).repartition(width, "gh")
     dup = (grams.groupBy("gh")
            .agg(F.count_distinct("doc_id").alias("nd"))
            .filter(F.col("nd") >= 2)
@@ -974,11 +983,18 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the identical census over the recursive-CTE prefix's pair
     list (the oracle may keep the naive join — same count)."""
     cat = Catalog(spark, sf_dir)
-    sh = D.word_shingles(cat.documents, "doc_id", "text", n=3,
-                         hashed=True).persist()
+    sh = D.word_shingles(cat.documents, "doc_id", "text", n=3, hashed=True)
+    # localCheckpoint (r9, measured 3.8s -> ~1.9s): the edge list feeds
+    # FIVE scans (three oriented self-join legs, the degree agg, the
+    # edge count) — unmaterialized, each leg re-ran the whole shingle ->
+    # common-shingle-join -> Jaccard pipeline (AQE reuses the exchanges
+    # but re-runs every post-shuffle stage per consumer).  Near-dup
+    # edges are O(corpus dirt), orders of magnitude below the shingle
+    # stream, so materializing them is the cheap side of the trade at
+    # any scale.  (The earlier sh.persist() + immediate unpersist was a
+    # no-op: the mark was dropped before any action materialized it.)
     e = (D.jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-         .select("id_a", "id_b"))
-    sh.unpersist()
+         .select("id_a", "id_b").localCheckpoint(eager=True))
     deg = (e.select(F.col("id_a").alias("node"))
            .unionAll(e.select(F.col("id_b").alias("node")))
            .groupBy("node").agg(F.count("*").alias("d")))
@@ -1302,8 +1318,20 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # small parquet file scans as 1-2 splits, serializing it.
     docs = ensure_input_parallelism(docs, spark)
     chunked = D.cdc_chunks(docs, "doc_id", "text")
-    # 8-byte shuffle key; the chunk text never moves cross-partition
-    hashed = chunked.select("doc_id", F.xxhash64("chunk").alias("ch"))
+    # 8-byte shuffle key; the chunk text never moves cross-partition.
+    # The explicit repartition on that key is the r9 single-exchange
+    # discipline: the hashed chunk stream feeds BOTH the distinct-doc
+    # aggregate and the probe side of the join, and with two implicit
+    # exchanges (raw rows for the join, partial-agg rows for the
+    # count_distinct) the per-token md5 chunking pipeline ran TWICE.
+    # One user-specified exchange is byte-identical on both branches,
+    # so ReuseExchange shares it and the chunk pipeline runs once;
+    # groupBy("ch") and the join both ride its partitioning.
+    spark_ = docs.sparkSession
+    width = max(spark_.sparkContext.defaultParallelism,
+                int(spark_.conf.get("spark.sql.shuffle.partitions", "200")))
+    hashed = (chunked.select("doc_id", F.xxhash64("chunk").alias("ch"))
+              .repartition(width, "ch"))
     shared = (hashed.groupBy("ch")
               .agg(F.count_distinct("doc_id").alias("nd"))
               .filter(F.col("nd") >= 2)

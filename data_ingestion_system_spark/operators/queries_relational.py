@@ -1879,6 +1879,14 @@ def pagerank_iterate(pairs: DataFrame, *, iters: int = _PR_ITERS,
     max |pr - prev| < tol (an O(nodes) check per round, materializing
     each round's ranks).  Left None for the oracle-parity query, whose
     fixed unrolled iterations the SQL replays term-for-term."""
+    # Materialize the pair list FIRST (r9, measured): `pairs` is an
+    # expensive upstream (orders ⋈ lineitem + distinct for the declared
+    # query), and it used to be recomputed once for the degree count
+    # (build) and AGAIN when the edges_deg cache populated (exec) —
+    # ~1s of redundant join work per run at sf0.1, proportionally worse
+    # at scale.  One eager checkpoint of the O(edges) id pairs feeds
+    # every consumer.
+    pairs = pairs.localCheckpoint(eager=True)
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionAll(pairs.select(F.col("b").alias("src"),
@@ -3284,10 +3292,18 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     wk = Window.partitionBy("ck").orderBy(F.col("n").desc(), F.col("sk"))
+    # Eager checkpoint of the O(3·customers) kNN edge list (r9,
+    # measured): the sparsifier (orders ⋈ lineitem + count agg + top-3
+    # window) fed FOUR plan branches — both union directions plus the
+    # node set's distinct under the self-loop union — and AQE's runtime
+    # exchange reuse only dedupes the shuffle, not the per-branch
+    # post-shuffle window/filter work.  Materializing the tiny id-pair
+    # relation runs the sparsifier exactly once.
     pairs = (wcnt.withColumn("rn", F.row_number().over(wk))
              .filter(F.col("rn") <= _LPA_KNN)
              .select((F.col("ck") * 2).alias("a"),
-                     (F.col("sk") * 2 + 1).alias("b")))
+                     (F.col("sk") * 2 + 1).alias("b"))
+             .localCheckpoint(eager=True))
     edges0 = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")) \
         .unionAll(pairs.select(F.col("b").alias("src"),
                                F.col("a").alias("dst")))

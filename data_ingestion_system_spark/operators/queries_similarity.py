@@ -171,8 +171,11 @@ def sim_user_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_ingestion_system_spark.operators.similarity import srp_buckets_udf
 
     cat = Catalog(spark, sf_dir)
+    # expression strings (r9 py4j-chatter fix; 0D = double literal, NOT
+    # the bare 0.0 a SQL parser reads as DECIMAL) — identical tree to
+    # the old Column-built coalesce(avg(when(...)), lit(0.0))
     hours = [
-        F.coalesce(F.avg(F.when(F.hour("ts") == h, F.col("value"))), F.lit(0.0))
+        F.expr(f"coalesce(avg(CASE WHEN hour(ts) = {h} THEN value END), 0D)")
         .alias(f"h{h}") for h in _HOURS]
     prof = cat.events.groupBy("user_id").agg(*hours)
     hv = F.array(*[F.col(f"h{h}") for h in _HOURS])
@@ -233,13 +236,34 @@ def _topk_corr_pairs(nrm: DataFrame, srp_buckets_udf,
     # on the array attributes — per-row stages above stay HOF so no
     # giant aliased expressions ever sit under the n>0 filter (see
     # docstring)
-    bids = prof_b.select("user_id", F.posexplode("b").alias("tbl", "bucket"))
+    #
+    # localCheckpoint (r9, measured): without a materialization barrier
+    # the bucket UDF ran FOUR times — Catalyst pushes the inferred
+    # size(b)>0 / isnotnull filters below the ArrowEvalPython and
+    # re-evaluates it above (guide §4.4's duplicate-UDF pathology), and
+    # the banded self-join then repeats that doubled stack on its
+    # broadcast side.  Checkpointing the exploded (user, tbl, bucket)
+    # longs — O(users x tables) rows, the smallest relation in the
+    # query — runs the UDF exactly once; both join sides and the pair
+    # dedup read the materialized rows.
+    bids = (prof_b.select("user_id", F.posexplode("b").alias("tbl", "bucket"))
+            .localCheckpoint(eager=True))
+    # The pair-dedup exchange is BYTES-small but CPU-heavy downstream
+    # (the exact 24-term dot per candidate pair), so AQE's byte-based
+    # coalescing starves it (r9 profile: the verify stage ran on 4 of
+    # 32 cores, 4.1s of a 5.6s exec).  A user-specified width is exempt
+    # from coalescing and the dedup + both profile joins + the verify
+    # all ride it — one exchange, full parallelism.
+    spark = nrm.sparkSession
+    width = max(spark.sparkContext.defaultParallelism,
+                int(spark.conf.get("spark.sql.shuffle.partitions", "200")))
     pairs = (
         bids.select(F.col("user_id").alias("user_a"), "tbl", "bucket")
         .join(bids.select(F.col("user_id").alias("user_b"), "tbl", "bucket"),
               ["tbl", "bucket"])
         .filter(F.col("user_a") < F.col("user_b"))
         .select("user_a", "user_b")
+        .repartition(width, "user_a", "user_b")
         .dropDuplicates(["user_a", "user_b"])
     )
     prof = nrm.select("user_id", "cv", "n")
@@ -252,7 +276,7 @@ def _topk_corr_pairs(nrm: DataFrame, srp_buckets_udf,
                           F.col("cv").alias("cv_b"), F.col("n").alias("n_b")),
               "user_b")
         .withColumn("corr_raw",
-                    dot_fixed(F.col("cv_a"), F.col("cv_b"), 24)
+                    dot_fixed("cv_a", "cv_b", 24)
                     / (F.col("n_a") * F.col("n_b")))
         .filter(F.col("corr_raw") >= MIN_CORRELATION)
         .select("user_a", "user_b",
@@ -327,7 +351,7 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_ingestion_system_spark.operators.similarity import DIM
 
     cat = Catalog(spark, sf_dir)
-    v = as_double(F.col("embedding"))
+    v = "CAST(embedding AS ARRAY<DOUBLE>)"
     return (
         cat.embeddings
         .select("label", F.sqrt(dot_fixed(v, v, DIM)).alias("nrm"))
@@ -928,8 +952,7 @@ def emb_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = cat.embeddings.withColumn(
         "cid", ivf_assign_udf(centroids, 1)(F.col("embedding"))[0])
     scored = (assigned.join(F.broadcast(cent_df), "cid")
-              .withColumn("s", cosine_fixed(F.col("embedding"),
-                                            F.col("centroid"), DIM)))
+              .withColumn("s", cosine_fixed("embedding", "centroid", DIM)))
     return (scored.groupBy("cid")
             .agg(F.count(F.lit(1)).alias("n_assigned"),
                  (F.round(F.avg("s"), 4) + 0.0).alias("mean_cos"),
@@ -1230,9 +1253,7 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = topk_bruteforce(corpus, queries, k=K).select("qid", "vec_id")
     pscored = (corpus.crossJoin(F.broadcast(queries))
                .filter(F.col("vec_id") != F.col("qid"))
-               .withColumn("cos_p", cosine_fixed(F.col("qv"),
-                                                 F.col("embedding"),
-                                                 _MRL_PREFIX)))
+               .withColumn("cos_p", cosine_fixed("qv", "embedding", _MRL_PREFIX)))
     w = W.partitionBy("qid").orderBy(F.col("cos_p").desc(), F.col("vec_id"))
     pref = (pscored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= K)
@@ -1352,7 +1373,7 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.crossJoin(F.broadcast(queries))
         .filter(F.col("label") != F.col("qlabel"))
         .withColumn("cos_raw",
-                    cosine_fixed(F.col("qv"), F.col("embedding"), DIM))
+                    cosine_fixed("qv", "embedding", DIM))
     )
     w = Window.partitionBy("qid").orderBy(
         F.col("cos_raw").desc(), F.col("vec_id"))
@@ -1495,12 +1516,19 @@ def sim_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double(F.col("embedding")).alias("v")).persist()
 
     def d2_to(center: list[float]):
-        c = F.array(*[F.lit(float(x)) for x in center])
+        # one F.expr per distance map (r9): the old per-term Column loop
+        # (64 lits + 2x64 products per call, 4 calls) was ~1.5s of pure
+        # py4j build time.  Literals render via repr() — the shortest
+        # round-trip decimal, which the SQL parser reads back to the
+        # identical double — and the sum stays left-associated, so the
+        # parsed tree constant-folds to exactly the old one.
         cc = center[0] * center[0]
         for x in center[1:]:
             cc = cc + x * x          # left fold, matches dot_fixed
-        return (dot_fixed(F.col("v"), F.col("v"), DIM)
-                - 2 * dot_fixed(F.col("v"), c, DIM) + F.lit(cc))
+        vc = " + ".join(f"(v[{i}] * CAST({float(x)!r} AS DOUBLE))"
+                        for i, x in enumerate(center))
+        return (dot_fixed("v", "v", DIM)
+                - 2 * F.expr(vc) + F.lit(cc))
 
     seed = e.orderBy("vec_id").limit(1).collect()[0]
     out = [(1, seed.vec_id, 0.0)]
@@ -1624,8 +1652,7 @@ def sim_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(corpus, "vec_id")
               .join(F.broadcast(queries), "qid")
               .withColumn("cos_raw",
-                          cosine_fixed(F.col("qv"), F.col("embedding"),
-                                       DIM)))
+                          cosine_fixed("qv", "embedding", DIM)))
     wr = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(),
                                            F.col("vec_id"))
     return (scored.withColumn("rnk", F.row_number().over(wr))
@@ -1739,20 +1766,36 @@ def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _ivf_centroids(spark, sf_dir)
     max_np = max(_RECALL_NPROBES)
 
-    bf = (topk_bruteforce(corpus, queries, k=K)
-          .select("qid", "vec_id").localCheckpoint(eager=True))
     assigned = corpus.withColumn(
         "cid", ivf_assign_udf(cents, 1)(F.col("embedding"))[0])
     probes = (queries
               .withColumn("cids", ivf_assign_udf(cents, max_np)(F.col("qv")))
               .select("qid", "qv",
                       F.posexplode("cids").alias("probe_rank", "cid")))
-    scored = (assigned.join(F.broadcast(probes), "cid")
-              .filter(F.col("vec_id") != F.col("qid"))
-              .select("qid", "vec_id", "probe_rank",
-                      cosine_fixed(F.col("qv"), F.col("embedding"), DIM)
-                      .alias("cos_raw"))
-              .localCheckpoint(eager=True))
+    # The ground-truth and candidate materializations are INDEPENDENT
+    # jobs; run them concurrently (guide §2.6) so the brute-force pass
+    # back-fills executor slots the IVF pass leaves idle — measured, the
+    # query's eager-build phase drops by about the shorter job's length.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.util import inheritable_thread_target
+
+    def _bf():
+        return (topk_bruteforce(corpus, queries, k=K)
+                .select("qid", "vec_id").localCheckpoint(eager=True))
+
+    def _scored():
+        return (assigned.join(F.broadcast(probes), "cid")
+                .filter(F.col("vec_id") != F.col("qid"))
+                .select("qid", "vec_id", "probe_rank",
+                        cosine_fixed("qv", "embedding", DIM)
+                        .alias("cos_raw"))
+                .localCheckpoint(eager=True))
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        bf_f = pool.submit(inheritable_thread_target(_bf))
+        scored_f = pool.submit(inheritable_thread_target(_scored))
+        bf, scored = bf_f.result(), scored_f.result()
 
     parts = []
     for np_ in _RECALL_NPROBES:

@@ -86,7 +86,7 @@ def topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10) -> DataF
     scored = (
         corpus.crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("qid"))
-        .withColumn("cos_raw", cosine_fixed(F.col("qv"), F.col("embedding"), DIM))
+        .withColumn("cos_raw", cosine_fixed("qv", "embedding", DIM))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
     return (
@@ -122,10 +122,9 @@ def label_centroids(corpus_with_label: DataFrame) -> np.ndarray:
     and driver-resident by design."""
     rows = (
         corpus_with_label.groupBy("label")
-        .agg(F.array(*[
-            F.avg(F.col("embedding")[i].cast("double"))
-            for i in range(DIM)
-        ]).alias("centroid"))
+        .agg(F.expr("array(" + ", ".join(
+            f"avg(CAST(embedding[{i}] AS DOUBLE))" for i in range(DIM))
+            + ")").alias("centroid"))
         .orderBy("label")
         .collect()
     )
@@ -148,7 +147,7 @@ def topk_ivf(corpus: DataFrame, centroids: np.ndarray, queries: DataFrame,
     scored = (
         assigned.join(F.broadcast(probes), "cid")
         .filter(F.col("vec_id") != F.col("qid"))
-        .withColumn("cos_raw", cosine_fixed(F.col("qv"), F.col("embedding"), DIM))
+        .withColumn("cos_raw", cosine_fixed("qv", "embedding", DIM))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
     return (
@@ -177,7 +176,7 @@ def topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
         .filter(F.col("vec_id") != F.col("qid"))
         .dropDuplicates(["qid", "vec_id"])
     )
-    scored = cand.withColumn("cos_raw", cosine_fixed(F.col("qv"), F.col("embedding"), DIM))
+    scored = cand.withColumn("cos_raw", cosine_fixed("qv", "embedding", DIM))
     w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -348,7 +347,7 @@ def topk_pq(corpus: DataFrame, queries: DataFrame, k: int = 10,
     rer = (
         short.join(corpus.select("vec_id", "embedding"), "vec_id")
         .join(F.broadcast(qv), "qid")
-        .withColumn("cos_raw", cosine_fixed(F.col("qv"), F.col("embedding"), DIM))
+        .withColumn("cos_raw", cosine_fixed("qv", "embedding", DIM))
     )
     w2 = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
     return (
@@ -408,7 +407,7 @@ def topk_ivf_pq(corpus: DataFrame, centroids: np.ndarray, queries: DataFrame,
     rer = (
         short.join(corpus.select("vec_id", "embedding"), "vec_id")
         .join(F.broadcast(qv), "qid")
-        .withColumn("cos_raw", cosine_fixed(F.col("qv"), F.col("embedding"), DIM))
+        .withColumn("cos_raw", cosine_fixed("qv", "embedding", DIM))
     )
     w2 = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
     return (

@@ -216,7 +216,7 @@ def probe_vector_index(spark: SparkSession, path: str, queries: DataFrame,
         .join(F.broadcast(probes), "cid")
         .filter(F.col("vec_id") != F.col("qid"))
         .withColumn("cos_raw",
-                    cosine_fixed(F.col("qv"), F.col("embedding"), dim))
+                    cosine_fixed("qv", "embedding", dim))
     )
     w = Window.partitionBy("qid").orderBy(
         F.col("cos_raw").desc(), F.col("vec_id"))
