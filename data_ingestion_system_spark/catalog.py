@@ -62,7 +62,7 @@ class Catalog:
 
     def table(self, name: str) -> DataFrame:
         if name not in self._cache:
-            df = self.spark.read.parquet(self.path(name))
+            df = _read_parquet_cached(self.spark, self.path(name))
             if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
                 df = _convert_events_ts(df)
             self._cache[name] = df
@@ -80,7 +80,7 @@ class Catalog:
         as PushedFilters and prune row-groups via min/max stats — at
         100 TB this is the difference between scanning a week and scanning
         the table.  Pinned by tests/test_plans.py."""
-        df = self.spark.read.parquet(self.path("events"))
+        df = _read_parquet_cached(self.spark, self.path("events"))
         if isinstance(df.schema["ts"].dataType, T.LongType):
             lo_ns, hi_ns = _iso_to_ns(lo_iso), _iso_to_ns(hi_iso)
             return _convert_events_ts(
@@ -127,6 +127,45 @@ class Catalog:
 
         assert_scale_safe(df)
         return df
+
+
+# (session, file-identity) -> resolved UNREAD DataFrame handle.  This is
+# METADATA caching, not result caching: `spark.read.parquet` launches a
+# schema-inference job and re-resolves the file index on every call —
+# measured 290-320 ms per call, paid ~400x per bench sweep (~2 tables
+# per query x 206 queries) for byte-identical answers over an immutable
+# fixture.  The cached object is a lazy plan; every action against it
+# still scans the parquet files in full.  The key carries the file
+# tree's (mtime_ns, size) fingerprint, so a rewritten fixture (tests
+# regenerate tmp dirs in place) misses and re-resolves, and the session
+# id keeps handles from leaking across restarted sessions.
+_PARQUET_HANDLES: dict[tuple, DataFrame] = {}
+
+
+def _file_fingerprint(path: str) -> tuple:
+    """(path, total_size, max_mtime_ns) over the file or directory tree
+    (parquet 'files' are directories of part files when Spark wrote
+    them; fixtures are single files)."""
+    if os.path.isdir(path):
+        tot = 0
+        mt = 0
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                st = os.stat(os.path.join(root, fn))
+                tot += st.st_size
+                mt = max(mt, st.st_mtime_ns)
+        return (path, tot, mt)
+    st = os.stat(path)
+    return (path, st.st_size, st.st_mtime_ns)
+
+
+def _read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, _file_fingerprint(path))
+    df = _PARQUET_HANDLES.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        _PARQUET_HANDLES[key] = df
+    return df
 
 
 def _convert_events_ts(df: DataFrame) -> DataFrame:

@@ -451,9 +451,17 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
         .select("e.src", "e.dst")
         .persist()
     )
+    # Fused initialization + first propagation round (r9): with identity
+    # labels, round 1's edges⋈labels join is vacuous — the neighbor
+    # label IS the neighbor id — so the first round collapses to one
+    # aggregate: label(n) = min(n, min neighbor id).  Saves a checkpoint
+    # job, a probe job, and one join pass per query; the loop below then
+    # starts from round 1's output with identical semantics.
     labels = (
-        edges.select(F.col("src").alias("node")).distinct()
-        .withColumn("cluster_id", F.col("node"))
+        edges.groupBy(F.col("dst").alias("node"))
+        .agg(F.min("src").alias("mn"))
+        .select("node", F.least(F.col("node"), F.col("mn"))
+                .alias("cluster_id"))
         .localCheckpoint()
     )
 

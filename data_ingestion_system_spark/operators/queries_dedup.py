@@ -852,19 +852,23 @@ def dedup_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     toks = (cat.documents.select("doc_id", w.alias("w"))
             .filter(F.size("w") >= k))
-    # explicit repartition on the gram hash (r9, same rationale as
-    # dedup_cdc_chunks): the gram stream feeds both the distinct-doc
-    # aggregate and the join probe side — one shared user exchange via
-    # ReuseExchange instead of two implicit ones, so the window-slide +
-    # hash projection runs once.
-    width = max(spark.sparkContext.defaultParallelism,
-                int(spark.conf.get("spark.sql.shuffle.partitions", "200")))
+    # Input-parallelism guard (r9): the window-slide + xxhash projection
+    # is this query's heaviest stage and it ran single-task on the one
+    # parquet split — twice, once per consumer (the count_distinct
+    # aggregate's below-exchange partial-distinct defeats exchange
+    # sharing).  Widening the scan fixes the serialization; the double
+    # compute itself was measured a wash to materialize away (best-of-3:
+    # plain 1.73s / guard 1.54s / guard+checkpoint 1.59s) because both
+    # consumers are map-side parallel passes.
+    from data_ingestion_system_spark.session import ensure_input_parallelism
+
+    toks = ensure_input_parallelism(toks, spark)
     grams = toks.select(
         "doc_id",
         F.posexplode(F.expr(
             f"transform(sequence(0, size(w) - {k}), "
             f"i -> xxhash64(concat_ws(' ', slice(w, i + 1, {k}))))"
-        )).alias("start", "gh")).repartition(width, "gh")
+        )).alias("start", "gh"))
     dup = (grams.groupBy("gh")
            .agg(F.count_distinct("doc_id").alias("nd"))
            .filter(F.col("nd") >= 2)
@@ -1319,19 +1323,17 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_input_parallelism(docs, spark)
     chunked = D.cdc_chunks(docs, "doc_id", "text")
     # 8-byte shuffle key; the chunk text never moves cross-partition.
-    # The explicit repartition on that key is the r9 single-exchange
-    # discipline: the hashed chunk stream feeds BOTH the distinct-doc
-    # aggregate and the probe side of the join, and with two implicit
-    # exchanges (raw rows for the join, partial-agg rows for the
-    # count_distinct) the per-token md5 chunking pipeline ran TWICE.
-    # One user-specified exchange is byte-identical on both branches,
-    # so ReuseExchange shares it and the chunk pipeline runs once;
-    # groupBy("ch") and the join both ride its partitioning.
-    spark_ = docs.sparkSession
-    width = max(spark_.sparkContext.defaultParallelism,
-                int(spark_.conf.get("spark.sql.shuffle.partitions", "200")))
-    hashed = (chunked.select("doc_id", F.xxhash64("chunk").alias("ch"))
-              .repartition(width, "ch"))
+    # Examined in r9 and deliberately left double-computed: the hashed
+    # chunk stream feeds both the distinct-doc aggregate and the join
+    # probe side, and the md5 chunk projection runs once per consumer —
+    # but both consumers are map-side, embarrassingly parallel passes.
+    # Measured A/B/C at sf0.1 (plain 2.41s / localCheckpoint 2.70s /
+    # shared repartition 2.39s, best-of-3 each): a materialization
+    # barrier pays its write cost back exactly once and nets ~nothing,
+    # while a keyed repartition CollapseRepartition-folds the input
+    # guard's round-robin away and serializes the md5 work onto the
+    # single scan split.  Keep the simple shape.
+    hashed = chunked.select("doc_id", F.xxhash64("chunk").alias("ch"))
     shared = (hashed.groupBy("ch")
               .agg(F.count_distinct("doc_id").alias("nd"))
               .filter(F.col("nd") >= 2)
