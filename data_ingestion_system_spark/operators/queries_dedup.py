@@ -275,7 +275,7 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     from data_ingestion_system_spark.operators.text import normalized_text
 
-    p = cat.documents.select(
+    p = cat.wide_table("documents").select(
         "doc_id", "source",
         F.substring(normalized_text(F.col("text")), 1, LEV_PREFIX).alias("pfx"))
     a = p.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"),

@@ -204,7 +204,7 @@ def ingest_try_safe_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     k = F.get_json_object(F.col("props"), "$.k").try_cast("bigint")
     return (
-        cat.events
+        cat.wide_table("events")
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -20,7 +20,7 @@ N_QUERIES = 5  # vec_id < 5 are the query vectors
 
 def _corpus_queries(spark: SparkSession, sf_dir: str):
     cat = Catalog(spark, sf_dir)
-    corpus = cat.embeddings.select("vec_id", "embedding")
+    corpus = cat.wide_table("embeddings").select("vec_id", "embedding")
     # the filter selects exactly N_QUERIES rows; the explicit limit is a
     # no-op on the result but makes the bound PROVABLE to Catalyst
     # (maxRows), so the broadcast cross-score plan passes the
@@ -320,7 +320,7 @@ def sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF/LSH candidate joins instead (filter the banded/assigned side —
     plans unchanged)."""
     cat = Catalog(spark, sf_dir)
-    corpus = cat.embeddings.filter(
+    corpus = cat.wide_table("embeddings").filter(
         F.col("label").isin(2, 5, 7) & (F.col("vec_id") % 2 == 0)
     ).select("vec_id", "embedding")
     queries = (cat.embeddings.filter(F.col("vec_id") < N_QUERIES)
@@ -1363,7 +1363,7 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking) with this exact query as its ground truth — the pattern
     sim_ann_recall already pins for the unfiltered path."""
     cat = Catalog(spark, sf_dir)
-    corpus = cat.embeddings.select("vec_id", "label", "embedding")
+    corpus = cat.wide_table("embeddings").select("vec_id", "label", "embedding")
     queries = (cat.embeddings.filter(F.col("vec_id") < N_QUERIES)
                .limit(N_QUERIES)   # provable bound, see _corpus_queries
                .select(F.col("vec_id").alias("qid"),

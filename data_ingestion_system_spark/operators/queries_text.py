@@ -28,7 +28,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace + BPE-ish regex tokenizations per doc."""
     cat = Catalog(spark, sf_dir)
     t = F.col("text")
-    return cat.documents.select(
+    return cat.wide_table("documents").select(
         "doc_id",
         X.n_tokens_ws(t).alias("n_tokens_ws"),
         X.n_tokens_bpe(t).alias("n_tokens_bpe"),
@@ -54,7 +54,7 @@ FROM m
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/punctuation/stopword composite in [0,1]."""
     cat = Catalog(spark, sf_dir)
-    return cat.documents.select(
+    return cat.wide_table("documents").select(
         "doc_id", "lang", X.quality_score(F.col("text")).alias("quality")
     )
 
@@ -222,7 +222,7 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     toks = F.split(F.trim(F.col("text")), r"\s+")
     return (
-        cat.documents
+        cat.wide_table("documents")
         .select("doc_id", F.explode(chunk_rows(toks)).alias("c"))
         .select("doc_id", F.col("c.chunk_id").alias("chunk_id"),
                 F.col("c.chunk_text").alias("chunk_text"))
@@ -375,7 +375,7 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc array_distinct makes each (doc_id, fp) row unique already —
     # no global distinct shuffle needed (the oracle dedups listwise too)
     return (
-        cat.documents.select("doc_id", w.alias("w"))
+        cat.wide_table("documents").select("doc_id", w.alias("w"))
         .filter(F.size("w") >= 4)
         .select("doc_id", grams.alias("gr"))
         .select("doc_id", F.explode(F.array_distinct(wins)).alias("fp"))
@@ -1106,7 +1106,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_wl = F.round(sum_len.cast("double") / n_words, 4)
     alpha_frac = F.round(n_alpha.cast("double") / n_words, 4)
     sym_ratio = F.round(F.col("n_sym").cast("double") / n_words, 4)
-    base = cat.documents.select(
+    base = cat.wide_table("documents").select(
         "doc_id", w.alias("w"),
         (F.length(t)
          - F.length(F.replace(F.replace(t, F.lit("#"), F.lit("")),
