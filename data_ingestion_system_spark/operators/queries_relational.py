@@ -1879,18 +1879,26 @@ def pagerank_iterate(pairs: DataFrame, *, iters: int = _PR_ITERS,
     max |pr - prev| < tol (an O(nodes) check per round, materializing
     each round's ranks).  Left None for the oracle-parity query, whose
     fixed unrolled iterations the SQL replays term-for-term."""
-    # Materialize the pair list FIRST (r9, measured): `pairs` is an
-    # expensive upstream (orders ⋈ lineitem + distinct for the declared
-    # query), and it used to be recomputed once for the degree count
-    # (build) and AGAIN when the edges_deg cache populated (exec) —
-    # ~1s of redundant join work per run at sf0.1, proportionally worse
-    # at scale.  One eager checkpoint of the O(edges) id pairs feeds
-    # every consumer.
-    pairs = pairs.localCheckpoint(eager=True)
+    # Cache the pair list FIRST (r9, measured): `pairs` is an expensive
+    # upstream (orders ⋈ lineitem + distinct for the declared query),
+    # and it used to be recomputed once for the degree count (build)
+    # and AGAIN when the edges_deg cache populated (exec).  persist,
+    # NOT an eager localCheckpoint: the cache fills once inside the
+    # deg.count() job below (no separate materialization pass), while
+    # a checkpoint added a full write+read of the O(edges) relation —
+    # fine at sf0.1 but measured +60% on the whole query at sf1
+    # (12.9s -> 20.5s) before this was downgraded to a cache mark.
+    pairs = pairs.persist()
+    # explode-symmetrize, not union-of-swap: a union reads the pairs
+    # cache on TWO branches, and during the first fill both branches
+    # race to populate it (the gated-dedup sf10 lesson); one explode
+    # reads it once.
     edges = (
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionAll(pairs.select(F.col("b").alias("src"),
-                               F.col("a").alias("dst")))
+        pairs.select(F.explode(F.array(
+            F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+            F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+        )).alias("e"))
+        .select("e.src", "e.dst")
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).persist()
     # one O(edges) relation carrying its source degree, co-partitioned
