@@ -90,14 +90,14 @@ class Catalog:
         df = self.table(name)
         try:
             _, size, _ = _file_fingerprint(self.path(name))
-            max_split = int(self.spark.conf.get(
-                "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)
-            ).rstrip("b"))
+            max_split = _parse_bytes(self.spark.conf.get(
+                "spark.sql.files.maxPartitionBytes",
+                str(128 * 1024 * 1024)))
             cores = self.spark.sparkContext.defaultParallelism
             if size // max(max_split, 1) + 1 < cores:
                 return df.repartition(cores)
-        except Exception:
-            pass
+        except OSError:
+            pass  # fixture path missing/unreadable: scan decides alone
         return df
 
     def events_between(self, lo_iso: str, hi_iso: str) -> DataFrame:
@@ -174,6 +174,29 @@ class Catalog:
 _PARQUET_HANDLES: dict[tuple, DataFrame] = {}
 
 
+_BYTE_SUFFIXES = {
+    "": 1, "b": 1,
+    "k": 1024, "kb": 1024,
+    "m": 1024 ** 2, "mb": 1024 ** 2,
+    "g": 1024 ** 3, "gb": 1024 ** 3,
+    "t": 1024 ** 4, "tb": 1024 ** 4,
+    "p": 1024 ** 5, "pb": 1024 ** 5,
+}
+
+
+def _parse_bytes(s: str) -> int:
+    """Spark byte-string conf -> bytes, accepting every spelling Spark's
+    own JavaUtils.byteStringAsBytes does ("134217728", "128m", "128MB",
+    "1g", ...).  VERDICT r9 #6: the old ``int(s.rstrip("b"))`` threw on
+    unit-suffixed values and a blanket ``except`` silently disabled the
+    wide_table scale guard — a guard must fail loudly, not no-op, so an
+    unparseable value raises ValueError (unit-tested in
+    tests/test_catalog_parse.py)."""
+    t = s.strip().lower()
+    num = t.rstrip("kmgtpb")
+    return int(num) * _BYTE_SUFFIXES[t[len(num):]]
+
+
 def _file_fingerprint(path: str) -> tuple:
     """(path, total_size, max_mtime_ns) over the file or directory tree
     (parquet 'files' are directories of part files when Spark wrote
@@ -192,9 +215,20 @@ def _file_fingerprint(path: str) -> tuple:
 
 
 def _read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, _file_fingerprint(path))
+    app_id = spark.sparkContext.applicationId
+    fp = _file_fingerprint(path)
+    key = (app_id, fp)
     df = _PARQUET_HANDLES.get(key)
     if df is None:
+        # Evict before insert (ADVICE r9): handles keyed by a dead
+        # applicationId (restarted sessions) or a stale fingerprint of
+        # the SAME path (regenerated fixtures) are unreachable forever —
+        # dropping them here bounds the dict to live-session handles
+        # without an LRU.
+        stale = [k for k in _PARQUET_HANDLES
+                 if k[0] != app_id or (k[1][0] == path and k[1] != fp)]
+        for k in stale:
+            del _PARQUET_HANDLES[k]
         df = spark.read.parquet(path)
         _PARQUET_HANDLES[key] = df
     return df

@@ -1907,6 +1907,23 @@ def pagerank_iterate(pairs: DataFrame, *, iters: int = _PR_ITERS,
     n_nodes = deg.count()  # tiny: node-cardinality agg, also warms the caches
     pr = deg.select(F.col("src").alias("node"),
                     (F.lit(1.0) / F.lit(float(n_nodes))).alias("pr"))
+
+    def _finish(ranks: DataFrame) -> DataFrame:
+        # tol path only: materialize the O(nodes) result, then release
+        # the round + edge caches (ADVICE r9: they used to outlive the
+        # call and pile up across a session, leaning on LRU eviction).
+        # The checkpoint is nodes-sized — NOT the edge-relation barrier
+        # r9 measured at +60% on sf1 and reverted.  The tol=None
+        # declared-query path stays fully lazy (its one-exchange-per-
+        # iteration executed shape is pinned by tests/test_plans.py);
+        # its caches are released by the session's cache clear, as the
+        # bench does between queries.
+        out = ranks.localCheckpoint()
+        for cached in (ranks, edges_deg, deg, pairs):
+            if cached.is_cached:
+                cached.unpersist()
+        return out
+
     for _ in range(iters):
         nxt = (
             edges_deg.join(pr.withColumnRenamed("node", "src"), "src")
@@ -1920,10 +1937,14 @@ def pagerank_iterate(pairs: DataFrame, *, iters: int = _PR_ITERS,
             delta = (nxt.join(pr.withColumnRenamed("pr", "prev"), "node")
                      .agg(F.max(F.abs(F.col("pr") - F.col("prev"))))
                      .first()[0])
+            prev, pr = pr, nxt
+            if prev.is_cached:
+                prev.unpersist()
             if delta is not None and delta < tol:
-                return nxt
-        pr = nxt
-    return pr
+                return _finish(pr)
+        else:
+            pr = nxt
+    return _finish(pr) if tol is not None else pr
 
 
 @register("graph_pagerank", f"""

@@ -1793,8 +1793,10 @@ def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint(eager=True))
 
     with ThreadPoolExecutor(max_workers=2) as pool:
-        bf_f = pool.submit(inheritable_thread_target(_bf))
-        scored_f = pool.submit(inheritable_thread_target(_scored))
+        # pass the session (ADVICE r9): the no-arg form loses job-tag
+        # inheritance and warns 'Tags will not be inherited'
+        bf_f = pool.submit(inheritable_thread_target(spark)(_bf))
+        scored_f = pool.submit(inheritable_thread_target(spark)(_scored))
         bf, scored = bf_f.result(), scored_f.result()
 
     parts = []

@@ -1898,16 +1898,29 @@ def text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     accepts; what's eliminated is the engine-dependent ACCUMULATION
     of float error across hundreds of tokens per doc)."""
     cat = Catalog(spark, sf_dir)
+    tokens = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     words = cat.documents.select(
-        "doc_id", "lang",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
-        .alias("w"))
-    cw = (words.groupBy(F.col("lang").alias("cand"), "w")
-          .agg(F.round(F.ln(F.count("*") + 1.0) * 1e6, 0).cast("long")
-               .alias("lnc")))
-    vsz = words.agg(F.countDistinct("w").alias("v"))
-    ls = (words.groupBy(F.col("lang").alias("cand"))
-          .agg(F.count("*").alias("n_l"))
+        "doc_id", "lang", F.explode(tokens).alias("w"))
+    # Model state — observed (lang, token) counts — materialized ONCE
+    # (r10, VERDICT r9 #2): the r9 shape re-exploded the token stream
+    # in five consumers (per-pair log counts, vocab size, per-lang
+    # totals, per-doc stats, the scoring join) because each hangs off a
+    # differently-keyed aggregate no exchange reuse can share.  The
+    # count relation is O(observed lang-token pairs) — what any NB
+    # trainer holds as its model — and every training-side statistic
+    # derives from it: per-pair lnc, vocab size (distinct w), per-lang
+    # token totals.  The lazy checkpoint materializes inside the loud
+    # cardinality guard's job, so build is one token-stream pass.
+    cw_counts = (words.groupBy(F.col("lang").alias("cand"), "w")
+                 .agg(F.count("*").alias("cnt"))
+                 .localCheckpoint(eager=False))
+    cw = cw_counts.select(
+        "cand", "w",
+        F.round(F.ln(F.col("cnt") + 1.0) * 1e6, 0).cast("long")
+        .alias("lnc"))
+    vsz = cw_counts.agg(F.countDistinct("w").alias("v"))
+    ls = (cw_counts.groupBy("cand")
+          .agg(F.sum("cnt").alias("n_l"))
           .crossJoin(F.broadcast(vsz))
           .select("cand",
                   F.round(-F.ln(F.col("n_l") + F.col("v")) * 1e6, 0)
@@ -1919,14 +1932,20 @@ def text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("cand",
                      F.round(F.ln(F.col("dl") * 1.0 / F.col("nd")) * 1e6, 0)
                      .cast("long").alias("logprior")))
-    doc_stats = (words.groupBy("doc_id")
-                 .agg(F.any_value("lang").alias("actual"),
-                      F.count("*").alias("n_tok")))
+    # per-doc token counts WITHOUT the token explode + groupBy(doc_id)
+    # shuffle: explode emits exactly size(tokens) rows per non-null
+    # text (split never yields an empty array), so n_tok is a map-side
+    # projection of the same array
+    doc_stats = (cat.documents.filter(F.col("text").isNotNull())
+                 .select("doc_id", F.col("lang").alias("actual"),
+                         F.size(tokens).cast("long").alias("n_tok")))
     hits = (words.join(cw, "w")
             .groupBy("doc_id", "cand")
             .agg(F.sum("lnc").alias("s_hit")))
     lang_side = ls.join(F.broadcast(prior), "cand")
-    n_langs = lang_side.count()          # tiny agg; guard is loud
+    # tiny distinct over the materialized model; same value as the old
+    # ls⋈prior count (prior's langs are a superset of the model's)
+    n_langs = cw_counts.select("cand").distinct().count()
     if n_langs > 1000:
         raise ValueError(
             f"lang cardinality {n_langs} exceeds the 1000-language grid "

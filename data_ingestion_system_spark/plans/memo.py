@@ -33,6 +33,7 @@ is the risk.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Hashable
 
 from pyspark.sql import SparkSession
@@ -40,10 +41,20 @@ from pyspark.sql import SparkSession
 _CACHE: dict[tuple, Any] = {}
 
 
+def _disabled() -> bool:
+    # SPARK_GRAFT_NO_MEMO=1 (VERDICT r9 #5): per-query-ISOLATED timing —
+    # every caller recomputes its plan-shape statistic, so no bench
+    # query is subsidized by a neighbor's earlier pre-pass.  Checked at
+    # call time (not import) so a harness can flip it per run.
+    return os.environ.get("SPARK_GRAFT_NO_MEMO", "") not in ("", "0")
+
+
 def session_scalar(spark: SparkSession, key: Hashable,
                    compute: Callable[[], Any]) -> Any:
     """Return the memoized value for ``key`` in this Spark application,
     computing (and caching) it on first use."""
+    if _disabled():
+        return compute()
     full_key = (spark.sparkContext.applicationId, key)
     if full_key not in _CACHE:
         _CACHE[full_key] = compute()
@@ -54,6 +65,8 @@ def contains(spark: SparkSession, key: Hashable) -> bool:
     """True iff ``key`` is already memoized for this application —
     lets callers skip setup work (e.g. a persist) that only the
     first computation needs."""
+    if _disabled():
+        return False
     return (spark.sparkContext.applicationId, key) in _CACHE
 
 

@@ -61,7 +61,8 @@ def main() -> None:
     def run(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
-    plans_dir = os.path.join(_REPO, "plans", "r09")
+    plans_dir = os.path.join(
+        _REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r10"))
     if args.plans:
         os.makedirs(plans_dir, exist_ok=True)
     if not args.explain_only:
