@@ -371,12 +371,20 @@ def near_dup_pairs(feats: DataFrame, threshold: float = 0.999,
     mean = F.aggregate("features", F.lit(0.0), lambda a, x: a + x) / F.lit(
         float(FEATURE_DIM))
     buckets = srp_buckets_udf(dim=FEATURE_DIM, n_bits=12, n_tables=8)
-    # both pair-join branches scan this: persist so the Arrow decode +
-    # bucket UDF chain runs once, not once per branch
+    # EAGER checkpoint, not a persist mark (r10, profiled): four plan
+    # branches scan this relation (both banded self-join sides + both
+    # fc rejoin sides), and when the first action is the caller's —
+    # i.e. the mass pre-pass was skipped via precomputed_mass — all
+    # four stages race to fill a lazy cache, re-running the Arrow
+    # decode + bucket UDF chain once EACH (measured: 4 x 0.7s identical
+    # stages in multimodal_near_dup_clusters' build).  Materializing
+    # once up front is the same single decode pass the persist was
+    # supposed to buy, minus the race; the relation is O(media x 16
+    # doubles + buckets), linear state any SRP index holds anyway.
     centered = feats.select(
         "media_id", block_col,
         F.transform("features", lambda x: x - mean).alias("fc"),
-    ).withColumn("b", buckets(F.col("fc"))).persist()
+    ).withColumn("b", buckets(F.col("fc"))).localCheckpoint(eager=True)
 
     # candidate gen on BARE IDS: banding and the pair dedup shuffle
     # (id, block, table, bucket) rows only; the 16-double feature

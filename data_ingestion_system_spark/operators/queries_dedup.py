@@ -767,9 +767,23 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint blocks are reference-tracked: once the caller drops the
     # result, the ContextCleaner (periodicGC at 45s, set by Catalog)
     # frees them.  Same one-pass materialization cost either way.
-    sh = D.word_shingles(cat.documents, "doc_id", "text", n=3,
-                         hashed=True).localCheckpoint(eager=True)
-    sig = D.minhash_signatures(sh, num_perm=k).localCheckpoint(eager=True)
+    # wide_table (r10, profiled): the shingle pipeline ran as ONE task
+    # for 3.8s — the single-row-group fixture trap (r9 Finding 6); the
+    # checkpoint materializes once, so the widening exchange is paid
+    # once and the explode/hash/distinct run at session width.
+    sh = D.word_shingles(cat.wide_table("documents"), "doc_id", "text",
+                         n=3, hashed=True).localCheckpoint(eager=True)
+    # width-pin the 128-min aggregate (r10): the checkpointed shingles
+    # land in a handful of AQE-coalesced partitions (bytes-small), but
+    # the signature aggregate is CPU-heavy per row — the r9 Finding 2
+    # regime where byte-based coalescing starves compute.  The explicit
+    # hash repartition on the grouping key satisfies the aggregate's
+    # required distribution, so no second exchange appears; at cluster
+    # scale it equals the width a plain shuffle would get.
+    width = max(spark.sparkContext.defaultParallelism,
+                int(spark.conf.get("spark.sql.shuffle.partitions", "200")))
+    sig = D.minhash_signatures(sh.repartition(width, "doc_id"),
+                               num_perm=k).localCheckpoint(eager=True)
     # signature ARRAY built scan-side, once per doc — the join below then
     # moves one array column, and the per-pair math is a HOF loop.
     sig_arr = sig.select(
@@ -1231,7 +1245,13 @@ def dedup_lsh_power_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     mod = cat.documents.agg(
         F.greatest(F.ceil(F.count(F.lit(1)) / _POWER_CURVE_DOC_CAP)
                    .cast("long"), F.lit(1).cast("long")).alias("k"))
-    sampled = (cat.documents.crossJoin(F.broadcast(mod))
+    # wide_table (r10, profiled): the sampled-scan -> shingle -> pair
+    # pipeline ran its two heaviest stages on ONE task (2.1s + 1.0s) —
+    # the single-row-group trap again.  The widening exchange sits
+    # above the scan and is shared by every shingle consumer
+    # (ReuseExchange), so the explode runs at session width and only
+    # once per downstream exchange.
+    sampled = (cat.wide_table("documents").crossJoin(F.broadcast(mod))
                .filter(F.col("doc_id") % F.col("k") == 0)
                .select("doc_id", "text"))
     sh = D.word_shingles(sampled, "doc_id", "text", n=3, hashed=True)

@@ -557,7 +557,7 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     tk = F.split(F.trim(F.col("text")), r"\s+")
     grams = (
-        cat.documents
+        cat.wide_table("documents")
         .select("doc_id", tk.alias("tk"))
         .select(
             "doc_id",
@@ -1800,7 +1800,7 @@ def text_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_ingestion_system_spark.operators.dedup import word_shingles
 
     cat = Catalog(spark, sf_dir)
-    bucketed = cat.documents.select(
+    bucketed = cat.wide_table("documents").select(
         F.expr(f"doc_id div {_NOV_BUCKET}").alias("bucket"), "text")
     # the shared shingle lowering (distinct hashed word-5-grams per id,
     # with the short-doc guard) — the id here is the ingestion slice
