@@ -216,6 +216,15 @@ def probe_index(spark: SparkSession, path: str, batch: DataFrame,
         .parquet(path)
     if exclude_mb is not None:
         index = index.filter(~F.col("mb").eqNullSafe(F.lit(exclude_mb)))
+    # EAGER checkpoints on the two candidate-bounded relations (r10,
+    # profiled): the pair list feeds THREE consumers (both verify join
+    # sides + the corpus semi-join) and the shingle set three more
+    # (verify's a-side, b-side, sizes) — unmaterialized, each consumer
+    # re-ran the banded probe ⋈ index join / the text explode on its
+    # own branch (four ~1.4s single-task stages at sf0.1).  Both
+    # relations are O(candidates), the whole point of the index
+    # posture, so materializing them is bounded however large the
+    # corpus grows.
     candidates = (
         probe.select(F.col("doc_id").alias("id_b"), "band", "bh")
         .join(index.select(F.col("doc_id").alias("id_a"), "band", "bh"),
@@ -223,6 +232,7 @@ def probe_index(spark: SparkSession, path: str, batch: DataFrame,
         .filter(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # verify joins shingles only for implicated ids; corpus text is
     # point-read via a semi-join on the candidate id set
@@ -231,7 +241,7 @@ def probe_index(spark: SparkSession, path: str, batch: DataFrame,
         id_col, "left_semi")
     sh = word_shingles(corpus_hit.select(id_col, text_col)
                        .unionByName(batch.select(id_col, text_col)),
-                       id_col, text_col)
+                       id_col, text_col).localCheckpoint(eager=True)
     verified = verify_candidates(sh, candidates, id_col=id_col)
     return (verified.filter(F.col("jaccard") >= threshold)
             .select(F.col("id_b").alias("batch_id"),

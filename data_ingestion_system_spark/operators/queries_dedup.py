@@ -99,7 +99,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale candidate generation goes through MinHash-LSH instead
     (dedup_minhash_lsh) so this join never sees unrelated pairs."""
     cat = Catalog(spark, sf_dir)
-    sh = D.word_shingles(cat.documents, "doc_id", "text", n=3, hashed=True)
+    sh = D.word_shingles(cat.wide_table("documents"), "doc_id", "text",
+                         n=3, hashed=True)
     pairs = D.jaccard_pairs(sh)
     return pairs.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
@@ -322,7 +323,8 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     them string-level."""
     cat = Catalog(spark, sf_dir)
     return D.cross_corpus_overlap(
-        cat.documents, "doc_id", "text", "source", BENCHMARK_SOURCE, n=5)
+        cat.wide_table("documents"), "doc_id", "text", "source",
+        BENCHMARK_SOURCE, n=5)
 
 
 _PAIR_SLAB_ROWS = 256
@@ -542,7 +544,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     is identical to dedup_ngram_jaccard: hashed common-shingle join as
     the verify primitive, LSH candidate generation upstream at scale."""
     cat = Catalog(spark, sf_dir)
-    sh = D.word_shingles(cat.documents, "doc_id", "text", n=3, hashed=True)
+    sh = D.word_shingles(cat.wide_table("documents"), "doc_id", "text",
+                         n=3, hashed=True)
     return (
         D.containment_pairs(sh)
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
@@ -699,7 +702,8 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals Jaccard over the strings absent collisions (odds ~n^2/2^65,
     dedup.py:_hashed_shingles)."""
     cat = Catalog(spark, sf_dir)
-    sh = D.word_shingles(cat.documents, "source", "text", n=3, hashed=True)
+    sh = D.word_shingles(cat.wide_table("documents"), "source", "text",
+                         n=3, hashed=True)
     pairs = D.jaccard_pairs(sh, id_col="source")
     return pairs.select(
         F.col("id_a").alias("src_a"), F.col("id_b").alias("src_b"),
